@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Headline benchmark: index build throughput + query latencies at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "extras": {"build_docs_per_sec": ..., "bm25_p50_ms": ...}}
+
+Scaling evidence (N vs 4N cores) is produced by bench_scaling.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def make_spark(cpus: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("textindexing-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from textindexing_spark import IndexConfig, build_index
+    from textindexing_spark.operators.dedup import (
+        lsh_candidate_pairs, ngram_jaccard_pairs, simhash)
+    from textindexing_spark.operators.similarity import cosine_topk, lsh_topk
+    from textindexing_spark.functions.analysis import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    # q1: full index build (tokenize -> salted shuffle -> postings),
+    # materialized end-to-end
+    idx = timed("build_index", lambda: (
+        lambda i: (i.cache(), i.postings.count(), i.documents.count(), i)[3]
+    )(build_index(spark, docs, IndexConfig())))
+
+    # q2: boolean AND + wildcard query latencies over the fixture query set
+    with open(f"{REPO}/fixtures/queries.json") as fh:
+        qset = json.load(fh)
+
+    def run_bool():
+        for q in qset:
+            if q["mode"] == "bool_and":
+                idx.search_bool(q["query_text"]).collect()
+    timed("bool_queries", run_bool)
+
+    # q3: BM25 top-10 latency per query (p50 reported in extras)
+    lat: list[float] = []
+
+    def run_bm25():
+        idx.corpus_stats()
+        for q in qset:
+            if q["mode"] == "bm25":
+                t0 = time.perf_counter()
+                idx.search_bm25(q["query_text"], q["k"]).collect()
+                lat.append(time.perf_counter() - t0)
+    timed("bm25_queries", run_bm25)
+
+    # q4-q8: training-pipeline operators
+    timed("dedup_lsh_candidates",
+          lambda: lsh_candidate_pairs(docs).count())
+    timed("dedup_ngram_jaccard",
+          lambda: ngram_jaccard_pairs(docs, threshold=0.5).count())
+    timed("dedup_simhash", lambda: simhash(docs).count())
+    timed("ann_cosine_topk", lambda: cosine_topk(emb, 0, 10).collect())
+    timed("ann_lsh_topk", lambda: lsh_topk(emb, 0, 10).collect())
+    timed("quality_score", lambda: quality_score(docs).count())
+
+    build_s = timings["build_index"]
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "index-build + query suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extras": {
+            "n_docs": n_docs,
+            "build_docs_per_sec": round(n_docs / build_s, 2) if build_s else None,
+            "bm25_p50_ms": round(statistics.median(lat) * 1000, 2) if lat else None,
+            "bm25_n_queries": len(lat),
+            "cpus": cpus,
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

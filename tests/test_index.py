@@ -1,0 +1,163 @@
+"""End-to-end index build + query tests vs the pure-Python oracle,
+covering the reference's own test scenarios (SURVEY.md section 5):
+merge->query roundtrip, wildcard routing, delete-via-empty-merge, predicate
+delete, snapshot isolation, and bulk==incremental equivalence."""
+
+import pytest
+
+from textindexing_spark import IndexConfig, build_index
+from textindexing_spark.sources.pages import generate_pages_rows
+
+from tests.oracle import OracleIndex
+
+CORPUS = [
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "pack my box with five dozen liquor jugs"),
+    (2, "The Dog barks at the FOX and the fox runs"),
+    (3, "quick thinking saves the day, quick quick"),
+    (4, "Schrœdinger's cat is alive and dead"),
+    (5, "Гиперо́ним — слово с широким значением"),
+    (6, ""),  # empty doc: never indexed
+    (7, "boxing day dogma foxtrot quickstep"),
+    (8, "a dog a fox a cat a box 4.1.2 under_score"),
+]
+
+
+def _oracle():
+    o = OracleIndex()
+    for doc_id, text in CORPUS:
+        o.merge(doc_id, text)
+    return o
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    return build_index(spark, docs, IndexConfig()).cache()
+
+
+def test_words_sorted(idx):
+    got = [r.term for r in idx.words().collect()]
+    assert got == _oracle().words()
+    assert got == sorted(got)
+
+
+def test_exact(idx):
+    o = _oracle()
+    for w in ["fox", "FOX", "dog", "quick", "nonexistent", "schrœdinger",
+              "гиперо", "4", "under"]:
+        got = set()
+        for r in idx.exact(w).collect():
+            got |= {p.doc_id for p in r.postings}
+        assert got == o.exact(w), w
+
+
+def test_no_empty_posting_lists(idx):
+    # IIndex.cs:67-69 — words without documents never appear
+    assert idx.postings.where("size(postings) = 0").count() == 0
+    assert idx.postings.where("df <> size(postings)").count() == 0
+
+
+def test_empty_doc_not_indexed(idx):
+    assert idx.documents.where("doc_id = 6").count() == 0
+
+
+def test_prefix_routing(idx):
+    o = _oracle()
+    for q in ["quick*", "box*", "*og", "fox", "do*", "*x"]:
+        got = [r.doc_id for r in idx.search_bool(q).collect()]
+        assert got == o.search_bool(q), q
+
+
+def test_bool_and(idx):
+    o = _oracle()
+    for q in ["fox dog", "quick fox", "the quick", "fox dog cat",
+              "do* box*", "fox nonexistent", "FOX DOG", ""]:
+        got = [r.doc_id for r in idx.search_bool(q).collect()]
+        assert got == o.search_bool(q), q
+
+
+def test_bm25_topk(idx):
+    o = _oracle()
+    for q in ["fox", "quick dog", "the quick brown fox", "cat box"]:
+        got = [(r.doc_id, r.score) for r in idx.search_bm25(q, 5).collect()]
+        exp = o.bm25(q, 5)
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-12), q
+
+
+def test_merge_upsert_replace(spark, idx):
+    # re-merge doc 0 with new text: old-only terms gone, new terms present
+    batch = spark.createDataFrame([(0, "completely new words here")],
+                                  "doc_id bigint, text string")
+    idx2 = idx.merge(batch)
+    o = _oracle()
+    o.merge(0, "completely new words here")
+    assert [r.doc_id for r in idx2.search_bool("completely").collect()] == [0]
+    assert o.search_bool("jumps") == []
+    assert idx2.search_bool("jumps").count() == 0  # 'jumps' was only in doc 0
+    assert [r.term for r in idx2.words().collect()] == o.words()
+
+
+def test_merge_empty_deletes(spark, idx):
+    # merging an empty word set deletes the document (IndexTests.cs:56-61)
+    batch = spark.createDataFrame([(1, "")], "doc_id bigint, text string")
+    idx2 = idx.merge(batch)
+    assert idx2.documents.where("doc_id = 1").count() == 0
+    exploded = idx2.postings.selectExpr("explode(postings) as p")
+    assert exploded.where("p.doc_id = 1").count() == 0
+    assert idx2.postings.where("size(postings) = 0").count() == 0
+
+
+def test_remove_matching(spark, idx):
+    # predicate delete leaves no matching docs anywhere (IndexTests.cs:64-81)
+    idx2 = idx.remove_matching("doc_id % 2 = 0")
+    o = _oracle()
+    o.remove_matching(lambda d: d % 2 == 0)
+    assert [r.term for r in idx2.words().collect()] == o.words()
+    exploded = idx2.postings.selectExpr("explode(postings) as p")
+    assert exploded.where("p.doc_id % 2 = 0").count() == 0
+
+
+def test_snapshot_isolation(spark, idx, tmp_path):
+    # snapshot unaffected by later merges (IndexTests.cs:102-118)
+    snap = idx.snapshot(str(tmp_path / "snap"))
+    before = [r.term for r in snap.words().collect()]
+    idx.merge(spark.createDataFrame([(99, "zyzzyva zebra")],
+                                    "doc_id bigint, text string"))
+    assert [r.term for r in snap.words().collect()] == before
+    assert "zyzzyva" not in before
+
+
+def test_bulk_equals_incremental(spark):
+    # bulk-built index ≡ incrementally-merged index (≙ the reference's
+    # cross-engine fixtures, IndexTests.cs:15-17)
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    bulk = build_index(spark, docs)
+    inc = build_index(spark, docs.limit(0))  # empty start
+    for s in range(0, len(CORPUS), 3):
+        batch = spark.createDataFrame(CORPUS[s:s + 3],
+                                      "doc_id bigint, text string")
+        inc = inc.merge(batch)
+    a = {(r.term, tuple((p.doc_id, p.tf) for p in r.postings))
+         for r in bulk.postings.collect()}
+    b = {(r.term, tuple((p.doc_id, p.tf) for p in r.postings))
+         for r in inc.postings.collect()}
+    assert a == b
+
+
+def test_salted_build_equals_unsalted(spark):
+    rows = [(i, t) for i, (_, _, _, t, _) in
+            enumerate(generate_pages_rows(n_docs=200, seed=7))]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    plain = build_index(spark, docs, IndexConfig(salt_df_threshold=0))
+    salted = build_index(spark, docs, IndexConfig(salt_df_threshold=5,
+                                                  salt_target_bucket=5))
+    a = {(r.term, r.df, r.total_tf,
+          tuple((p.doc_id, p.tf) for p in r.postings))
+         for r in plain.postings.collect()}
+    b = {(r.term, r.df, r.total_tf,
+          tuple((p.doc_id, p.tf) for p in r.postings))
+         for r in salted.postings.collect()}
+    assert a == b

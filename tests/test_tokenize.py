@@ -1,0 +1,74 @@
+"""Golden tokenizer tests — pin the exact char classes of the reference
+parsers (SURVEY.md 2.2, FIXTURES.md section 4). No Spark needed."""
+
+import pandas as pd
+import pytest
+
+from textindexing_spark.functions.tokenize import (
+    get_tokenizer,
+    tokenize_series,
+    tokenize_text,
+    tokenize_with_tf,
+)
+
+# (input, expected alnum tokens before case fold)
+ALNUM_GOLDEN = [
+    # basic splitting on punctuation/space (AlphaNumericWordsLineParser)
+    ("Hello, world!", ["Hello", "world"]),
+    # underscores split (char.IsLetterOrDigit excludes '_' — unlike \w)
+    ("under_score splits", ["under", "score", "splits"]),
+    # digits-only version tokens (FIXTURES.md: "4.1.2" -> 4, 1, 2)
+    ("version 4.1.2", ["version", "4", "1", "2"]),
+    # Russian UTF-8 (reference fixture class: Hyperonim.txt)
+    ("Гиперо́ним — слово", ["Гиперо", "ним", "слово"]),  # U+0301 is Mn, splits
+    # mixed scripts, accents are letters (é = Ll)
+    ("naïve café tête-à-tête", ["naïve", "café", "tête", "à", "tête"]),
+    # œ is a letter; ordinal semantics keep Schrœdinger ≠ Schroedinger
+    ("Schrœdinger", ["Schrœdinger"]),
+    # tokens never span newlines (line-by-line parsing, LineTextParser)
+    ("end\nstart", ["end", "start"]),
+    ("end\r\nstart", ["end", "start"]),
+    # superscript two U+00B2 is category No — NOT IsLetterOrDigit -> splits
+    ("x²y", ["x", "y"]),
+    # Roman numeral Ⅷ U+2167 is Nl — NOT IsLetterOrDigit -> splits
+    ("aⅧb", ["a", "b"]),
+    # empty / punctuation-only
+    ("", []),
+    ("... !!! ---", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", ALNUM_GOLDEN)
+def test_alnum_golden(text, expected):
+    assert get_tokenizer("alnum")(text) == expected
+
+
+def test_alnum_case_fold():
+    # OrdinalIgnoreCase identity: Cat and cat are one key; canonical fold
+    assert tokenize_text("Cat CAT cat") == ["cat", "cat", "cat"]
+    assert tokenize_with_tf("Cat CAT cat dog") == [("cat", 3), ("dog", 1)]
+
+
+def test_punctuation_tokenizer():
+    # PunctuationSplittingLineParser keeps $ and = (not punctuation)
+    assert get_tokenizer("punctuation")("a=b $5 c,d") == ["a=b", "$5", "c", "d"]
+    # hyphen is Pd -> splits
+    assert get_tokenizer("punctuation")("tête-à-tête") == ["tête", "à", "tête"]
+
+
+def test_regex_tokenizer():
+    # RegexLineParser with the reference's shipped default \w+
+    assert get_tokenizer(r"regex:\w+")("a_b c") == ["a_b", "c"]
+
+
+def test_tokenize_series_matches_scalar():
+    texts = [t for t, _ in ALNUM_GOLDEN] + ["Cat CAT cat"]
+    ser = tokenize_series(pd.Series(texts))
+    for text, got in zip(texts, ser):
+        assert got == tokenize_text(text), text
+
+
+def test_none_text_is_empty():
+    # missing content => empty token set => delete semantics (SURVEY 1.4.2)
+    assert tokenize_text(None) == []
+    assert list(tokenize_series(pd.Series([None, "a"]))) == [[], ["a"]]

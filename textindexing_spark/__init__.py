@@ -1,0 +1,31 @@
+"""textindexing_spark — a PySpark-native full-text inverted-index engine.
+
+A brand-new engine with the query and data-processing capabilities of the
+reference library ``ilya-g/TextIndexing`` (an in-memory C# inverted index,
+see /root/reference), re-designed for Spark's distributed execution model:
+
+- tokenize -> postings -> query expressed as DataFrame lineages,
+- posting lists built by a term-hash shuffle with explicit head-term salting,
+- docID-delta + varbyte compression with block-max skip metadata,
+- BM25 top-k with block-max pruning via mapInPandas + distributed top-k,
+- snapshot-versioned parquet tables (MVCC) standing in for Iceberg,
+- checkpoint-resumable stages with per-partition lineage manifests.
+
+Public API (mirrors the reference surface, SURVEY.md section 7.5):
+
+    from textindexing_spark import IndexConfig, build_index, Index
+    idx = build_index(spark, pages_df, IndexConfig())
+    idx.exact("cat")            # Q1  (ImmutableIndex.GetExactWord)
+    idx.prefix("ca")            # Q2  (GetWordsStartWith)
+    idx.words()                 # Q4  (GetIndexedWords)
+    idx.search_bool("cat dog*") # B1-B6 boolean AND with wildcard routing
+    idx.search_bm25("cat dog", k=10)  # ranked retrieval extension
+"""
+
+from textindexing_spark.config import IndexConfig
+from textindexing_spark.operators.build import build_index, tokenize_documents
+from textindexing_spark.operators.query import Index
+
+__all__ = ["IndexConfig", "build_index", "tokenize_documents", "Index"]
+
+__version__ = "0.1.0"

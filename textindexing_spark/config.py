@@ -1,0 +1,67 @@
+"""Engine configuration — the analogue of the reference's
+``IndexerCreationOptions`` (reference: src/Primitive.Text.Indexing/Indexing/
+IndexerCreationOptions.cs:20-108), re-cut for a distributed engine.
+
+The reference lets callers choose a string comparison (default
+OrdinalIgnoreCase), an index locking strategy, and a pluggable tokenizer.
+In the Spark engine:
+
+- case-insensitivity becomes a deterministic canonical case-fold
+  (``str.lower`` — documented deviation from "first-seen spelling wins",
+  SURVEY.md section 7.4),
+- locking strategies are obviated by share-nothing execution + atomic
+  snapshot commits,
+- the tokenizer remains pluggable (``tokenizer`` field, see
+  functions/tokenize.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Params:
+    """Standard Okapi BM25 parameters (pinned in fixtures; the reference has
+    boolean retrieval only — ranked retrieval is the north-star extension)."""
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Options controlling index construction and querying.
+
+    Mirrors ``IndexerCreationOptions`` (IndexerCreationOptions.cs:20-108):
+    ``tokenizer`` ≙ LineParser/TextParser choice, ``case_insensitive`` ≙
+    StringComparison.OrdinalIgnoreCase default.
+    """
+
+    # Tokenizer name: 'alnum' (default, ≙ AlphaNumericWordsLineParser),
+    # 'punctuation' (≙ PunctuationSplittingLineParser), or 'regex:<pattern>'
+    # (≙ RegexLineParser).
+    tokenizer: str = "alnum"
+
+    # Canonical case-fold of terms (≙ OrdinalIgnoreCase default comparer,
+    # IndexerCreationOptions.cs:20). False ≙ StringComparison.Ordinal.
+    case_insensitive: bool = True
+
+    # Number of hash partitions for the term shuffle. None = leave it to
+    # spark.sql.shuffle.partitions / AQE.
+    num_partitions: int | None = None
+
+    # Head-term skew salting: terms whose document frequency exceeds
+    # salt_df_threshold are split into ceil(df / salt_target_bucket) salted
+    # sub-groups for the collect phase, merged in a second pass.
+    # 0 disables salting.
+    salt_df_threshold: int = 1_000_000
+    salt_target_bucket: int = 250_000
+
+    # Posting-block size for varbyte blocks + block-max skip metadata.
+    block_size: int = 128
+
+    bm25: BM25Params = field(default_factory=BM25Params)
+
+    # BM25 top-k default (north-star: top-10).
+    default_k: int = 10

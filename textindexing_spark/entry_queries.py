@@ -1,0 +1,610 @@
+"""Driver-contract query inventory: every SURVEY.md section-2 operator (plus
+the training-pipeline extensions) as a (spark_fn, oracle_sql) pair.
+
+The Spark side runs THIS engine (textindexing_spark); the SQL side is an
+independent ANSI-SQL restatement DuckDB executes over the same parquet —
+the correctness gate. Column names and types are aligned on both sides
+(driver hashes values after sorting columns by name).
+
+Floating-point policy: every float that crosses the comparison boundary is
+rounded (4-6 dp) on BOTH sides, and orderings that feed a LIMIT happen on
+the same expression in both engines with a deterministic integer tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from textindexing_spark.config import IndexConfig
+from textindexing_spark.operators.build import build_index
+
+# --- shared fragments --------------------------------------------------------
+
+# DuckDB-side tokenization — must mirror the engine tokenizer
+# (functions/tokenize.py): [\p{L}\p{Nd}]+ over lower(text).
+_TOKS = ("SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+         "'[\\p{L}\\p{Nd}]+')) AS term FROM documents")
+_TF = f"SELECT doc_id, term, count(*)::INT AS tf FROM ({_TOKS}) GROUP BY 1, 2"
+_DL = f"SELECT doc_id, count(*)::BIGINT AS doc_len FROM ({_TOKS}) GROUP BY 1"
+_TOKL = ("SELECT doc_id, regexp_extract_all(lower(text), "
+         "'[\\p{L}\\p{Nd}]+') AS ts FROM documents")
+
+_BM25_TERMS = ("hash", "merge", "fast")
+_K1, _B = 1.2, 0.75
+
+_index_cache: dict[tuple[int, str], object] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _index_cache:
+        idx = build_index(spark, _docs(spark, sf_dir), IndexConfig())
+        _index_cache[key] = idx.cache()
+    return _index_cache[key]
+
+
+# --- index / query operators -------------------------------------------------
+
+def _q_dictionary(spark, sf_dir):
+    # Q4 GetIndexedWords
+    return _index(spark, sf_dir).words()
+
+
+_SQL_DICTIONARY = f"SELECT DISTINCT term FROM ({_TOKS})"
+
+
+def _q_postings_full(spark, sf_dir):
+    # A1 bulk build, full index content: (term, doc_id, tf)
+    return (_index(spark, sf_dir).postings
+            .select("term", F.explode("postings").alias("p"))
+            .select("term", F.col("p.doc_id").alias("doc_id"),
+                    F.col("p.tf").alias("tf")))
+
+
+_SQL_POSTINGS_FULL = f"SELECT term, doc_id, tf FROM ({_TF})"
+
+
+def _q_postings_stats(spark, sf_dir):
+    # per-term document frequency + collection frequency
+    return _index(spark, sf_dir).postings.select("term", "df", "total_tf")
+
+
+_SQL_POSTINGS_STATS = (
+    f"SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf "
+    f"FROM ({_TF}) GROUP BY term")
+
+
+def _q_exact(spark, sf_dir):
+    # Q1 GetExactWord — postings of one term
+    return (_index(spark, sf_dir).exact("spark")
+            .select(F.explode("postings").alias("p"))
+            .select(F.col("p.doc_id").alias("doc_id")))
+
+
+_SQL_EXACT = f"SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'"
+
+
+def _q_prefix(spark, sf_dir):
+    # Q2 GetWordsStartWith — range scan
+    return _index(spark, sf_dir).prefix("s").select("term", "df")
+
+
+_SQL_PREFIX = (f"SELECT term, count(*)::BIGINT AS df FROM ({_TF}) "
+               f"WHERE term LIKE 's%' GROUP BY term")
+
+
+def _q_suffix(spark, sf_dir):
+    # Q3 GetWordsMatching(EndsWith) — '*term' routing
+    return _index(spark, sf_dir).suffix("le").select("term", "df")
+
+
+_SQL_SUFFIX = (f"SELECT term, count(*)::BIGINT AS df FROM ({_TF}) "
+               f"WHERE term LIKE '%le' GROUP BY term")
+
+
+def _q_bool_and(spark, sf_dir):
+    # B4 multi-term AND intersection
+    return _index(spark, sf_dir).search_bool("hash merge spark")
+
+
+_SQL_BOOL_AND = (
+    f"SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'hash' "
+    f"INTERSECT SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'merge' "
+    f"INTERSECT SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'")
+
+
+def _q_bool_wildcard(spark, sf_dir):
+    # B2 wildcard routing + B3 OR-union within a token + B4 AND
+    return _index(spark, sf_dir).search_bool("sc* *ow")
+
+
+_SQL_BOOL_WILDCARD = (
+    f"SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term LIKE 'sc%' "
+    f"INTERSECT SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term LIKE '%ow'")
+
+
+def _q_corpus_stats(spark, sf_dir):
+    # A2 allDocuments maintenance -> BM25 N / avgdl
+    return _index(spark, sf_dir).documents.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("doc_len"), 6).alias("avgdl"))
+
+
+_SQL_CORPUS_STATS = (f"SELECT count(*)::BIGINT AS n_docs, "
+                     f"round(avg(doc_len), 6) AS avgdl FROM ({_DL})")
+
+
+def _q_bm25(spark, sf_dir):
+    # M5/T3: BM25 top-10, score desc / doc_id asc
+    return (_index(spark, sf_dir)
+            .search_bm25(" ".join(_BM25_TERMS), k=10)
+            .select("doc_id", F.round("score", 4).alias("score")))
+
+
+_SQL_BM25 = f"""
+WITH tf AS ({_TF}), dl AS ({_DL}),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q AS (SELECT unnest(['hash', 'merge', 'fast']) AS term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * ({_K1} + 1.0))
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+            ) AS score
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def _q_delete_predicate(spark, sf_dir):
+    # A3 RemoveDocumentsMatching — anti-join delete, emptied terms dropped
+    idx2 = _index(spark, sf_dir).remove_matching("doc_id % 7 = 0")
+    return idx2.postings.select("term", "df", "total_tf")
+
+
+_SQL_DELETE_PREDICATE = (
+    f"SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf "
+    f"FROM ({_TF}) WHERE doc_id % 7 <> 0 GROUP BY term")
+
+
+def _q_upsert_merge(spark, sf_dir):
+    # A1 incremental upsert: re-merge docs 0-19 with changed text; doc 3
+    # becomes empty => deleted (IIndex.cs:116-119, ImmutableIndex.cs:118-123)
+    idx = _index(spark, sf_dir)
+    batch = (_docs(spark, sf_dir).where("doc_id < 20")
+             .select("doc_id",
+                     F.when(F.col("doc_id") == 3, F.lit(""))
+                      .otherwise(F.concat("text", F.lit(" zzmergedzz token")))
+                      .alias("text")))
+    return idx.merge(batch).postings.select("term", "df", "total_tf")
+
+
+_SQL_UPSERT_MERGE = f"""
+WITH corpus AS (
+  SELECT doc_id, CASE WHEN doc_id = 3 THEN ''
+                 ELSE text || ' zzmergedzz token' END AS text
+  FROM documents WHERE doc_id < 20
+  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         '[\\p{{L}}\\p{{Nd}}]+')) AS term FROM corpus),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf
+FROM tf GROUP BY term
+"""
+
+
+# --- dedup -------------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    from textindexing_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+_SQL_DEDUP_EXACT = ("SELECT md5(text) AS text_hash, min(doc_id) AS keeper, "
+                    "count(*)::BIGINT AS n_dups FROM documents GROUP BY 1")
+
+_SQL_SHINGLES = """
+tok AS ({tokl}),
+sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS sh
+       FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i))
+""".format(tokl=_TOKL)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from textindexing_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+_SQL_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5
+"""
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    from textindexing_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=4)
+
+
+_SQL_MINHASH_SIGS = f"""
+WITH {_SQL_SHINGLES}
+SELECT doc_id,
+       min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+       min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3
+FROM sh GROUP BY doc_id
+"""
+
+
+def _q_lsh_candidates(spark, sf_dir):
+    from textindexing_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_docs(spark, sf_dir), num_hashes=4,
+                               band_size=2)
+
+
+_SQL_LSH_CANDIDATES = f"""
+WITH {_SQL_SHINGLES},
+sig AS (SELECT doc_id,
+               min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+               min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3
+        FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, h2 || '|' || h3 AS key FROM sig)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+WHERE l.doc_id < r.doc_id
+"""
+
+
+def _q_simhash(spark, sf_dir):
+    from textindexing_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    sums = []
+    for j in range(bits):
+        nib, bit = j // 4, j % 4
+        nibv = f"(strpos('0123456789abcdef', substr(h, {nib + 1}, 1)) - 1)"
+        sums.append(f"sum(2 * (({nibv} >> {bit}) & 1) - 1) AS s{j}")
+    acc = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH tok AS ({_TOKL}),
+t2 AS (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tok
+       WHERE len(ts) > 0),
+h AS (SELECT doc_id, md5(term) AS h FROM t2),
+s AS (SELECT doc_id, {', '.join(sums)} FROM h GROUP BY doc_id)
+SELECT doc_id, ({acc})::BIGINT AS simhash FROM s
+"""
+
+
+# --- similarity search -------------------------------------------------------
+
+def _q_ann_cosine(spark, sf_dir):
+    from textindexing_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+_SQL_ANN_COSINE = """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+d AS (SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS dot,
+             list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS na,
+             list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS nb
+      FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+FROM d ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def _q_lsh_buckets(spark, sf_dir):
+    from textindexing_spark.operators.similarity import lsh_sign_buckets
+
+    return lsh_sign_buckets(_emb(spark, sf_dir), anchor_ids=(1, 2, 3))
+
+
+_SQL_LSH_BUCKETS = """
+WITH a AS (SELECT vec_id AS aid, embedding AS ae FROM embeddings
+           WHERE vec_id IN (1, 2, 3)),
+d AS (SELECT e.vec_id, a.aid,
+             CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                        a.ae::DOUBLE[]) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM embeddings e, a)
+SELECT vec_id, string_agg(bit, '' ORDER BY aid) AS bucket
+FROM d GROUP BY vec_id
+"""
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from textindexing_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+_SQL_ANN_LSH_TOPK = """
+WITH a AS (SELECT vec_id AS aid, embedding AS ae FROM embeddings
+           WHERE vec_id IN (1, 2, 3)),
+d AS (SELECT e.vec_id, a.aid,
+             CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                        a.ae::DOUBLE[]) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM embeddings e, a),
+buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY aid) AS bucket
+            FROM d GROUP BY vec_id),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+pool AS (SELECT e.* FROM embeddings e JOIN buckets USING (vec_id), qb
+         WHERE buckets.bucket = qb.bucket),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS dot,
+             list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS na,
+             list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS nb
+      FROM pool e, q WHERE e.vec_id <> 0)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+# --- text analysis -----------------------------------------------------------
+
+_STOP_IN = ", ".join(f"'{w}'" for w in
+                     ("the", "a", "and", "of", "to", "in", "is"))
+
+
+def _q_lang_id(spark, sf_dir):
+    from textindexing_spark.functions.analysis import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+_SQL_LANG_ID = f"""
+WITH tok AS ({_TOKL})
+SELECT doc_id,
+       CASE WHEN len(list_filter(ts, t -> t IN ({_STOP_IN}))) / len(ts) > 0.03
+            THEN 'en' ELSE 'unk' END AS pred_lang
+FROM tok WHERE len(ts) > 0
+"""
+
+
+def _q_quality(spark, sf_dir):
+    from textindexing_spark.functions.analysis import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+_SQL_QUALITY = f"""
+WITH tok AS ({_TOKL})
+SELECT doc_id,
+       len(ts)::INT AS n_tokens,
+       round(len(list_distinct(ts)) / len(ts), 6) AS distinct_ratio,
+       round(list_aggregate(list_transform(ts, t -> length(t)), 'sum')
+             / len(ts), 6) AS mean_token_len,
+       round(len(list_filter(ts, t -> t IN ({_STOP_IN}))) / len(ts), 6)
+           AS stop_ratio,
+       round((len(list_distinct(ts)) / len(ts)) * 0.5
+             + (1.0 - len(list_filter(ts, t -> t IN ({_STOP_IN}))) / len(ts))
+               * 0.5, 6) AS quality
+FROM tok WHERE len(ts) > 0
+"""
+
+
+def _q_token_counts(spark, sf_dir):
+    from textindexing_spark.functions.analysis import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+_SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       (CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::INT
+           AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+'))::INT
+           AS n_word_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))::INT
+           AS n_bpe_ish
+FROM documents
+"""
+
+
+def _q_fingerprint(spark, sf_dir):
+    from textindexing_spark.functions.analysis import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+_SQL_FINGERPRINT = f"""
+WITH tok AS ({_TOKL})
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS fingerprint
+FROM tok WHERE len(ts) > 0
+"""
+
+
+# --- events (change-stream / windowed semantics, batch-checked) --------------
+
+def _q_last_wins(spark, sf_dir):
+    # F3 within-batch dedup, last-wins by ts (dropDuplicates per url ≙
+    # per user_id here; row_number desc = the engine's upsert ordering)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                         F.col("event_id").desc())
+    return (_events(spark, sf_dir)
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("user_id", "event_id", "event_type", "value"))
+
+
+_SQL_LAST_WINS = """
+SELECT user_id, event_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def _q_hourly_agg(spark, sf_dir):
+    # F2 micro-batch/window aggregation, batch-checked (tumbling 1h)
+    return (_events(spark, sf_dir)
+            .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts"))
+                      .alias("hour_ts"),
+                     "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+_SQL_HOURLY_AGG = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_ts, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_sessionize(spark, sf_dir):
+    # sessionization: 30-min inactivity gap starts a new session
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (_events(spark, sf_dir)
+          .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+          .withColumn("prev", F.lag("us").over(w))
+          .withColumn("new_s",
+                      F.when(F.col("prev").isNull() |
+                             (F.col("us") - F.col("prev") > 1800 * 1_000_000),
+                             1).otherwise(0)))
+    return ev.groupBy("user_id").agg(
+        F.sum("new_s").cast("bigint").alias("n_sessions"))
+
+
+_SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions FROM g GROUP BY user_id
+"""
+
+
+def _q_topk_per_group(spark, sf_dir):
+    # generic top-k per group (window + filter)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(),
+                                            F.col("event_id").asc())
+    return (_events(spark, sf_dir)
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn <= 3")
+            .select("event_type", "event_id", "value"))
+
+
+_SQL_TOPK_PER_GROUP = """
+SELECT event_type, event_id, value
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC, event_id) AS rn
+      FROM events) WHERE rn <= 3
+"""
+
+
+# --- registry ----------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dictionary_words": _q_dictionary,
+    "postings_full": _q_postings_full,
+    "postings_stats": _q_postings_stats,
+    "exact_lookup": _q_exact,
+    "prefix_scan": _q_prefix,
+    "suffix_scan": _q_suffix,
+    "bool_and": _q_bool_and,
+    "bool_and_wildcard": _q_bool_wildcard,
+    "corpus_stats": _q_corpus_stats,
+    "bm25_topk": _q_bm25,
+    "delete_predicate": _q_delete_predicate,
+    "upsert_merge": _q_upsert_merge,
+    "dedup_exact": _q_dedup_exact,
+    "dedup_ngram_jaccard": _q_ngram_jaccard,
+    "dedup_minhash_sigs": _q_minhash_sigs,
+    "dedup_lsh_candidates": _q_lsh_candidates,
+    "dedup_simhash": _q_simhash,
+    "ann_cosine_topk": _q_ann_cosine,
+    "ann_lsh_buckets": _q_lsh_buckets,
+    "ann_lsh_topk": _q_ann_lsh_topk,
+    "lang_id": _q_lang_id,
+    "quality_score": _q_quality,
+    "token_counts": _q_token_counts,
+    "doc_fingerprint": _q_fingerprint,
+    "change_stream_last_wins": _q_last_wins,
+    "hourly_agg": _q_hourly_agg,
+    "sessionize": _q_sessionize,
+    "topk_per_group": _q_topk_per_group,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "dictionary_words": _SQL_DICTIONARY,
+    "postings_full": _SQL_POSTINGS_FULL,
+    "postings_stats": _SQL_POSTINGS_STATS,
+    "exact_lookup": _SQL_EXACT,
+    "prefix_scan": _SQL_PREFIX,
+    "suffix_scan": _SQL_SUFFIX,
+    "bool_and": _SQL_BOOL_AND,
+    "bool_and_wildcard": _SQL_BOOL_WILDCARD,
+    "corpus_stats": _SQL_CORPUS_STATS,
+    "bm25_topk": _SQL_BM25,
+    "delete_predicate": _SQL_DELETE_PREDICATE,
+    "upsert_merge": _SQL_UPSERT_MERGE,
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+    "dedup_minhash_sigs": _SQL_MINHASH_SIGS,
+    "dedup_lsh_candidates": _SQL_LSH_CANDIDATES,
+    "dedup_simhash": _simhash_sql(16),
+    "ann_cosine_topk": _SQL_ANN_COSINE,
+    "ann_lsh_buckets": _SQL_LSH_BUCKETS,
+    "ann_lsh_topk": _SQL_ANN_LSH_TOPK,
+    "lang_id": _SQL_LANG_ID,
+    "quality_score": _SQL_QUALITY,
+    "token_counts": _SQL_TOKEN_COUNTS,
+    "doc_fingerprint": _SQL_FINGERPRINT,
+    "change_stream_last_wins": _SQL_LAST_WINS,
+    "hourly_agg": _SQL_HOURLY_AGG,
+    "sessionize": _SQL_SESSIONIZE,
+    "topk_per_group": _SQL_TOPK_PER_GROUP,
+}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"):
+    """Flagship: build the inverted index and answer a BM25 top-10 query."""
+    return _q_bm25(spark, sf_dir)

@@ -1,0 +1,77 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting. All pure
+Catalyst expressions (scale = partitioning only, no Python)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from textindexing_spark.operators.dedup import tokens_col
+
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+# GPT-2-ish pre-tokenizer shape: letter runs | single digits | other symbols
+BPE_ISH_PATTERN = "[a-z]+|[0-9]|[^a-z0-9\\\\s]"
+
+
+def _stop_ratio(ts_col: str = "ts"):
+    in_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return F.expr(
+        f"size(filter({ts_col}, t -> t IN ({in_list}))) / size({ts_col})")
+
+
+def lang_id(docs: DataFrame, threshold: float = 0.03) -> DataFrame:
+    """(doc_id, pred_lang) — n-gram/stopword heuristic: English iff the
+    EN-stopword token ratio exceeds ``threshold``."""
+    base = (docs.select("doc_id", tokens_col("text").alias("ts"))
+            .where(F.size("ts") > 0))
+    return base.select(
+        "doc_id",
+        F.when(_stop_ratio() > threshold, F.lit("en"))
+         .otherwise(F.lit("unk")).alias("pred_lang"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, distinct_ratio, mean_token_len, stop_ratio,
+    quality) — the length/punct/stopword-ratio family of filters."""
+    base = (docs.select("doc_id", "text", tokens_col("text").alias("ts"))
+            .where(F.size("ts") > 0))
+    distinct_ratio = F.size(F.array_distinct("ts")) / F.size("ts")
+    mean_len = F.expr(
+        "aggregate(ts, CAST(0 AS DOUBLE), (acc, t) -> acc + length(t))"
+    ) / F.size("ts")
+    stop = _stop_ratio()
+    return base.select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop, 6).alias("stop_ratio"),
+        F.round(distinct_ratio * 0.5 + (1.0 - stop) * 0.5, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_word_tokens, n_bpe_ish) — whitespace split,
+    word-char tokens, and a BPE-ish regex count."""
+    ws = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), "\\s+")))
+    return docs.select(
+        "doc_id",
+        ws.cast("int").alias("n_ws_tokens"),
+        F.size(tokens_col("text")).alias("n_word_tokens"),
+        F.size(F.expr(
+            f"regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}', 0)"))
+         .alias("n_bpe_ish"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — md5 over the sorted distinct token set: a
+    canonical content fingerprint invariant to token order (bag-of-words
+    identity), the groupable key for fuzzy-then-exact dedup."""
+    return (docs.select("doc_id", tokens_col("text").alias("ts"))
+            .where(F.size("ts") > 0)
+            .select("doc_id",
+                    F.md5(F.array_join(F.array_sort(F.array_distinct("ts")),
+                                       " ")).alias("fingerprint")))

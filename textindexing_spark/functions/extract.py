@@ -1,0 +1,66 @@
+"""HTML -> text extraction (operator S4 in SURVEY.md).
+
+The reference opens documents as decoded text streams
+(Documents/Sources/FileSystemDocumentSource.cs:40-59); at web scale the
+analogue is extracting text from the raw ``html BINARY`` column of a
+Common-Crawl-style pages table. The contract (BASELINE.json input_hint) is
+*byte-identical extracted text per url* versus the golden ``text`` column —
+so the extractor must be exactly deterministic.
+
+The synthetic pages generator (sources/pages.py) wraps the golden text in a
+minimal fixed HTML envelope; ``extract_text`` inverts that envelope
+deterministically:
+
+- decode UTF-8 (the reference's Encoding.Default is environment-dependent;
+  fixing UTF-8 is a documented deviation, SURVEY.md 7.4),
+- drop <script>/<style> elements,
+- strip tags, unescape the five XML entities,
+- normalize: collapse runs of whitespace introduced by block tags into the
+  original separators recorded by the generator (the generator inserts
+  exactly one '\\n' per block element, so the inverse is exact).
+
+Missing/empty html => empty text => empty token set => delete semantics
+(SURVEY.md 1.4.2).
+"""
+
+from __future__ import annotations
+
+import re
+
+_SCRIPT_RE = re.compile(rb"<(script|style)\b[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE)
+_TAG_RE = re.compile(rb"<[^>]+>")
+_ENTITIES = [
+    (b"&lt;", b"<"),
+    (b"&gt;", b">"),
+    (b"&quot;", b'"'),
+    (b"&#39;", b"'"),
+    (b"&amp;", b"&"),  # must be last
+]
+
+
+def extract_text(html: bytes | None) -> str:
+    """Deterministic HTML->text. Inverse of sources.pages.wrap_html, and a
+    reasonable general-purpose extractor for arbitrary pages."""
+    if not html:
+        return ""
+    body = _SCRIPT_RE.sub(b"", html)
+    body = _TAG_RE.sub(b"", body)
+    for ent, ch in _ENTITIES:
+        body = body.replace(ent, ch)
+    text = body.decode("utf-8", errors="replace")
+    # The generator's envelope contributes exactly leading/trailing
+    # whitespace around the text payload; strip only that.
+    return text.strip("\n ")
+
+
+def extract_text_udf():
+    """Arrow-vectorized pandas UDF: html BINARY -> text STRING."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _extract(html: pd.Series) -> pd.Series:
+        return html.map(extract_text)
+
+    return _extract

@@ -1,0 +1,4 @@
+from textindexing_spark.operators.build import build_index, tokenize_documents
+from textindexing_spark.operators.query import Index
+
+__all__ = ["build_index", "tokenize_documents", "Index"]

@@ -1,0 +1,154 @@
+"""Bulk index construction — operator A1 (bulk path) + A2 (SURVEY.md 2.3).
+
+The reference merges one document at a time into a sorted dictionary under a
+write lock (ImmutableIndex.cs:98-180, merge-join loop :130-176). The
+distributed equivalent is a single declarative lineage:
+
+    docs -> tokenize (Arrow-batched mapInPandas) -> (doc_id, term, tf)
+         -> [df pre-pass for head-term salting]
+         -> groupBy(term [, salt]).agg(sort_array(collect_list(...)))
+         -> [salt merge pass] -> postings table
+
+Spark's partial (map-side) + final hash aggregation does what the
+reference's micro-batched merge loop does, minus the lock. Head-term skew
+(stopwords at web scale) is handled EXPLICITLY: a cheap map-combinable
+document-frequency pre-pass finds terms above ``salt_df_threshold``; their
+rows get a ``pmod(doc_id, fanout)`` salt so no single reducer ever
+materializes a stopword's full posting list in one task; a second, much
+smaller shuffle merges the salted sublists.
+
+Set semantics per document (duplicate words collapse, Indexer.cs:252-258)
+hold because tokenize emits one row per DISTINCT term per doc with its tf.
+Documents whose token set is empty do not enter the index and do not count
+toward N (empty merge deletes, ImmutableIndex.cs:118-123).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from textindexing_spark.config import IndexConfig
+from textindexing_spark.functions.tokenize import tokenize_series
+
+TOKENS_SCHEMA = "doc_id bigint, term string, tf int"
+
+
+def tokenize_documents(docs: DataFrame, cfg: IndexConfig | None = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """docs(doc_id, text, ...) -> tokens(doc_id, term, tf).
+
+    One Arrow-batched mapInPandas pass; the per-document dedup-with-count
+    (≙ P6, the reference's SortedSet aggregation, Indexer.cs:248-258)
+    happens inside the batch, so the shuffle input is already per-doc-unique
+    (a free map-side dedup).
+    """
+    cfg = cfg or IndexConfig()
+    tokenizer = cfg.tokenizer
+    fold = cfg.case_insensitive
+
+    def _tok(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            tok_lists = tokenize_series(pdf[text_col], tokenizer, fold)
+            ids, terms, tfs = [], [], []
+            for doc_id, toks in zip(pdf[id_col].to_numpy(), tok_lists):
+                if not toks:
+                    continue  # empty doc: never indexed (SURVEY 1.4.2)
+                counts: dict[str, int] = {}
+                for t in toks:
+                    counts[t] = counts.get(t, 0) + 1
+                ids.extend([doc_id] * len(counts))
+                terms.extend(counts.keys())
+                tfs.extend(counts.values())
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "term": pd.Series(terms, dtype="object"),
+                 "tf": pd.Series(tfs, dtype="int32")})
+
+    return docs.select(F.col(id_col).alias(id_col),
+                       F.col(text_col).alias(text_col)) \
+               .mapInPandas(_tok, schema=TOKENS_SCHEMA)
+
+
+def postings_from_tokens(tokens: DataFrame,
+                         cfg: IndexConfig | None = None) -> DataFrame:
+    """tokens(doc_id, term, tf) -> postings(term, df, total_tf,
+    postings ARRAY<STRUCT<doc_id, tf>> sorted by doc_id).
+
+    Two shapes, chosen per term by the skew pre-pass:
+    - cold terms: one hash-agg (partial+final, map-side combined);
+    - head terms: salted two-phase agg so the hottest term's list is built
+      by ``fanout`` reducers instead of one.
+    """
+    cfg = cfg or IndexConfig()
+    posting = F.struct(F.col("doc_id"), F.col("tf"))
+
+    if cfg.salt_df_threshold <= 0:
+        # salting disabled: single partial+final hash-agg, one shuffle
+        base = tokens
+        if cfg.num_partitions:
+            base = base.repartition(cfg.num_partitions, "term")
+        return (base.groupBy("term")
+                .agg(F.sort_array(F.collect_list(posting)).alias("postings"),
+                     F.count("*").alias("df"),
+                     F.sum("tf").alias("total_tf"))
+                .select("term", "df", "total_tf", "postings"))
+
+    # skew pre-pass: tokens is consumed twice (df sketch + the build); the
+    # caller (build_index) persists it so tokenization runs once.
+    dfreq = tokens.groupBy("term").agg(F.count("*").alias("_df"))
+    head = (dfreq.where(F.col("_df") > cfg.salt_df_threshold)
+                 .select("term",
+                         F.ceil(F.col("_df") / cfg.salt_target_bucket)
+                          .cast("int").alias("_fanout")))
+    salted = (tokens.join(F.broadcast(head), "term", "left")
+                    .withColumn("salt",
+                                F.coalesce(
+                                    F.pmod(F.col("doc_id"),
+                                           F.col("_fanout")).cast("int"),
+                                    F.lit(0)))
+                    .drop("_fanout"))
+
+    shuffle_n = cfg.num_partitions
+    if shuffle_n:
+        salted = salted.repartition(shuffle_n, "term", "salt")
+
+    partial = (salted.groupBy("term", "salt")
+               .agg(F.sort_array(F.collect_list(posting)).alias("plist"),
+                    F.count("*").alias("n"),
+                    F.sum("tf").alias("stf")))
+
+    return (partial.groupBy("term")
+            .agg(F.sort_array(F.flatten(F.collect_list("plist")))
+                  .alias("postings"),
+                 F.sum("n").alias("df"),
+                 F.sum("stf").alias("total_tf"))
+            .select("term", "df", "total_tf", "postings"))
+
+
+def document_lengths(tokens: DataFrame) -> DataFrame:
+    """documents(doc_id, doc_len) — ≙ A2 allDocuments maintenance
+    (ImmutableIndex.cs:109-123) + doc length for BM25. Only docs with at
+    least one term appear (words-without-documents invariant's dual)."""
+    return tokens.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("doc_len"))
+
+
+def build_index(spark, docs: DataFrame, cfg: IndexConfig | None = None,
+                id_col: str = "doc_id", text_col: str = "text"):
+    """Build an Index over docs(doc_id, text, ...). See class Index."""
+    from textindexing_spark.operators.query import Index
+
+    cfg = cfg or IndexConfig()
+    tokens = tokenize_documents(docs, cfg, id_col=id_col, text_col=text_col)
+    if cfg.salt_df_threshold > 0:
+        # the skew pre-pass reads tokens twice — persist so tokenization
+        # (the expensive Python stage) runs once
+        from pyspark import StorageLevel
+
+        tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
+    postings = postings_from_tokens(tokens, cfg)
+    documents = document_lengths(tokens)
+    return Index(spark, postings, documents, cfg, tokens=tokens)

@@ -1,0 +1,137 @@
+"""Deduplication operators for large-scale text pipelines.
+
+Everything here is pure Catalyst expression work (regexp_extract_all, md5,
+array functions) — JVM-side, whole-stage-codegen'd, no Python in the hot
+path — so each operator scales with partitioning alone:
+
+- exact:          hash-groupBy on content digest (one shuffle);
+- n-gram Jaccard: shingle explode -> self-equi-join on shingle -> group —
+                  the join is the quadratic-avoiding trick (only pairs that
+                  SHARE a shingle are generated);
+- MinHash + LSH:  k md5-salted min-hashes -> banded signatures -> bucket
+                  join, the standard sub-quadratic candidate generation;
+- SimHash:        bitwise majority over token digests, groupBy doc.
+
+JVM tokenization uses the same [\\p{L}\\p{Nd}]+ class as the engine's
+exact tokenizer (functions/tokenize.py) — identical on web text; the
+Python tokenizer remains the byte-exactness reference.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKENS_EXPR = "regexp_extract_all(lower({col}), '[\\\\p{{L}}\\\\p{{Nd}}]+', 0)"
+
+
+def tokens_col(col: str = "text"):
+    """ARRAY<STRING> of case-folded tokens, computed JVM-side."""
+    return F.expr(TOKENS_EXPR.format(col=col))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup by content digest: (text_hash, keeper, n_dups);
+    keeper = min doc_id of each duplicate class."""
+    return (docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+            .agg(F.min(id_col).alias("keeper"),
+                 F.count("*").alias("n_dups")))
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, sh)."""
+    idx = ", ".join(f"ts[i+{j}]" for j in range(n))
+    expr = (f"transform(sequence(0, size(ts)-{n}), "
+            f"i -> concat_ws(' ', {idx}))")
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        tokens_col(text_col).alias("ts"))
+            .where(F.size("ts") >= n)
+            .select("doc_id", F.explode(F.expr(expr)).alias("sh"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
+                        n: int = 3) -> DataFrame:
+    """Near-dup pairs (a, b, jaccard) with a < b, by n-gram shingle
+    Jaccard >= threshold. The shingle self-join only materializes pairs
+    sharing >=1 shingle — at web scale, run it AFTER MinHash-LSH banding
+    (lsh_candidate_pairs) to bound the candidate set."""
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "sh")
+    b = sh.select(F.col("doc_id").alias("b"), "sh")
+    inter = (a.join(b, "sh")
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (inter.join(sa, "a").join(sb, "b")
+            .select("a", "b",
+                    F.round(F.col("inter") /
+                            (F.col("na") + F.col("nb") - F.col("inter")), 4)
+                     .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
+                       n: int = 3) -> DataFrame:
+    """(doc_id, h0..h{k-1}) — h_s = min over shingles of md5(s || ':' || sh).
+    md5-as-hash keeps the signature engine-portable (same values in any
+    SQL dialect), which the oracle parity check exploits."""
+    sh = shingles(docs, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8,
+                        band_size: int = 2, n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs (a, b), a < b: docs whose signatures
+    agree on at least one band. Sub-quadratic: one shuffle per band union +
+    a bucket self-join."""
+    sig = minhash_signatures(docs, num_hashes, n)
+    n_bands = num_hashes // band_size
+    bands = [
+        sig.select(
+            "doc_id", F.lit(bi).alias("band"),
+            F.concat_ws("|", *[F.col(f"h{bi * band_size + j}")
+                               for j in range(band_size)]).alias("key"))
+        for bi in range(n_bands)
+    ]
+    allb = reduce(DataFrame.unionByName, bands)
+    l = allb.select(F.col("doc_id").alias("a"), "band", "key")
+    r = allb.select(F.col("doc_id").alias("b"), "band", "key")
+    return (l.join(r, ["band", "key"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — bitwise majority over the md5 digests of the
+    doc's DISTINCT tokens; ``bits`` from the top hex nibbles. Portable
+    nibble extraction (strpos over the hex alphabet) so any SQL engine
+    reproduces it bit-for-bit."""
+    tok = (docs.select(F.col(id_col).alias("doc_id"),
+                       tokens_col(text_col).alias("ts"))
+           .where(F.size("ts") > 0)
+           .select("doc_id", F.explode(F.array_distinct("ts")).alias("term"))
+           .withColumn("h", F.md5("term")))
+    cols = []
+    for j in range(bits):
+        nib = j // 4
+        bit = j % 4
+        nib_val = (F.instr(F.lit("0123456789abcdef"),
+                           F.substring(F.col("h"), nib + 1, 1)) - 1)
+        bit_val = F.shiftright(nib_val, bit).bitwiseAND(F.lit(1))
+        cols.append(F.sum(bit_val * 2 - 1).alias(f"s{j}"))
+    summed = tok.groupBy("doc_id").agg(*cols)
+    acc = F.lit(0)
+    for j in range(bits):
+        acc = acc + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return summed.select("doc_id", acc.cast("bigint").alias("simhash"))

@@ -1,0 +1,260 @@
+"""Index: the query surface — operators Q1-Q5, B1-B6, A1-A3, T3
+(SURVEY.md sections 2.3-2.6).
+
+Mirrors the reference's ``IIndex`` / ``IReadOnlyIndex`` contract
+(Indexing/IIndex.cs) plus the example app's boolean query composition
+(examples/Primitive.Text.Indexing.UI/IndexerViewModel.cs:73-108) and the
+north-star BM25 ranked-retrieval extension.
+
+The index is two DataFrames:
+
+    postings(term STRING, df BIGINT, total_tf BIGINT,
+             postings ARRAY<STRUCT<doc_id BIGINT, tf INT>>)   -- sorted
+    documents(doc_id BIGINT, doc_len BIGINT)                   -- ≙ allDocuments
+
+Invariants carried from the reference (SURVEY.md 1.4): no term row with an
+empty posting array (IIndex.cs:67-69); documents holds exactly the docs
+present in >=1 posting list; a snapshot is frozen against later merges
+(IndexTests.cs:102-118).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from textindexing_spark.config import IndexConfig
+
+_EMPTY_DOCS_SCHEMA = "doc_id bigint"
+
+
+class Index:
+    """A queryable inverted index (≙ IReadOnlyIndex + IIndex)."""
+
+    def __init__(self, spark, postings: DataFrame, documents: DataFrame,
+                 cfg: IndexConfig | None = None, tokens: DataFrame | None = None):
+        self.spark = spark
+        self.postings = postings
+        self.documents = documents
+        self.cfg = cfg or IndexConfig()
+        self._tokens = tokens  # persisted intermediate, for unpersist()
+        self._stats: tuple[int, float] | None = None
+
+    # -- maintenance ---------------------------------------------------------
+
+    def cache(self) -> "Index":
+        self.postings = self.postings.cache()
+        self.documents = self.documents.cache()
+        return self
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.documents, self._tokens):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+    # -- corpus stats (BM25 N / avgdl; ≙ A2 aggregate view) -------------------
+
+    def corpus_stats(self) -> tuple[int, float]:
+        if self._stats is None:
+            row = self.documents.agg(
+                F.count("*").alias("n"),
+                F.avg("doc_len").alias("avgdl")).collect()[0]
+            self._stats = (row["n"] or 0, float(row["avgdl"] or 0.0))
+        return self._stats
+
+    # -- Q1-Q4: dictionary lookups -------------------------------------------
+
+    def _fold(self, w: str) -> str:
+        return w.lower() if self.cfg.case_insensitive else w
+
+    def exact(self, word: str) -> DataFrame:
+        """Q1 GetExactWord (ImmutableIndex.cs:44-52): equality filter,
+        pushed to the scan; empty result if absent (never an error)."""
+        return self.postings.where(F.col("term") == F.lit(self._fold(word)))
+
+    def prefix(self, p: str) -> DataFrame:
+        """Q2 GetWordsStartWith (ImmutableIndex.cs:54-71): Catalyst rewrites
+        startswith on a sorted table to a range scan."""
+        return self.postings.where(F.col("term").startswith(self._fold(p)))
+
+    def suffix(self, s: str) -> DataFrame:
+        """Q3 special case used by the example app's '*term' routing
+        (IndexerViewModel.cs:101-105)."""
+        return self.postings.where(F.col("term").endswith(self._fold(s)))
+
+    def matching(self, predicate) -> DataFrame:
+        """Q3 GetWordsMatching (ImmutableIndex.cs:73-82): arbitrary
+        predicate over the dictionary; pass a Column or a SQL string."""
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return self.postings.where(cond)
+
+    def words(self) -> DataFrame:
+        """Q4 GetIndexedWords (ImmutableIndex.cs:84-90): sorted dictionary."""
+        return self.postings.select("term").orderBy("term")
+
+    # -- B1-B6: boolean query composition -------------------------------------
+
+    def _route(self, token: str):
+        """B2 wildcard routing (IndexerViewModel.cs:96-108): 'term*' ->
+        prefix, '*term' -> suffix, else exact."""
+        token = self._fold(token)
+        if token.endswith("*"):
+            return F.col("term").startswith(token[:-1])
+        if token.startswith("*"):
+            return F.col("term").endswith(token[1:])
+        return F.col("term") == F.lit(token)
+
+    def search_bool(self, query_text: str) -> DataFrame:
+        """Boolean AND of space-separated tokens with wildcard routing;
+        each wildcard token is an OR-union over its matched words (B3,
+        README.md:44-46); result ordered by doc_id asc (B5 orders by Id,
+        IndexerViewModel.cs:93). Empty query -> empty result (:76-80)."""
+        tokens = [t for t in (query_text or "").split(" ") if t]
+        if not tokens:
+            return self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
+        per_token = [
+            self.postings.where(self._route(tok))
+                .select(F.lit(i).alias("qi"),
+                        F.explode("postings").alias("p"))
+                .select("qi", F.col("p.doc_id").alias("doc_id"))
+            for i, tok in enumerate(tokens)
+        ]
+        matched = reduce(DataFrame.unionByName, per_token)
+        # B3 union-distinct within a token + B4 intersection across tokens
+        # in one aggregation: a doc qualifies iff it matched every qi.
+        return (matched.groupBy("doc_id")
+                .agg(F.count_distinct("qi").alias("_nq"))
+                .where(F.col("_nq") == len(tokens))
+                .select("doc_id")
+                .orderBy("doc_id"))
+
+    # -- T3 + M5: BM25 ranked retrieval ---------------------------------------
+
+    def bm25_scores(self, query_text: str) -> DataFrame:
+        """Per-document BM25 score for all docs containing >=1 query term
+        (disjunctive / WAND-style candidate set). Pure Catalyst plan —
+        JVM-side, codegen'd; the compressed-segment WAND path lives in
+        operators/bm25.py and must return identical results."""
+        from textindexing_spark.functions.tokenize import tokenize_text
+
+        terms = sorted(set(tokenize_text(query_text, self.cfg.tokenizer,
+                                         self.cfg.case_insensitive)))
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id bigint, score double")
+        n_docs, avgdl = self.corpus_stats()
+        k1, b = self.cfg.bm25.k1, self.cfg.bm25.b
+        matched = (self.postings.where(F.col("term").isin(terms))
+                   .select("term", "df", F.explode("postings").alias("p"))
+                   .select("term", "df",
+                           F.col("p.doc_id").alias("doc_id"),
+                           F.col("p.tf").cast("double").alias("tf")))
+        scored = (matched.join(self.documents, "doc_id")
+                  .withColumn(
+                      "idf",
+                      F.log(F.lit(1.0) +
+                            (F.lit(float(n_docs)) - F.col("df") + 0.5) /
+                            (F.col("df") + 0.5)))
+                  .withColumn(
+                      "w",
+                      F.col("idf") * (F.col("tf") * (k1 + 1.0)) /
+                      (F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") /
+                                           float(avgdl)))))
+        return scored.groupBy("doc_id").agg(F.sum("w").alias("score"))
+
+    def search_bm25(self, query_text: str, k: int | None = None) -> DataFrame:
+        """BM25 top-k: score desc, doc_id asc tie-break — Spark executes
+        orderBy+limit as TakeOrderedAndProject (per-partition heaps +
+        driver-side k-way merge), the distributed top-k reduce."""
+        k = k or self.cfg.default_k
+        return (self.bm25_scores(query_text)
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k))
+
+    # -- A1 incremental merge (upsert) ----------------------------------------
+
+    def merge(self, docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> "Index":
+        """Upsert a batch of documents; returns a NEW Index (the old one is
+        an unaffected snapshot — ≙ ImmutableIndex copy-on-write,
+        ImmutableIndex.cs:98-180).
+
+        Semantics (IIndex.cs:116-119, tested IndexTests.cs:31-62):
+        re-merged docs REPLACE their postings (old-only terms disappear);
+        a doc whose new token set is empty is DELETED everywhere.
+
+        Execution: old postings minus the merge batch (anti-join on doc_id)
+        unioned with the batch's fresh tokens, re-aggregated. With a table
+        format underneath this is MERGE INTO; here it is a full logical
+        rebuild whose physical cost a real catalog would prune to affected
+        term partitions (noted optimization, round 2).
+        """
+        from textindexing_spark.operators.build import (
+            document_lengths, postings_from_tokens, tokenize_documents)
+
+        new_tokens = tokenize_documents(docs, self.cfg, id_col=id_col,
+                                        text_col=text_col)
+        batch_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+        old_tokens = (self.postings
+                      .select("term", F.explode("postings").alias("p"))
+                      .select(F.col("p.doc_id").alias("doc_id"), "term",
+                              F.col("p.tf").alias("tf")))
+        kept = old_tokens.join(batch_ids, "doc_id", "left_anti")
+        all_tokens = kept.select("doc_id", "term", "tf").unionByName(new_tokens)
+        return Index(self.spark,
+                     postings_from_tokens(all_tokens, self.cfg),
+                     document_lengths(all_tokens),
+                     self.cfg)
+
+    # -- A3 delete by predicate ------------------------------------------------
+
+    def remove_matching(self, predicate) -> "Index":
+        """RemoveDocumentsMatching (ImmutableIndex.cs:182-206): drop all
+        docs satisfying a predicate over the documents table from every
+        posting list; emptied terms disappear. ``predicate`` is a Column or
+        SQL string over documents' columns."""
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        remove_ids = self.documents.where(cond).select("doc_id")
+        exploded = (self.postings
+                    .select("term", F.explode("postings").alias("p"))
+                    .select("term", F.col("p.doc_id").alias("doc_id"),
+                            F.col("p.tf").alias("tf")))
+        kept = exploded.join(remove_ids, "doc_id", "left_anti")
+        posting = F.struct(F.col("doc_id"), F.col("tf"))
+        new_postings = (kept.groupBy("term")
+                        .agg(F.sort_array(F.collect_list(posting))
+                              .alias("postings"),
+                             F.count("*").alias("df"),
+                             F.sum("tf").alias("total_tf"))
+                        .select("term", "df", "total_tf", "postings"))
+        new_documents = self.documents.join(remove_ids, "doc_id", "left_anti")
+        return Index(self.spark, new_postings, new_documents, self.cfg)
+
+    # -- Q5 snapshot -----------------------------------------------------------
+
+    def snapshot(self, path: str | None = None) -> "Index":
+        """Frozen read view (IIndex.cs:90-97). With a lake table format this
+        is time travel; here we materialize to parquet (path or a managed
+        temp dir) — later merges to self cannot affect the snapshot."""
+        import tempfile
+
+        path = path or tempfile.mkdtemp(prefix="tix_snapshot_")
+        self.postings.write.mode("overwrite").parquet(f"{path}/postings")
+        self.documents.write.mode("overwrite").parquet(f"{path}/documents")
+        return Index(self.spark,
+                     self.spark.read.parquet(f"{path}/postings"),
+                     self.spark.read.parquet(f"{path}/documents"),
+                     self.cfg)
+
+    save = snapshot
+
+    @classmethod
+    def load(cls, spark, path: str, cfg: IndexConfig | None = None) -> "Index":
+        return cls(spark,
+                   spark.read.parquet(f"{path}/postings"),
+                   spark.read.parquet(f"{path}/documents"),
+                   cfg)

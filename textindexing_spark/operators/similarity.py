@@ -1,0 +1,76 @@
+"""Similarity search over an embedding column (ARRAY<FLOAT>).
+
+- ``cosine_topk``  — brute-force exact top-k: one scan, JVM-side
+  zip_with/aggregate dot products (no Python), TakeOrderedAndProject for
+  the distributed top-k. The baseline every ANN variant is tested against.
+- ``lsh_sign_buckets`` / ``lsh_topk`` — random-hyperplane LSH using anchor
+  vectors drawn deterministically from the dataset: bucket = sign-bit
+  string of anchor dot products. The scale path: candidate set shrinks by
+  ~2^n_anchors, the expensive exact scoring runs only inside the query's
+  bucket.
+
+All dots are computed in DOUBLE with strict left-to-right accumulation so
+any engine reproduces them (oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+       "CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _with_query_vec(embeddings: DataFrame, query_vec_id: int) -> DataFrame:
+    q = (embeddings.where(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("qe")))
+    return embeddings.crossJoin(F.broadcast(q))
+
+
+def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                k: int = 10, round_to: int = 4) -> DataFrame:
+    """Exact cosine top-k against the vector of ``query_vec_id``:
+    (vec_id, cos_sim). Ordered by rounded sim desc, vec_id asc (stable
+    cross-engine tie-break)."""
+    j = _with_query_vec(embeddings, query_vec_id)
+    dot = F.expr(DOT.format(a="embedding", b="qe"))
+    na = F.expr(DOT.format(a="embedding", b="embedding"))
+    nb = F.expr(DOT.format(a="qe", b="qe"))
+    return (j.where(F.col("vec_id") != query_vec_id)
+            .select(F.col("vec_id"),
+                    F.round(dot / (F.sqrt(na) * F.sqrt(nb)), round_to)
+                     .alias("cos_sim"))
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(k))
+
+
+def lsh_sign_buckets(embeddings: DataFrame,
+                     anchor_ids: tuple[int, ...] = (1, 2, 3)) -> DataFrame:
+    """(vec_id, bucket) — bucket is the concatenated sign bits of the dot
+    products with the anchor vectors (deterministic hyperplanes)."""
+    anchors = (embeddings.where(F.col("vec_id").isin(list(anchor_ids)))
+               .select(F.col("vec_id").alias("aid"),
+                       F.col("embedding").alias("ae")))
+    j = embeddings.crossJoin(F.broadcast(anchors))
+    dot = F.expr(DOT.format(a="embedding", b="ae"))
+    bit = F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+    per = j.select("vec_id", F.col("aid"), bit.alias("bit"))
+    return (per.groupBy("vec_id")
+            .agg(F.concat_ws("", F.transform(
+                F.array_sort(F.collect_list(F.struct("aid", "bit"))),
+                lambda s: s["bit"])).alias("bucket")))
+
+
+def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+             anchor_ids: tuple[int, ...] = (1, 2, 3),
+             round_to: int = 4) -> DataFrame:
+    """ANN top-k: exact cosine ranking restricted to the query's LSH
+    bucket (the IVF-style scale path)."""
+    buckets = lsh_sign_buckets(embeddings, anchor_ids)
+    qb = (buckets.where(F.col("vec_id") == query_vec_id)
+          .select(F.col("bucket").alias("qbucket")))
+    cand = (buckets.crossJoin(F.broadcast(qb))
+            .where(F.col("bucket") == F.col("qbucket"))
+            .select("vec_id"))
+    pool = embeddings.join(cand, "vec_id", "left_semi")
+    return cosine_topk(pool, query_vec_id, k, round_to)

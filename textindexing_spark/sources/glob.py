@@ -1,0 +1,47 @@
+"""Glob predicate — operator S6 (SURVEY.md 2.1).
+
+The reference compiles ``*``/``?`` file globs to an anchored
+case-insensitive regex and validates pattern characters
+(Documents/Sources/SearchPattern.cs:39-67). Here the same predicate becomes
+a Catalyst ``rlike`` filter over the ``url`` column — it stays JVM-side and
+prunes at the scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Chars invalid in the reference's SearchPattern (path separators etc.,
+# SearchPattern.cs:63-67).
+_INVALID = set('<>:"/\\|')
+
+
+def glob_to_regex(pattern: str, anchored: bool = True,
+                  case_insensitive: bool = True) -> str:
+    """Compile a '*'/'?' glob to a regex string usable with F.col.rlike."""
+    if not pattern:
+        raise ValueError("empty glob pattern")
+    bad = _INVALID.intersection(pattern)
+    if bad:
+        raise ValueError(f"invalid characters in glob pattern: {sorted(bad)}")
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    body = "".join(out)
+    if anchored:
+        body = f"^{body}$"
+    if case_insensitive:
+        body = f"(?i){body}"
+    return body
+
+
+def glob_filter(df, column: str, pattern: str):
+    """Filter a DataFrame by glob over a string column (pushdown-friendly)."""
+    from pyspark.sql import functions as F
+
+    return df.where(F.col(column).rlike(glob_to_regex(pattern)))
