@@ -1,0 +1,190 @@
+"""Checkpoint/resume, snapshot store, streaming ingest, and the pages
+extract path (operators S3/S4/F1-F8, SURVEY.md 2.1/2.9)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from textindexing_spark import IndexConfig, build_index
+from textindexing_spark.functions.extract import extract_text
+from textindexing_spark.plans.manifest import (
+    StagePipeline, read_manifest, verify_stage, write_stage)
+from textindexing_spark.sources.catalog import VersionedIndexStore, empty_index
+from textindexing_spark.sources.glob import glob_filter, glob_to_regex
+from textindexing_spark.sources.pages import (
+    generate_pages, generate_pages_rows, PAGES_SCHEMA)
+from textindexing_spark.streaming.ingest import (
+    StreamingIngestor, dedup_last_wins, doc_ids_for)
+
+
+# --- extraction: byte-identical text per url (input_hint invariant) ---------
+
+def test_extract_roundtrip_bytes():
+    rows = generate_pages_rows(n_docs=120, seed=3)
+    for url, _, html, text, _ in rows:
+        assert extract_text(html) == text, url
+    assert extract_text(None) == ""
+    assert extract_text(b"") == ""
+
+
+def test_extract_udf_matches_golden(spark):
+    pages = generate_pages(spark, n_docs=60, seed=5)
+    from textindexing_spark.functions.extract import extract_text_udf
+
+    got = (pages.withColumn("etext", extract_text_udf()(F.col("html")))
+           .where(F.col("etext") != F.col("text")).count())
+    assert got == 0
+
+
+# --- glob predicate (S6) ------------------------------------------------------
+
+def test_glob_to_regex():
+    assert glob_to_regex("*.txt") == "(?i)^.*\\.txt$"
+    with pytest.raises(ValueError):
+        glob_to_regex("a|b")
+    with pytest.raises(ValueError):
+        glob_to_regex("")
+
+
+def test_glob_filter(spark):
+    pages = generate_pages(spark, n_docs=30, seed=5, recrawl_fraction=0.0)
+    hit = glob_filter(pages, "url", "https://example.org/doc/0000??")
+    assert hit.count() == 30  # all urls match doc/0000NN for n<100
+    assert glob_filter(pages, "url", "*doc/000001").count() == 1
+
+
+# --- lineage manifests + checkpoint resume (north_rule) ----------------------
+
+def test_write_stage_manifest(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    path = str(tmp_path / "stage1")
+    m = write_stage(df, path, "stage1", "fp1")
+    assert m["row_count"] == 100
+    assert sum(p["rows"] for p in m["partitions"]) == 100
+    assert read_manifest(path)["stage"] == "stage1"
+    assert verify_stage(spark, path)
+
+
+def test_pipeline_resume_skips_committed(spark, tmp_path):
+    base = str(tmp_path / "pipe")
+    calls = []
+
+    def s1(s):
+        calls.append("s1")
+        return s.range(10)
+
+    def s2(s, up):
+        calls.append("s2")
+        return up.withColumn("v", F.col("id") + 1)
+
+    p1 = StagePipeline(spark, base, "fpA")
+    a = p1.stage("s1", s1)
+    p1.stage("s2", s2, a)
+    assert p1.executed == ["s1", "s2"]
+
+    # resume: nothing recomputes
+    p2 = StagePipeline(spark, base, "fpA")
+    a = p2.stage("s1", s1)
+    out = p2.stage("s2", s2, a)
+    assert p2.executed == [] and p2.skipped == ["s1", "s2"]
+    assert out.count() == 10
+    assert calls == ["s1", "s2"]
+
+    # changed input fingerprint: everything recomputes
+    p3 = StagePipeline(spark, base, "fpB")
+    a = p3.stage("s1", s1)
+    p3.stage("s2", s2, a)
+    assert p3.executed == ["s1", "s2"]
+
+
+# --- versioned snapshot store (Q5 / MVCC) -------------------------------------
+
+def test_versioned_store_snapshot_isolation(spark, tmp_path):
+    store = VersionedIndexStore(spark, str(tmp_path / "idx"))
+    assert store.latest_version() is None
+    assert store.load().documents.count() == 0
+
+    docs1 = spark.createDataFrame([(1, "alpha beta"), (2, "beta gamma")],
+                                  "doc_id bigint, text string")
+    v1 = store.commit(build_index(spark, docs1))
+    snap1 = store.load(v1)
+
+    docs2 = spark.createDataFrame([(3, "delta")], "doc_id bigint, text string")
+    v2 = store.commit(store.load().merge(docs2))
+    assert v2 == v1 + 1
+
+    # pinned snapshot unaffected by the later commit
+    assert snap1.documents.count() == 2
+    assert store.load().documents.count() == 3
+    assert store.load(v1).documents.count() == 2
+    assert store.versions() == [v1, v2]
+
+
+# --- streaming ingest (F1-F8) --------------------------------------------------
+
+def _write_batch(spark, rows, path, mode="append"):
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+        .write.mode(mode).parquet(path)
+
+
+def test_streaming_ingest_equals_bulk(spark, tmp_path):
+    rows = generate_pages_rows(n_docs=40, seed=9, recrawl_fraction=0.0)
+    src = str(tmp_path / "pages_src")
+    _write_batch(spark, rows[:25], src)
+
+    ing = StreamingIngestor(spark, str(tmp_path / "stream_idx"))
+    ing.ingest_available(src, str(tmp_path / "ckpt"))
+    assert ing.metrics.batches >= 1
+    v_after_bulk = ing.store.latest_version()
+
+    # change stream: only NEW files are processed on the next drain
+    _write_batch(spark, rows[25:], src)
+    ing.ingest_available(src, str(tmp_path / "ckpt"))
+    assert ing.store.latest_version() > v_after_bulk
+
+    # equivalence: streaming-built index == bulk-built index
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    bulk = build_index(
+        spark, doc_ids_for(pages).select("doc_id", "text"))
+    stream_idx = ing.index()
+    a = {(r.term, tuple(sorted((p.doc_id, p.tf) for p in r.postings)))
+         for r in bulk.postings.collect()}
+    b = {(r.term, tuple(sorted((p.doc_id, p.tf) for p in r.postings)))
+         for r in stream_idx.postings.collect()}
+    assert a == b
+
+
+def test_dedup_last_wins(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    rows = [("u1", t0, None, "old text", "en"),
+            ("u1", t1, None, "new text", "en"),
+            ("u2", t0, None, "only", "en")]
+    out = dedup_last_wins(spark.createDataFrame(rows, PAGES_SCHEMA))
+    got = {r.url: r.text for r in out.collect()}
+    assert got == {"u1": "new text", "u2": "only"}
+
+
+def test_recrawl_upsert_via_stream(spark, tmp_path):
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 3, 1)
+    _write_batch(spark, [("u1", t0, None, "alpha beta", "en"),
+                         ("u2", t0, None, "gamma", "en")], src)
+    ing = StreamingIngestor(spark, str(tmp_path / "idx"))
+    ing.ingest_available(src, str(tmp_path / "ck"))
+    assert ing.index().search_bool("alpha").count() == 1
+
+    # re-crawl u1 with new content; u2 becomes empty => deleted
+    _write_batch(spark, [("u1", t1, None, "zeta", "en"),
+                         ("u2", t1, None, "", "en")], src)
+    ing.ingest_available(src, str(tmp_path / "ck"))
+    idx = ing.index()
+    assert idx.search_bool("alpha").count() == 0   # replaced
+    assert idx.search_bool("zeta").count() == 1
+    assert idx.search_bool("gamma").count() == 0   # deleted via empty merge
+    assert idx.documents.count() == 1

@@ -1,0 +1,87 @@
+"""Block-max WAND segment path must return rank-identical top-k (and
+equal scores, modulo float addition order) to the pure-Catalyst BM25 path
+and the pure-Python oracle."""
+
+import pytest
+
+from textindexing_spark import IndexConfig, build_index
+from textindexing_spark.operators.bm25 import segment_index_from
+from textindexing_spark.sources.pages import generate_pages_rows
+
+from tests.oracle import OracleIndex
+
+QUERIES = [
+    "word1",
+    "word1 word7",
+    "word2 word3 word11",
+    "word42 word100 word5",
+    "zzabsent",
+    "zzabsent word9",
+    "",
+    "word0 word1 word2 word3 word4",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return [(i, t) for i, (_, _, _, t, _) in
+            enumerate(generate_pages_rows(n_docs=300, seed=11))]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus):
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    return build_index(spark, docs, IndexConfig(block_size=16)).cache()
+
+
+@pytest.fixture(scope="module")
+def seg(idx):
+    return segment_index_from(idx, n_shards=4).cache()
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_wand_matches_dataframe_path(idx, seg, q):
+    a = [(r.doc_id, r.score) for r in idx.search_bm25(q, 10).collect()]
+    b = [(r.doc_id, r.score) for r in seg.search_bm25(q, 10).collect()]
+    assert [d for d, _ in a] == [d for d, _ in b], q
+    for (_, sa), (_, sb) in zip(a, b):
+        assert sa == pytest.approx(sb, rel=1e-9), q
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_wand_pruning_is_lossless(seg, q):
+    pruned = [(r.doc_id, round(r.score, 9)) for r in
+              seg.search_bm25(q, 10, prune=True).collect()]
+    full = [(r.doc_id, round(r.score, 9)) for r in
+            seg.search_bm25(q, 10, prune=False).collect()]
+    assert pruned == full, q
+
+
+def test_wand_matches_oracle(corpus, seg):
+    o = OracleIndex()
+    for doc_id, text in corpus:
+        o.merge(doc_id, text)
+    for q in QUERIES:
+        got = [(r.doc_id, r.score) for r in seg.search_bm25(q, 10).collect()]
+        exp = o.bm25(q, 10)
+        assert [d for d, _ in got] == [d for d, _ in exp], q
+        for (_, gs), (_, es) in zip(got, exp):
+            assert gs == pytest.approx(es, rel=1e-9), q
+
+
+def test_segment_roundtrip_save_load(spark, seg, tmp_path):
+    path = str(tmp_path / "segidx")
+    seg.save(path)
+    from textindexing_spark.operators.bm25 import SegmentIndex
+
+    loaded = SegmentIndex(
+        spark,
+        spark.read.parquet(f"{path}/segments"),
+        spark.read.parquet(f"{path}/shard_docs"),
+        spark.read.parquet(f"{path}/term_stats"),
+        seg.n_docs, seg.avgdl, seg.cfg)
+    a = [(r.doc_id, round(r.score, 9)) for r in
+         seg.search_bm25("word1 word7", 10).collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in
+         loaded.search_bm25("word1 word7", 10).collect()]
+    assert a == b

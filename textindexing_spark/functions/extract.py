@@ -23,11 +23,10 @@ Missing/empty html => empty text => empty token set => delete semantics
 (SURVEY.md 1.4.2).
 """
 
-from __future__ import annotations
-
 import re
 
-_SCRIPT_RE = re.compile(rb"<(script|style)\b[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE)
+_SCRIPT_RE = re.compile(rb"<(script|style|title)\b[^>]*>.*?</\1>",
+                        re.DOTALL | re.IGNORECASE)
 _TAG_RE = re.compile(rb"<[^>]+>")
 _ENTITIES = [
     (b"&lt;", b"<"),

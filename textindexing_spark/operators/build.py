@@ -43,6 +43,9 @@ def tokenize_documents(docs: DataFrame, cfg: IndexConfig | None = None,
     happens inside the batch, so the shuffle input is already per-doc-unique
     (a free map-side dedup).
     """
+    from textindexing_spark._pkg import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
     cfg = cfg or IndexConfig()
     tokenizer = cfg.tokenizer
     fold = cfg.case_insensitive

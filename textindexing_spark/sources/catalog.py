@@ -1,0 +1,74 @@
+"""Snapshot-versioned index store — the engine's MVCC layer.
+
+The reference gets snapshot isolation from copy-on-write immutable state
+(ImmutableIndex.cs:20-22,92-96,177: queries read a volatile state pointer;
+merges swap it atomically). The lake-format equivalent is Iceberg snapshot
+commits; Iceberg jars are not in this image, so this module implements the
+same contract directly over parquet:
+
+    <root>/v{N}/postings/, <root>/v{N}/documents/   -- immutable versions
+    <root>/LATEST                                    -- atomic pointer file
+
+- ``commit`` writes a new version directory then atomically replaces
+  LATEST (os.replace ≙ the state-pointer swap);
+- ``load(version)`` pins a snapshot: later commits never touch committed
+  version dirs, so a pinned reader is isolated (IndexTests.cs:102-118);
+- time travel = load any historical version.
+"""
+
+from __future__ import annotations
+
+import os
+
+from textindexing_spark.config import IndexConfig
+from textindexing_spark.operators.query import Index
+
+_EMPTY_POSTINGS = ("term string, df bigint, total_tf bigint, "
+                   "postings array<struct<doc_id:bigint,tf:int>>")
+_EMPTY_DOCUMENTS = "doc_id bigint, doc_len bigint"
+
+
+def empty_index(spark, cfg: IndexConfig | None = None) -> Index:
+    return Index(spark,
+                 spark.createDataFrame([], _EMPTY_POSTINGS),
+                 spark.createDataFrame([], _EMPTY_DOCUMENTS),
+                 cfg or IndexConfig())
+
+
+class VersionedIndexStore:
+    def __init__(self, spark, root: str, cfg: IndexConfig | None = None):
+        self.spark = spark
+        self.root = root
+        self.cfg = cfg or IndexConfig()
+        os.makedirs(root, exist_ok=True)
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(f"{self.root}/LATEST") as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def versions(self) -> list[int]:
+        return sorted(int(d[1:]) for d in os.listdir(self.root)
+                      if d.startswith("v") and d[1:].isdigit())
+
+    def load(self, version: int | None = None) -> Index:
+        """Pin a snapshot (None = latest). Empty store -> empty index."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return empty_index(self.spark, self.cfg)
+        path = f"{self.root}/v{v}"
+        return Index.load(self.spark, path, self.cfg)
+
+    def commit(self, idx: Index) -> int:
+        """Write a new immutable version; atomic LATEST swap."""
+        v = (self.latest_version() or 0) + 1
+        path = f"{self.root}/v{v}"
+        idx.postings.write.mode("overwrite").parquet(f"{path}/postings")
+        idx.documents.write.mode("overwrite").parquet(f"{path}/documents")
+        tmp = f"{self.root}/LATEST.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, f"{self.root}/LATEST")
+        return v

@@ -11,9 +11,10 @@ from __future__ import annotations
 
 import re
 
-# Chars invalid in the reference's SearchPattern (path separators etc.,
-# SearchPattern.cs:63-67).
-_INVALID = set('<>:"/\\|')
+# Chars invalid in the reference's SearchPattern (SearchPattern.cs:63-67)
+# minus path separators and ':' — document ids here are urls, which the
+# reference itself anticipates (DocumentInfo.cs:33-37).
+_INVALID = set('<>"|')
 
 
 def glob_to_regex(pattern: str, anchored: bool = True,

