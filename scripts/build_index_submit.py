@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Cluster entry point: build (or resume) the inverted index over a pages
+table, run via spark-submit (north-rule launch mode):
+
+    python -c "from textindexing_spark._pkg import package_zip; \\
+               print(package_zip())"
+    spark-submit --master <cluster> \\
+        --py-files /tmp/textindexing_spark.zip \\
+        scripts/build_index_submit.py \\
+        --input  <pages parquet/iceberg path> \\
+        --output <index root> [--resume] [--shards 64]
+
+On a real cluster --master is yarn/k8s and --input an Iceberg table; the
+job itself is identical. Stages materialize under --output with
+per-partition lineage manifests (plans/manifest.py), so a rerun with
+--resume skips every committed stage whose input fingerprint matches
+(checkpoint-resumable per the north rule).
+
+Input shape (BASELINE.json input_hint):
+    pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING,
+          lang STRING)
+Rows whose text is null but html is not are extracted on the fly
+(functions/extract.py, byte-identical contract). Re-crawled urls collapse
+last-wins by warc_ts before indexing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip stages with committed matching manifests")
+    ap.add_argument("--shards", type=int, default=64,
+                    help="document shards for the compressed BM25 segments")
+    ap.add_argument("--skip-segments", action="store_true",
+                    help="stop after the boolean index (postings+documents)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = SparkSession.builder.appName("textindexing-build").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    # --py-files shipped the engine zip; import AFTER session start so the
+    # zip is already on sys.path when running under a cluster master.
+    from textindexing_spark import IndexConfig
+    from textindexing_spark.functions.extract import extract_text_column
+    from textindexing_spark.operators.bm25 import build_segments
+    from textindexing_spark.operators.build import (
+        document_lengths, postings_from_tokens, tokenize_documents)
+    from textindexing_spark.plans.manifest import StagePipeline
+    from textindexing_spark.streaming.ingest import (
+        dedup_last_wins, doc_ids_for)
+
+    cfg = IndexConfig()
+    t0 = time.perf_counter()
+    pages = spark.read.parquet(args.input)
+
+    # input fingerprint: stable digest of the source content identity
+    fp_row = pages.agg(
+        F.count("*").alias("n"),
+        F.xxhash64(F.max("url"), F.max("warc_ts")).alias("h")).collect()[0]
+    fingerprint = f"{args.input}:{fp_row['n']}:{fp_row['h']}"
+    pipe = StagePipeline(spark, args.output,
+                         fingerprint if args.resume else
+                         f"{fingerprint}:{time.time_ns()}")
+
+    def stage_docs(spark_, pages_df):
+        current = dedup_last_wins(pages_df)
+        texted = extract_text_column(current)
+        return (doc_ids_for(texted)
+                .select("doc_id", "url",
+                        F.coalesce("text", F.lit("")).alias("text")))
+
+    docs = pipe.stage("docs", stage_docs, pages)
+
+    def stage_tokens(spark_, docs_df):
+        return tokenize_documents(docs_df, cfg)
+
+    tokens = pipe.stage("tokens", stage_tokens, docs)
+
+    postings = pipe.stage(
+        "postings", lambda s, t: postings_from_tokens(t, cfg), tokens)
+    documents = pipe.stage(
+        "documents", lambda s, t: document_lengths(t), tokens)
+
+    n_docs = documents.count()
+    n_terms = postings.count()
+
+    if not args.skip_segments:
+        seg = build_segments(spark, tokens, documents, cfg,
+                             n_shards=args.shards)
+        seg.save(f"{args.output}/segments_root")
+
+    elapsed = time.perf_counter() - t0
+    print(json.dumps({
+        "input": args.input,
+        "output": args.output,
+        "n_docs": n_docs,
+        "n_terms": n_terms,
+        "stages_executed": pipe.executed,
+        "stages_skipped": pipe.skipped,
+        "wall_s": round(elapsed, 2),
+        "docs_per_sec": round(n_docs / elapsed, 1) if elapsed else None,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

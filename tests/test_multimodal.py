@@ -1,0 +1,109 @@
+"""Multimodal column plumbing: schemas, Arrow batch shapes, UDF
+signatures, deterministic fake decode (functions/multimodal.py). The
+decode internals are stubs; everything Spark-side is real and asserted."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from textindexing_spark.functions import multimodal as mm
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id").limit(50).cache())
+
+
+@pytest.fixture(scope="module")
+def images(spark, docs):
+    return mm.synthesize_media(docs, "image").cache()
+
+
+def test_media_schema(images):
+    assert images.schema == mm.MEDIA_SCHEMA
+    row = images.first()
+    assert row["payload"][:4] == b"TIXM"
+    assert row["meta"]["codec"] == "rgb8"
+
+
+def test_synthesis_deterministic(spark, docs):
+    a = {r["doc_id"]: bytes(r["payload"])
+         for r in mm.synthesize_media(docs, "image").collect()}
+    b = {r["doc_id"]: bytes(r["payload"])
+         for r in mm.synthesize_media(docs, "image").collect()}
+    assert a == b
+
+
+def test_header_roundtrip():
+    p = mm.pack_media("rgb8", 4, 3, 0, 0, bytes(range(36)))
+    hdr = mm.unpack_header(p)
+    assert (hdr["width"], hdr["height"], hdr["codec"]) == (4, 3, "rgb8")
+    img = mm.decode_rgb(p)
+    assert img.shape == (3, 4, 3) and img.dtype == np.uint8
+
+
+def test_foreign_payload_raises():
+    with pytest.raises(NotImplementedError):
+        mm.decode_rgb(b"\xff\xd8\xff\xe0 not actually decodable jpeg")
+
+
+def test_metadata_validation(spark, images, docs):
+    n = docs.count()
+    meta = mm.media_metadata(images)
+    rows = meta.collect()
+    assert len(rows) == n and all(r["ok"] for r in rows)
+    # corrupt one payload -> quarantined (ok=False), others unaffected
+    corrupted = images.withColumn(
+        "payload",
+        F.when(F.col("doc_id") == rows[0]["doc_id"],
+               F.lit(b"garbage")).otherwise(F.col("payload")))
+    bad = mm.media_metadata(corrupted).where("not ok").collect()
+    assert len(bad) == 1 and bad[0]["width"] == -1
+
+
+def test_image_features_shape(images, docs):
+    feats = mm.image_features(images).collect()
+    assert len(feats) == docs.count()
+    assert all(len(r["feature"]) == mm.IMAGE_FEATURE_DIM for r in feats)
+
+
+def test_features_feed_ann(spark, images):
+    # feature vectors slot directly into the ANN operator surface
+    from textindexing_spark.operators.similarity import cosine_topk
+
+    feats = (mm.image_features(images)
+             .select(F.col("doc_id").alias("vec_id"),
+                     F.col("feature").alias("embedding")))
+    probe = feats.first()["vec_id"]
+    top = cosine_topk(feats, probe, k=5).collect()
+    assert len(top) == 5
+    assert all(-1.0001 <= r["cos_sim"] <= 1.0001 for r in top)
+    assert [r["cos_sim"] for r in top] == sorted(
+        (r["cos_sim"] for r in top), reverse=True)
+
+
+def test_resize(images):
+    out = mm.resize_images(images, 4, 4).collect()
+    for r in out:
+        hdr = mm.unpack_header(bytes(r["payload"]))
+        assert (hdr["width"], hdr["height"]) == (4, 4)
+        assert len(hdr["body"]) == 4 * 4 * 3
+
+
+def test_frame_sampling(spark, docs):
+    videos = mm.synthesize_media(docs, "video")
+    frames = mm.sample_frames(videos, every=2)
+    got = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in got)  # 8 frames, every 2nd
+    idxs = {r["frame_idx"] for r in frames.collect()}
+    assert idxs == {0, 2, 4, 6}
+
+
+def test_audio_stats(spark, docs):
+    audio = mm.synthesize_media(docs, "audio")
+    stats = mm.audio_stats(audio).collect()
+    assert len(stats) == docs.count()
+    assert all(r["n_samples"] == 1600 and r["rms"] > 0 for r in stats)

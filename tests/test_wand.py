@@ -69,6 +69,39 @@ def test_wand_matches_oracle(corpus, seg):
             assert gs == pytest.approx(es, rel=1e-9), q
 
 
+@pytest.fixture(scope="module")
+def seg_fused(spark, corpus):
+    from textindexing_spark.operators.bm25 import build_segments_from_docs
+
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    return build_segments_from_docs(
+        spark, docs, IndexConfig(block_size=16), n_shards=4).cache()
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_fused_builder_matches_dataframe_path(idx, seg_fused, q):
+    """The one-shuffle docs->segments builder must agree with the
+    Catalyst BM25 path exactly (same stats, same ranks, same scores)."""
+    a = [(r.doc_id, r.score) for r in idx.search_bm25(q, 10).collect()]
+    b = [(r.doc_id, r.score) for r in seg_fused.search_bm25(q, 10).collect()]
+    assert [d for d, _ in a] == [d for d, _ in b], q
+    for (_, sa), (_, sb) in zip(a, b):
+        assert sa == pytest.approx(sb, rel=1e-9), q
+
+
+def test_fused_builder_stats_match(idx, seg_fused):
+    n, avgdl = idx.corpus_stats()
+    assert seg_fused.n_docs == n
+    assert seg_fused.avgdl == pytest.approx(avgdl, rel=1e-12)
+    # shard assignment agrees between segments (TaskContext partition id)
+    # and shard_docs (pmod(hash(doc_id), S) in Catalyst)
+    seg_shards = {r["shard"] for r in
+                  seg_fused.segments.select("shard").distinct().collect()}
+    doc_shards = {r["shard"] for r in
+                  seg_fused.shard_docs.select("shard").distinct().collect()}
+    assert seg_shards == doc_shards
+
+
 def test_segment_roundtrip_save_load(spark, seg, tmp_path):
     path = str(tmp_path / "segidx")
     seg.save(path)

@@ -12,10 +12,23 @@ _SHIPPED_SESSIONS: set[int] = set()
 
 
 def package_zip(dest: str = "/tmp/textindexing_spark.zip") -> str:
-    """Zip the package source tree (deterministic content order)."""
+    """Zip the package source tree (deterministic content order). Writes
+    via a temp file + atomic rename so concurrent readers (e.g. a parallel
+    spark-submit) never see a partial zip."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # the package was itself imported from a zip (spark-submit
+        # --py-files): that zip IS the distribution — never clobber it
+        zip_path = pkg_dir
+        while zip_path and not os.path.isfile(zip_path):
+            zip_path = os.path.dirname(zip_path)
+        if zip_path:
+            return zip_path
+        raise RuntimeError(f"cannot package: {pkg_dir} not found")
     root = os.path.dirname(pkg_dir)
-    with zipfile.ZipFile(dest, "w", zipfile.ZIP_STORED) as zf:
+    tmp = f"{dest}.{os.getpid()}.tmp"
+    n = 0
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as zf:
         for dirpath, dirnames, filenames in os.walk(pkg_dir):
             dirnames.sort()
             if "__pycache__" in dirpath:
@@ -24,6 +37,11 @@ def package_zip(dest: str = "/tmp/textindexing_spark.zip") -> str:
                 if fn.endswith(".py"):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, root))
+                    n += 1
+    if n == 0:  # never atomically replace a good zip with an empty one
+        os.unlink(tmp)
+        raise RuntimeError(f"no sources found under {pkg_dir}")
+    os.replace(tmp, dest)
     return dest
 
 

@@ -347,6 +347,37 @@ FROM d GROUP BY vec_id
 """
 
 
+def _q_emb_cosine_pairs(spark, sf_dir):
+    from textindexing_spark.operators.similarity import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(_emb(spark, sf_dir), threshold=0.3)
+
+
+_SQL_EMB_COSINE_PAIRS = """
+WITH anch AS (SELECT vec_id AS aid, embedding AS ae FROM embeddings
+              WHERE vec_id IN (1, 2, 3)),
+d AS (SELECT e.vec_id, anch.aid,
+             CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                        anch.ae::DOUBLE[]) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM embeddings e, anch),
+buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY aid) AS bucket
+            FROM d GROUP BY vec_id),
+e AS (SELECT b.bucket, emb.vec_id, emb.embedding,
+             sqrt(list_dot_product(emb.embedding::DOUBLE[],
+                                   emb.embedding::DOUBLE[])) AS nrm
+      FROM embeddings emb JOIN buckets b USING (vec_id))
+SELECT l.vec_id AS a, r.vec_id AS b,
+       round(list_dot_product(l.embedding::DOUBLE[],
+                              r.embedding::DOUBLE[]) / (l.nrm * r.nrm), 4)
+           AS cos_sim
+FROM e l JOIN e r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE round(list_dot_product(l.embedding::DOUBLE[],
+                             r.embedding::DOUBLE[]) / (l.nrm * r.nrm), 4)
+      >= 0.3
+"""
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     from textindexing_spark.operators.similarity import lsh_topk
 
@@ -451,6 +482,54 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(ts)), ' ')) AS fingerprint
 FROM tok WHERE len(ts) > 0
 """
+
+
+# --- multimodal columns (functions/multimodal.py) ----------------------------
+# synthesize_media derives payload + meta deterministically from doc_id, so
+# the header-validation path has an exact SQL oracle over doc_id alone.
+
+def _q_media_metadata(spark, sf_dir):
+    from textindexing_spark.functions.multimodal import (
+        media_metadata, synthesize_media)
+
+    media = synthesize_media(_docs(spark, sf_dir), "image")
+    return media_metadata(media).select(
+        "doc_id", "kind", "ok", "width", "height", "n_bytes")
+
+
+_SQL_MEDIA_METADATA = """
+SELECT doc_id, 'image' AS kind, TRUE AS ok,
+       (8 + doc_id % 24)::INT AS width,
+       (8 + doc_id % 16)::INT AS height,
+       (24 + 256)::BIGINT AS n_bytes   -- header + fixed fake body
+FROM documents
+"""
+
+
+def _q_media_frames(spark, sf_dir):
+    from textindexing_spark.functions.multimodal import (
+        sample_frames, synthesize_media)
+
+    videos = synthesize_media(_docs(spark, sf_dir), "video")
+    return sample_frames(videos, every=2).select("doc_id", "frame_idx")
+
+
+_SQL_MEDIA_FRAMES = """
+SELECT doc_id, f::INT AS frame_idx
+FROM documents, unnest([0, 2, 4, 6]) AS t(f)
+"""
+
+
+def _q_media_features(spark, sf_dir):
+    # rows-only check: features come from the stubbed numpy decode — not
+    # SQL-expressible; the shape/determinism is pinned in test_multimodal.py
+    from textindexing_spark.functions.multimodal import (
+        image_features, synthesize_media)
+    from pyspark.sql import functions as FF
+
+    media = synthesize_media(_docs(spark, sf_dir), "image")
+    return image_features(media).select(
+        "doc_id", FF.size("feature").alias("dim"))
 
 
 # --- events (change-stream / windowed semantics, batch-checked) --------------
@@ -563,6 +642,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _q_ann_cosine,
     "ann_lsh_buckets": _q_lsh_buckets,
     "ann_lsh_topk": _q_ann_lsh_topk,
+    "dedup_embedding_cosine": _q_emb_cosine_pairs,
+    "media_metadata": _q_media_metadata,
+    "media_frame_sample": _q_media_frames,
+    "media_image_features": _q_media_features,
     "lang_id": _q_lang_id,
     "quality_score": _q_quality,
     "token_counts": _q_token_counts,
@@ -594,6 +677,9 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": _SQL_ANN_COSINE,
     "ann_lsh_buckets": _SQL_LSH_BUCKETS,
     "ann_lsh_topk": _SQL_ANN_LSH_TOPK,
+    "dedup_embedding_cosine": _SQL_EMB_COSINE_PAIRS,
+    "media_metadata": _SQL_MEDIA_METADATA,
+    "media_frame_sample": _SQL_MEDIA_FRAMES,
     "lang_id": _SQL_LANG_ID,
     "quality_score": _SQL_QUALITY,
     "token_counts": _SQL_TOKEN_COUNTS,

@@ -63,3 +63,16 @@ def extract_text_udf():
         return html.map(extract_text)
 
     return _extract
+
+
+def extract_text_column(pages, html_col: str = "html",
+                        text_col: str = "text"):
+    """pages(..., html, text) with text filled from html where null —
+    the already-extracted golden ``text`` is never recomputed (and the
+    UDF only ever runs on rows that need it)."""
+    from pyspark.sql import functions as F
+
+    return pages.withColumn(
+        text_col,
+        F.when(F.col(text_col).isNotNull(), F.col(text_col))
+         .otherwise(extract_text_udf()(F.col(html_col))))

@@ -1,0 +1,277 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+A 100 TB training-data pipeline carries media alongside text. The engine
+treats media exactly like the reference treats document content — an opaque
+payload behind a source abstraction (reference: IDocumentSource.ReadDocumentText,
+Documents/Sources/IDocumentSource.cs:47, opened lazily per doc) — but
+columnar: an Iceberg/parquet table
+
+    media(doc_id BIGINT, kind STRING, payload BINARY,
+          meta STRUCT<width INT, height INT, n_frames INT,
+                      sample_rate INT, codec STRING>)
+
+All Spark-side plumbing here is REAL and tested: schemas, Arrow batch
+shapes, mapInPandas signatures, partitioning. The pixel/sample DECODING is
+stubbed (this container ships no image/audio libs) behind a deterministic
+fake — ``payload`` carries a self-describing header written by
+``synthesize_media`` and each "decoder" parses it; swapping in Pillow/
+ffmpeg is a one-function change (`decode_rgb` / `decode_pcm`), the
+dataflow does not move.
+
+Design for scale: payloads never pass through a shuffle — every operator
+is a narrow mapInPandas/pandas_udf over the scan, so Tungsten only ever
+moves the (small) feature/metadata outputs. Feature extraction yields
+fixed-width ARRAY<FLOAT> columns ready for the ANN operators
+(operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+    ])),
+])
+
+_MAGIC = b"TIXM"  # deterministic fake container format
+_HDR = struct.Struct("<4s4sIIII")  # magic, codec, w, h, n_frames, rate
+
+
+# --- deterministic fake container (stands in for JPEG/WAV/MP4) --------------
+
+def pack_media(codec: str, width: int, height: int, n_frames: int,
+               sample_rate: int, body: bytes) -> bytes:
+    """Write the fake container: header + raw body bytes."""
+    return _HDR.pack(_MAGIC, codec.encode()[:4].ljust(4), width, height,
+                     n_frames, sample_rate) + body
+
+
+def unpack_header(payload: bytes) -> dict | None:
+    """Parse the container header; None for foreign/corrupt payloads."""
+    if payload is None or len(payload) < _HDR.size:
+        return None
+    magic, codec, w, h, nf, sr = _HDR.unpack_from(payload)
+    if magic != _MAGIC:
+        return None
+    return {"codec": codec.rstrip(b"\0 ").decode(), "width": w, "height": h,
+            "n_frames": nf, "sample_rate": sr,
+            "body": payload[_HDR.size:]}
+
+
+def decode_rgb(payload: bytes) -> "np.ndarray":
+    """STUB image decode -> (h, w, 3) uint8. Real impl: Pillow/turbojpeg.
+
+    Deterministic fake: body bytes tile the pixel grid. Raises on foreign
+    payloads exactly like a real decoder would.
+    """
+    hdr = unpack_header(payload)
+    if hdr is None or hdr["codec"] not in ("rgb8", "jpg", "png"):
+        raise NotImplementedError(
+            "real image decoding needs an image lib (Pillow); the "
+            "deterministic TIXM fake is the only in-container codec")
+    w, h = hdr["width"], hdr["height"]
+    body = np.frombuffer(hdr["body"], dtype=np.uint8)
+    need = w * h * 3
+    reps = int(np.ceil(need / max(body.size, 1)))
+    return np.tile(body, reps)[:need].reshape(h, w, 3)
+
+
+def decode_pcm(payload: bytes) -> "np.ndarray":
+    """STUB audio decode -> int16 PCM samples. Real impl: soundfile/ffmpeg."""
+    hdr = unpack_header(payload)
+    if hdr is None or hdr["codec"] not in ("pcm", "wav", "flac"):
+        raise NotImplementedError(
+            "real audio decoding needs an audio lib (soundfile); the "
+            "deterministic TIXM fake is the only in-container codec")
+    return np.frombuffer(hdr["body"], dtype="<i2")
+
+
+# --- synthesis (deterministic; no external data) ----------------------------
+
+def synthesize_media(docs: DataFrame, kind: str = "image",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Derive a deterministic media table from any id-bearing table —
+    payload bytes are a seeded function of doc_id only."""
+    kinds = {"image": ("rgb8", 1), "audio": ("pcm", 0),
+             "video": ("rgb8", 8)}
+    if kind not in kinds:
+        raise ValueError(f"kind must be one of {sorted(kinds)}")
+    codec, frames = kinds[kind]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "kind": [], "payload": [], "meta": []}
+            for doc_id in pdf["_id"].to_numpy():
+                rng = np.random.RandomState((doc_id * 2654435761) % (2**31))
+                if kind == "audio":
+                    sr, w, h, nf = 16000, 0, 0, 0
+                    body = (rng.randint(-3000, 3000, 1600)
+                            .astype("<i2").tobytes())
+                else:
+                    sr = 0
+                    w, h = 8 + int(doc_id) % 24, 8 + int(doc_id) % 16
+                    nf = frames
+                    body = rng.randint(0, 256, 256, dtype=np.int64) \
+                              .astype(np.uint8).tobytes()
+                out["doc_id"].append(int(doc_id))
+                out["kind"].append(kind)
+                out["payload"].append(pack_media(codec, w, h, nf, sr, body))
+                out["meta"].append({"width": w, "height": h, "n_frames": nf,
+                                    "sample_rate": sr, "codec": codec})
+            yield pd.DataFrame(out)
+
+    return (docs.select(F.col(id_col).cast("long").alias("_id"))
+            .mapInPandas(gen, MEDIA_SCHEMA))
+
+
+# --- operators (the real Spark-side plumbing) -------------------------------
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Validate payload headers against the typed meta column; quarantine
+    mismatches (≙ P7 per-doc failure isolation). Pure narrow map."""
+    def check(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "kind": [], "ok": [], "width": [],
+                    "height": [], "n_bytes": []}
+            for doc_id, kind, payload, meta in zip(
+                    pdf["doc_id"], pdf["kind"], pdf["payload"], pdf["meta"]):
+                hdr = unpack_header(bytes(payload) if payload is not None
+                                    else None)
+                rows["doc_id"].append(doc_id)
+                rows["kind"].append(kind)
+                rows["ok"].append(hdr is not None
+                                  and hdr["width"] == meta["width"]
+                                  and hdr["height"] == meta["height"])
+                rows["width"].append(hdr["width"] if hdr else -1)
+                rows["height"].append(hdr["height"] if hdr else -1)
+                rows["n_bytes"].append(len(payload)
+                                       if payload is not None else 0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        check, "doc_id long, kind string, ok boolean, width int, "
+               "height int, n_bytes long")
+
+
+IMAGE_FEATURE_DIM = 12
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """(doc_id, feature ARRAY<FLOAT>) — decode + fixed-width feature
+    vector (channel means/stds + 2x2 spatial means over the fake decode).
+    The batch shape/UDF signature is exactly what a CLIP-style extractor
+    uses; only ``decode_rgb`` is a stub."""
+    def feat(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, feats = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_rgb(bytes(payload)).astype(np.float32)
+                except NotImplementedError:
+                    continue  # quarantine path: undecodable -> dropped
+                h, w, _ = img.shape
+                halves_h, halves_w = max(h // 2, 1), max(w // 2, 1)
+                quads = [img[:halves_h, :halves_w], img[:halves_h, halves_w:],
+                         img[halves_h:, :halves_w], img[halves_h:, halves_w:]]
+                v = np.concatenate([
+                    img.mean(axis=(0, 1)), img.std(axis=(0, 1)),
+                    np.array([q.mean() if q.size else 0.0 for q in quads]),
+                    np.array([float(w), float(h)]),
+                ]).astype(np.float32)
+                ids.append(doc_id)
+                feats.append(v.tolist())
+            yield pd.DataFrame({"doc_id": ids, "feature": feats})
+
+    return media.mapInPandas(feat, "doc_id long, feature array<float>")
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Re-encode every image payload at (width, height) — nearest-neighbor
+    over the fake decode; Pillow's resize slots in here unchanged."""
+    def rs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_rgb(bytes(payload))
+                except NotImplementedError:
+                    continue
+                ys = (np.arange(height) * img.shape[0] // height)
+                xs = (np.arange(width) * img.shape[1] // width)
+                small = img[ys][:, xs]
+                out["doc_id"].append(doc_id)
+                out["payload"].append(pack_media(
+                    "rgb8", width, height, 0, 0, small.tobytes()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(rs, "doc_id long, payload binary")
+
+
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """Video frame sampling: one output row per kept frame index —
+    (doc_id, frame_idx, payload). Frame bytes are sliced from the fake
+    container; ffmpeg seek-decode slots in here."""
+    def fs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                hdr = unpack_header(bytes(payload))
+                if hdr is None or hdr["n_frames"] <= 0:
+                    continue
+                for fi in range(0, hdr["n_frames"], every):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["payload"].append(pack_media(
+                        hdr["codec"], hdr["width"], hdr["height"], 1, 0,
+                        hdr["body"]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fs, "doc_id long, frame_idx int, payload binary")
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """(doc_id, n_samples, rms, peak) over the decoded PCM — the audio
+    analogue of quality_score."""
+    def st(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_samples": [], "rms": [], "peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    pcm = decode_pcm(bytes(payload)).astype(np.float64)
+                except NotImplementedError:
+                    continue
+                rows["doc_id"].append(doc_id)
+                rows["n_samples"].append(pcm.size)
+                rows["rms"].append(
+                    float(np.sqrt((pcm ** 2).mean())) if pcm.size else 0.0)
+                rows["peak"].append(
+                    float(np.abs(pcm).max()) if pcm.size else 0.0)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        st, "doc_id long, n_samples long, rms double, peak double")

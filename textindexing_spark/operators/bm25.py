@@ -37,6 +37,12 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from textindexing_spark.config import IndexConfig
 from textindexing_spark.operators import codec
 
+# per-block skip metadata: (max_tf, min_dl) give the query-time block
+# upper bound idf * partial(max_tf, min_dl) — BM25's tf-term is monotone
+# up in tf and down in dl, so the componentwise extremes bound every
+# posting in the block. Storing the bound's INPUTS instead of a
+# precomputed max_score keeps the build independent of corpus stats
+# (avgdl), which is what lets the fused builder run in a single pass.
 SEGMENT_SCHEMA = T.StructType([
     T.StructField("shard", T.IntegerType()),
     T.StructField("term", T.StringType()),
@@ -49,8 +55,16 @@ SEGMENT_SCHEMA = T.StructType([
         T.StructField("tf_off", T.IntegerType()),
         T.StructField("n", T.IntegerType()),
         T.StructField("max_tf", T.IntegerType()),
-        T.StructField("max_score", T.DoubleType()),
+        T.StructField("min_dl", T.LongType()),
     ]))),
+])
+
+# fused-builder output: segment rows plus ONE summary row per shard
+# (term NULL) carrying the shard's packed document table and stats
+FUSED_SCHEMA = T.StructType(SEGMENT_SCHEMA.fields + [
+    T.StructField("doc_ids", T.BinaryType()),
+    T.StructField("doc_lens", T.BinaryType()),
+    T.StructField("sum_dl", T.LongType()),
 ])
 
 SHARD_DOCS_SCHEMA = T.StructType([
@@ -79,18 +93,55 @@ class SegmentIndex:
         self.avgdl = avgdl
         self.cfg = cfg
 
+    _fused = None  # fused-builder intermediate (persisted), if any
+
     def cache(self) -> "SegmentIndex":
         self.segments = self.segments.cache()
         self.shard_docs = self.shard_docs.cache()
         self.term_stats = self.term_stats.cache()
         return self
 
+    def unpersist(self) -> None:
+        for df in (self.segments, self.shard_docs, self.term_stats,
+                   self._fused):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
     def save(self, path: str) -> None:
-        # physically cluster by shard so a query task reads one file group
+        import json
+        import os
+
+        # physically cluster by shard so a query task reads one file group;
+        # rebind each table to its written parquet as we go so derived
+        # tables (term_stats comes from segments) never re-run the build
         self.segments.repartition("shard").sortWithinPartitions(
             "shard", "term").write.mode("overwrite").parquet(f"{path}/segments")
+        self.segments = self.spark.read.parquet(f"{path}/segments")
         self.shard_docs.write.mode("overwrite").parquet(f"{path}/shard_docs")
+        self.shard_docs = self.spark.read.parquet(f"{path}/shard_docs")
+        self.term_stats = self.segments.groupBy("term").agg(
+            F.sum("n_docs").cast("bigint").alias("df"))
         self.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
+        self.term_stats = self.spark.read.parquet(f"{path}/term_stats")
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/_meta.json", "w") as fh:
+            json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl}, fh)
+
+    @classmethod
+    def load(cls, spark, path: str,
+             cfg: IndexConfig | None = None) -> "SegmentIndex":
+        import json
+
+        with open(f"{path}/_meta.json") as fh:
+            meta = json.load(fh)
+        return cls(spark,
+                   spark.read.parquet(f"{path}/segments"),
+                   spark.read.parquet(f"{path}/shard_docs"),
+                   spark.read.parquet(f"{path}/term_stats"),
+                   meta["n_docs"], meta["avgdl"], cfg or IndexConfig())
 
     # -- query -----------------------------------------------------------
 
@@ -147,7 +198,7 @@ class _TermIter:
     """Lazy block-decoding posting iterator with next_geq skipping."""
 
     __slots__ = ("gaps", "tfs", "blocks", "lasts", "idf", "bi", "pos",
-                 "docs", "tfvals", "done", "global_ub")
+                 "docs", "tfvals", "done", "global_ub", "ubs")
 
     def __init__(self, gaps, tfs, blocks, idf, k1, b, avgdl):
         self.gaps = gaps
@@ -156,7 +207,11 @@ class _TermIter:
         self.lasts = np.array([bl["last_doc"] for bl in blocks],
                               dtype=np.int64)
         self.idf = idf
-        self.global_ub = idf * max(bl["max_score"] for bl in blocks)
+        # block upper bounds from the stored (max_tf, min_dl) extremes
+        max_tf = np.array([bl["max_tf"] for bl in blocks], dtype=np.float64)
+        min_dl = np.array([bl["min_dl"] for bl in blocks], dtype=np.float64)
+        self.ubs = idf * _bm25_partial(max_tf, min_dl, k1, b, avgdl)
+        self.global_ub = float(self.ubs.max())
         self.bi = -1
         self.done = False
         self._load(0)
@@ -179,7 +234,7 @@ class _TermIter:
         return int(self.tfvals[self.pos])
 
     def block_ub(self) -> float:
-        return self.idf * self.blocks[self.bi]["max_score"]
+        return float(self.ubs[self.bi])
 
     def block_last(self) -> int:
         return int(self.lasts[self.bi])
@@ -290,14 +345,26 @@ def build_segments(spark, tokens: DataFrame, documents: DataFrame,
                    cfg: IndexConfig | None = None,
                    n_shards: int = 8) -> SegmentIndex:
     """tokens(doc_id, term, tf) + documents(doc_id, doc_len) ->
-    SegmentIndex. One shuffle on (shard, term) builds sorted posting
-    arrays JVM-side; an Arrow-batched mapInPandas pass encodes varbyte
-    blocks + block-max metadata (numpy, no per-value Python)."""
+    SegmentIndex.
+
+    ONE shuffle, keyed by doc shard; everything after the exchange is
+    numpy inside applyInPandas: per shard, lexsort (term, doc_id), find
+    term runs, varbyte-encode each run. Flat columns cross the shuffle —
+    deliberately NO JVM-side collect_list/sort_array of posting arrays:
+    millions of medium-size array allocations across many executor
+    threads stall the JVM allocator/GC (measured 3.5x slowdown from 8 to
+    32 local cores), while Arrow hands the same data to numpy as flat
+    columnar buffers.
+
+    Scale: one task per shard; pick n_shards so a shard's token rows fit
+    a task (~10-100 MB each). Shard sizes are uniform by construction
+    (pmod over dense doc ids), so no salting is needed here — a head
+    term's postings are already spread over ALL shards.
+    """
     from textindexing_spark._pkg import ensure_shipped
 
     ensure_shipped(spark)
     cfg = cfg or IndexConfig()
-    k1, b = cfg.bm25.k1, cfg.bm25.b
     row = documents.agg(F.count("*").alias("n"),
                         F.avg("doc_len").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
@@ -307,70 +374,192 @@ def build_segments(spark, tokens: DataFrame, documents: DataFrame,
                .withColumn("shard",
                            F.pmod(F.col("doc_id"), F.lit(n_shards))
                             .cast("int")))
-    grouped = (with_dl.groupBy("shard", "term")
-               .agg(F.sort_array(F.collect_list(
-                        F.struct("doc_id", "tf", "doc_len"))).alias("plist")))
 
-    def encode(batches):
+    def encode_shard(pdf):
         import pandas as pd
 
-        for pdf in batches:
-            rows = {"shard": [], "term": [], "n_docs": [], "gaps": [],
-                    "tfs": [], "blocks": []}
-            for shard, term, plist in zip(pdf["shard"], pdf["term"],
-                                          pdf["plist"]):
-                docs = np.fromiter((p["doc_id"] for p in plist),
-                                   dtype=np.int64, count=len(plist))
-                tfs = np.fromiter((p["tf"] for p in plist),
-                                  dtype=np.int64, count=len(plist))
-                dls = np.fromiter((p["doc_len"] for p in plist),
-                                  dtype=np.float64, count=len(plist))
-                gb, tb, blocks = codec.encode_postings(docs, tfs, block_size)
-                partial = _bm25_partial(tfs.astype(np.float64), dls,
-                                        k1, b, avgdl)
-                for i, bl in enumerate(blocks):
-                    s, e = i * block_size, i * block_size + bl["n"]
-                    bl["max_score"] = float(partial[s:e].max())
-                rows["shard"].append(shard)
-                rows["term"].append(term)
-                rows["n_docs"].append(len(plist))
-                rows["gaps"].append(gb)
-                rows["tfs"].append(tb)
-                rows["blocks"].append(blocks)
-            yield pd.DataFrame(rows)
+        shard = int(pdf["shard"].iloc[0])
+        doc = pdf["doc_id"].to_numpy(np.int64)
+        tf = pdf["tf"].to_numpy(np.int64)
+        dl = pdf["doc_len"].to_numpy(np.int64)
+        codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
+        order = np.lexsort((doc, codes))
+        doc, tf, dl, codes = doc[order], tf[order], dl[order], codes[order]
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        bounds = np.append(starts, codes.size)
+        rows = {"shard": [], "term": [], "n_docs": [], "gaps": [],
+                "tfs": [], "blocks": []}
+        for i in range(starts.size):
+            s, e = bounds[i], bounds[i + 1]
+            gb, tb, blocks = codec.encode_postings(doc[s:e], tf[s:e],
+                                                   block_size, dl[s:e])
+            rows["shard"].append(shard)
+            rows["term"].append(uniq_terms[codes[s]])
+            rows["n_docs"].append(int(e - s))
+            rows["gaps"].append(gb)
+            rows["tfs"].append(tb)
+            rows["blocks"].append(blocks)
+        return pd.DataFrame(rows)
 
-    segments = grouped.mapInPandas(encode, SEGMENT_SCHEMA)
+    segments = (with_dl.groupBy("shard")
+                .applyInPandas(encode_shard, SEGMENT_SCHEMA))
 
-    def encode_docs(batches):
+    def encode_shard_docs(pdf):
         import pandas as pd
 
-        for pdf in batches:
-            rows = {"shard": [], "doc_ids": [], "doc_lens": [], "n": []}
-            for shard, plist in zip(pdf["shard"], pdf["dlist"]):
-                ids = np.fromiter((p["doc_id"] for p in plist),
-                                  dtype=np.int64, count=len(plist))
-                lens = np.fromiter((p["doc_len"] for p in plist),
-                                   dtype=np.int64, count=len(plist))
-                rows["shard"].append(shard)
-                rows["doc_ids"].append(
-                    codec.varbyte_encode(ids).tobytes())
-                rows["doc_lens"].append(
-                    codec.varbyte_encode(lens).tobytes())
-                rows["n"].append(len(plist))
-            yield pd.DataFrame(rows)
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        lens = pdf["doc_len"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "shard": [int(pdf["shard"].iloc[0])],
+            "doc_ids": [codec.varbyte_encode(ids).tobytes()],
+            "doc_lens": [codec.varbyte_encode(lens).tobytes()],
+            "n": [ids.size],
+        })
 
     shard_docs = (documents
                   .withColumn("shard",
                               F.pmod(F.col("doc_id"), F.lit(n_shards))
                                .cast("int"))
                   .groupBy("shard")
-                  .agg(F.sort_array(F.collect_list(
-                           F.struct("doc_id", "doc_len"))).alias("dlist"))
-                  .mapInPandas(encode_docs, SHARD_DOCS_SCHEMA))
+                  .applyInPandas(encode_shard_docs, SHARD_DOCS_SCHEMA))
 
     term_stats = tokens.groupBy("term").agg(F.count("*").alias("df"))
     return SegmentIndex(spark, segments, shard_docs, term_stats,
                         n_docs, avgdl, cfg)
+
+
+def build_segments_from_docs(spark, docs: DataFrame,
+                             cfg: IndexConfig | None = None,
+                             n_shards: int = 8,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> SegmentIndex:
+    """docs(doc_id, text) -> SegmentIndex in ONE shuffle and ONE pass.
+
+    The fused scale path: raw documents (not token rows) shuffle to their
+    shard, and ONE Python task per shard tokenizes, counts tf, and
+    varbyte-encodes its whole shard — token strings never cross the wire
+    (for web text the token stream is ~2-3x the raw text bytes), no
+    intermediate token table is persisted, and no separate corpus-stats
+    pass runs: each shard task also emits one SUMMARY row (term NULL)
+    carrying the shard's packed document table (doc_ids/doc_lens blobs)
+    and doc-length sum, from which N and avgdl are aggregated. The
+    per-block skip bound stores (max_tf, min_dl) — inputs, not scores —
+    precisely so encoding never needs avgdl.
+
+    Shard identity: rows reach partition pmod(murmur3(doc_id), n_shards)
+    (Spark's HashPartitioning), read in-task via TaskContext.partitionId().
+
+    Scale: one task per shard; pick n_shards so a shard's documents fit a
+    task. Head-term skew is structurally bounded — a stopword's postings
+    split across every doc shard.
+    """
+    from pyspark import StorageLevel
+
+    from textindexing_spark._pkg import ensure_shipped
+    from textindexing_spark.functions.tokenize import tokenize_series
+
+    ensure_shipped(spark)
+    cfg = cfg or IndexConfig()
+    block_size = cfg.block_size
+    tokenizer, fold = cfg.tokenizer, cfg.case_insensitive
+
+    def encode_partition(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        shard = TaskContext.get().partitionId()
+        vocab: dict[str, int] = {}
+        d_ids: list[int] = []
+        d_lens: list[int] = []
+        p_doc: list[np.ndarray] = []
+        p_code: list[np.ndarray] = []
+        p_tf: list[np.ndarray] = []
+        for pdf in batches:
+            tok_lists = tokenize_series(pdf[text_col], tokenizer, fold)
+            for doc_id, toks in zip(pdf[id_col].to_numpy(), tok_lists):
+                if not toks:
+                    continue  # empty doc: never indexed (SURVEY 1.4.2)
+                counts: dict[str, int] = {}
+                for t in toks:
+                    counts[t] = counts.get(t, 0) + 1
+                d_ids.append(int(doc_id))
+                d_lens.append(len(toks))
+                codes = np.fromiter(
+                    (vocab.setdefault(t, len(vocab)) for t in counts),
+                    dtype=np.int64, count=len(counts))
+                p_doc.append(np.full(len(counts), doc_id, dtype=np.int64))
+                p_code.append(codes)
+                p_tf.append(np.fromiter(counts.values(), dtype=np.int64,
+                                        count=len(counts)))
+        if not d_ids:
+            return  # empty shard: contribute no batches at all
+        doc = np.concatenate(p_doc)
+        code = np.concatenate(p_code)
+        tf = np.concatenate(p_tf)
+        terms = np.array(list(vocab.keys()), dtype=object)
+        d_ids_a = np.array(d_ids, dtype=np.int64)
+        d_lens_a = np.array(d_lens, dtype=np.int64)
+        d_order = np.argsort(d_ids_a)
+        d_ids_a, d_lens_a = d_ids_a[d_order], d_lens_a[d_order]
+        order = np.lexsort((doc, code))
+        doc, code, tf = doc[order], code[order], tf[order]
+        dl = d_lens_a[np.searchsorted(d_ids_a, doc)]
+        starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
+        bounds = np.append(starts, code.size)
+        rows = {"shard": [], "term": [], "n_docs": [], "gaps": [],
+                "tfs": [], "blocks": [], "doc_ids": [], "doc_lens": [],
+                "sum_dl": []}
+        for i in range(starts.size):
+            s, e = bounds[i], bounds[i + 1]
+            gb, tb, blocks = codec.encode_postings(doc[s:e], tf[s:e],
+                                                   block_size, dl[s:e])
+            rows["shard"].append(shard)
+            rows["term"].append(terms[code[s]])
+            rows["n_docs"].append(int(e - s))
+            rows["gaps"].append(gb)
+            rows["tfs"].append(tb)
+            rows["blocks"].append(blocks)
+            rows["doc_ids"].append(None)
+            rows["doc_lens"].append(None)
+            rows["sum_dl"].append(None)
+        # shard summary row: packed doc table + stats (term NULL)
+        rows["shard"].append(shard)
+        rows["term"].append(None)
+        rows["n_docs"].append(len(d_ids_a))
+        rows["gaps"].append(None)
+        rows["tfs"].append(None)
+        rows["blocks"].append(None)
+        rows["doc_ids"].append(codec.varbyte_encode(d_ids_a).tobytes())
+        rows["doc_lens"].append(codec.varbyte_encode(d_lens_a).tobytes())
+        rows["sum_dl"].append(int(d_lens_a.sum()))
+        yield pd.DataFrame(rows)
+
+    fused = (docs.select(F.col(id_col).alias(id_col),
+                         F.col(text_col).alias(text_col))
+             .repartition(n_shards, id_col)
+             .mapInPandas(encode_partition, FUSED_SCHEMA)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+
+    seg_cols = [f.name for f in SEGMENT_SCHEMA.fields]
+    segments = fused.where(F.col("term").isNotNull()).select(*seg_cols)
+    shard_docs = (fused.where(F.col("term").isNull())
+                  .select("shard", "doc_ids", "doc_lens",
+                          F.col("n_docs").cast("int").alias("n")))
+    stats = (fused.where(F.col("term").isNull())
+             .agg(F.sum("n_docs").alias("n"),
+                  F.sum("sum_dl").alias("sdl")).collect()[0])
+    n_docs = int(stats["n"] or 0)
+    avgdl = float(stats["sdl"] / n_docs) if n_docs else 0.0
+
+    # global document frequency, derived from the segments themselves:
+    # a term's df is the sum of its per-shard posting counts
+    term_stats = segments.groupBy("term").agg(
+        F.sum("n_docs").cast("bigint").alias("df"))
+    idx = SegmentIndex(spark, segments, shard_docs, term_stats,
+                       n_docs, avgdl, cfg)
+    idx._fused = fused  # handle for unpersist
+    return idx
 
 
 def segment_index_from(idx, n_shards: int = 8) -> SegmentIndex:

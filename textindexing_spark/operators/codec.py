@@ -83,9 +83,12 @@ def varbyte_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
 # --- posting-list blocks -----------------------------------------------------
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
-                    block_size: int = BLOCK_SIZE):
+                    block_size: int = BLOCK_SIZE,
+                    doc_lens: np.ndarray | None = None):
     """Encode one term's postings (doc_ids strictly increasing).
 
+    ``doc_lens`` (aligned with doc_ids) feeds the per-block ``min_dl``
+    skip bound; without it min_dl falls back to 1 (a valid, looser bound).
     Returns (gaps_blob: bytes, tfs_blob: bytes, blocks: list[dict]).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
@@ -110,6 +113,8 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
             "tf_off": tf_off,
             "n": e - s,
             "max_tf": int(tfs[s:e].max()),
+            "min_dl": int(doc_lens[s:e].min()) if doc_lens is not None
+                      else 1,
         })
         gap_parts.append(gb)
         tf_parts.append(tb)

@@ -8,8 +8,9 @@ path — so each operator scales with partitioning alone:
 - n-gram Jaccard: shingle explode -> self-equi-join on shingle -> group —
                   the join is the quadratic-avoiding trick (only pairs that
                   SHARE a shingle are generated);
-- MinHash + LSH:  k md5-salted min-hashes -> banded signatures -> bucket
-                  join, the standard sub-quadratic candidate generation;
+- MinHash + LSH:  k md5-salted min-hashes (zero-shuffle per-row array_min)
+                  -> banded keys -> bucket groupBy emitting in-bucket pairs,
+                  the standard sub-quadratic candidate generation;
 - SimHash:        bitwise majority over token digests, groupBy doc.
 
 JVM tokenization uses the same [\\p{L}\\p{Nd}]+ class as the engine's
@@ -18,8 +19,6 @@ Python tokenizer remains the byte-exactness reference.
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -40,17 +39,25 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                  F.count("*").alias("n_dups")))
 
 
-def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, sh)."""
+def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, shs ARRAY<STRING>) — the DISTINCT word n-gram shingles of
+    each doc, computed entirely per-row (array_distinct instead of a
+    post-explode distinct: saves a full shuffle of the shingle stream)."""
     idx = ", ".join(f"ts[i+{j}]" for j in range(n))
-    expr = (f"transform(sequence(0, size(ts)-{n}), "
-            f"i -> concat_ws(' ', {idx}))")
+    expr = (f"array_distinct(transform(sequence(0, size(ts)-{n}), "
+            f"i -> concat_ws(' ', {idx})))")
     return (docs.select(F.col(id_col).alias("doc_id"),
                         tokens_col(text_col).alias("ts"))
             .where(F.size("ts") >= n)
-            .select("doc_id", F.explode(F.expr(expr)).alias("sh"))
-            .distinct())
+            .select("doc_id", F.expr(expr).alias("shs")))
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, sh)."""
+    return shingle_arrays(docs, n, id_col, text_col).select(
+        "doc_id", F.explode("shs").alias("sh"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
@@ -59,7 +66,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     Jaccard >= threshold. The shingle self-join only materializes pairs
     sharing >=1 shingle — at web scale, run it AFTER MinHash-LSH banding
     (lsh_candidate_pairs) to bound the candidate set."""
-    sh = shingles(docs, n)
+    # the .distinct() is a logical no-op (shingles are per-doc distinct
+    # already) but materializes ONE shared exchange that every consumer
+    # below — both self-join sides and the sizes agg — reuses
+    # (ReusedExchange), so tokenization+shingling runs once, not 4x
+    sh = shingles(docs, n).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("a"), "sh")
     b = sh.select(F.col("doc_id").alias("b"), "sh")
@@ -80,35 +91,49 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8,
                        n: int = 3) -> DataFrame:
     """(doc_id, h0..h{k-1}) — h_s = min over shingles of md5(s || ':' || sh).
     md5-as-hash keeps the signature engine-portable (same values in any
-    SQL dialect), which the oracle parity check exploits."""
-    sh = shingles(docs, n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
+    SQL dialect), which the oracle parity check exploits.
+
+    Zero-shuffle: each signature column is array_min over a per-row
+    transform of the doc's shingle array — no explode, no aggregation."""
+    sh = shingle_arrays(docs, n)
+    cols = [
+        F.array_min(F.expr(
+            f"transform(shs, x -> md5(concat('{s}:', x)))")).alias(f"h{s}")
         for s in range(num_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8,
                         band_size: int = 2, n: int = 3) -> DataFrame:
     """MinHash-LSH candidate pairs (a, b), a < b: docs whose signatures
-    agree on at least one band. Sub-quadratic: one shuffle per band union +
-    a bucket self-join."""
+    agree on at least one band.
+
+    Sub-quadratic and single-pass: band keys come from ONE posexplode over
+    the signature row (the naive per-band union recomputes the whole
+    minhash pipeline once per band), buckets form with one shuffle, and
+    pairs are generated per-bucket from the sorted member array (no
+    self-join — a self-join executes the upstream twice). A pathological
+    bucket (every near-empty doc hashing alike) is quadratic under ANY LSH
+    formulation; at web scale cap it upstream by banding wider or
+    pre-filtering ultra-short docs."""
     sig = minhash_signatures(docs, num_hashes, n)
     n_bands = num_hashes // band_size
-    bands = [
-        sig.select(
-            "doc_id", F.lit(bi).alias("band"),
-            F.concat_ws("|", *[F.col(f"h{bi * band_size + j}")
-                               for j in range(band_size)]).alias("key"))
+    band_arr = F.array(*[
+        F.concat_ws("|", *[F.col(f"h{bi * band_size + j}")
+                           for j in range(band_size)])
         for bi in range(n_bands)
-    ]
-    allb = reduce(DataFrame.unionByName, bands)
-    l = allb.select(F.col("doc_id").alias("a"), "band", "key")
-    r = allb.select(F.col("doc_id").alias("b"), "band", "key")
-    return (l.join(r, ["band", "key"])
-            .where(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+    ])
+    keys = sig.select("doc_id", F.posexplode(band_arr).alias("band", "key"))
+    buckets = (keys.groupBy("band", "key")
+               .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+               .where(F.size("ds") > 1))
+    pairs_expr = (
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), "
+        "y -> struct(x AS a, y AS b))))")
+    return (buckets.select(F.explode(F.expr(pairs_expr)).alias("p"))
+            .select("p.a", "p.b").distinct())
 
 
 def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",

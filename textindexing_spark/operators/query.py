@@ -113,17 +113,32 @@ class Index:
         each wildcard token is an OR-union over its matched words (B3,
         README.md:44-46); result ordered by doc_id asc (B5 orders by Id,
         IndexerViewModel.cs:93). Empty query -> empty result (:76-80)."""
-        tokens = [t for t in (query_text or "").split(" ") if t]
+        # dedup query tokens: AND-ing the same term twice == once
+        tokens = list(dict.fromkeys(
+            self._fold(t) for t in (query_text or "").split(" ") if t))
         if not tokens:
             return self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
-        per_token = [
+        # all exact tokens share ONE isin scan (qi = the term itself —
+        # exact tokens are distinct terms); each wildcard token needs its
+        # own scan because one qi may match many dictionary words
+        exacts = [t for t in tokens if not (t.startswith("*")
+                                            or t.endswith("*"))]
+        wilds = [t for t in tokens if t.startswith("*") or t.endswith("*")]
+        per_scan = []
+        if exacts:
+            per_scan.append(
+                self.postings.where(F.col("term").isin(exacts))
+                    .select(F.col("term").alias("qi"),
+                            F.explode("postings").alias("p"))
+                    .select("qi", F.col("p.doc_id").alias("doc_id")))
+        per_scan.extend(
             self.postings.where(self._route(tok))
-                .select(F.lit(i).alias("qi"),
+                .select(F.lit(tok).alias("qi"),
                         F.explode("postings").alias("p"))
                 .select("qi", F.col("p.doc_id").alias("doc_id"))
-            for i, tok in enumerate(tokens)
-        ]
-        matched = reduce(DataFrame.unionByName, per_token)
+            for tok in wilds
+        )
+        matched = reduce(DataFrame.unionByName, per_scan)
         # B3 union-distinct within a token + B4 intersection across tokens
         # in one aggregation: a doc qualifies iff it matched every qi.
         return (matched.groupBy("doc_id")

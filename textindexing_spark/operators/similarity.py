@@ -61,6 +61,30 @@ def lsh_sign_buckets(embeddings: DataFrame,
                 lambda s: s["bit"])).alias("bucket")))
 
 
+def embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
+                           anchor_ids: tuple[int, ...] = (1, 2, 3),
+                           round_to: int = 4) -> DataFrame:
+    """Embedding-based near-duplicate pairs (a, b, cos_sim), a < b, with
+    cosine >= threshold — the embedding twin of MinHash-LSH dedup
+    (operators/dedup.py). Sub-quadratic: exact cosine runs only inside
+    sign-LSH buckets (docs in different buckets are never compared, the
+    standard recall/cost trade; more anchors => smaller buckets)."""
+    buckets = lsh_sign_buckets(embeddings, anchor_ids)
+    e = embeddings.join(buckets, "vec_id")
+    norm = F.sqrt(F.expr(DOT.format(a="embedding", b="embedding")))
+    a = e.select(F.col("bucket"), F.col("vec_id").alias("a"),
+                 F.col("embedding").alias("ea"), norm.alias("na"))
+    b = e.select(F.col("bucket"), F.col("vec_id").alias("b"),
+                 F.col("embedding").alias("eb"), norm.alias("nb"))
+    dot = F.expr(DOT.format(a="ea", b="eb"))
+    return (a.join(b, "bucket")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b",
+                    F.round(dot / (F.col("na") * F.col("nb")), round_to)
+                     .alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold))
+
+
 def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
              anchor_ids: tuple[int, ...] = (1, 2, 3),
              round_to: int = 4) -> DataFrame:
