@@ -26,7 +26,7 @@ if REPO not in sys.path:
 def make_spark(cpus: str):
     from pyspark.sql import SparkSession
 
-    return (
+    builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("textindexing-bench")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 4)))
@@ -35,10 +35,17 @@ def make_spark(cpus: str):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # cap JVM background thread pools — at local[32] the default GC/
+        # compiler thread counts oversubscribe the box (see BENCH.md)
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 "
+                "-XX:CICompilerCount=4")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
     )
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config("spark.local.dir", "/dev/shm/tix-spark")
+    return builder.getOrCreate()
 
 
 def main() -> None:
@@ -95,7 +102,32 @@ def main() -> None:
                 lat.append(time.perf_counter() - t0)
     timed("bm25_queries", run_bm25)
 
-    # q4-q8: training-pipeline operators
+    # q4: SCALE path — fused one-shuffle compressed segment build
+    # (the pipeline a 100 TB run uses; see operators/bm25.py) + WAND
+    import shutil
+    import tempfile
+
+    from textindexing_spark.operators.bm25 import (
+        SegmentIndex, build_segments_from_docs)
+
+    seg_dir = tempfile.mkdtemp(prefix="tix_bench_seg_")
+    seg = timed("fused_segment_build", lambda: (
+        lambda s: (s.save(seg_dir), s)[1]
+    )(build_segments_from_docs(spark, docs, IndexConfig(), n_shards=64)))
+    seg = SegmentIndex.load(spark, seg_dir)
+
+    wand_lat: list[float] = []
+
+    def run_wand():
+        for q in qset:
+            if q["mode"] == "bm25":
+                t0 = time.perf_counter()
+                seg.search_bm25(q["query_text"], q["k"]).collect()
+                wand_lat.append(time.perf_counter() - t0)
+    timed("wand_queries", run_wand)
+    shutil.rmtree(seg_dir, ignore_errors=True)
+
+    # q5+: training-pipeline operators
     timed("dedup_lsh_candidates",
           lambda: lsh_candidate_pairs(docs).count())
     timed("dedup_ngram_jaccard",
@@ -116,7 +148,11 @@ def main() -> None:
         "extras": {
             "n_docs": n_docs,
             "build_docs_per_sec": round(n_docs / build_s, 2) if build_s else None,
+            "fused_build_docs_per_sec": round(
+                n_docs / timings["fused_segment_build"], 2),
             "bm25_p50_ms": round(statistics.median(lat) * 1000, 2) if lat else None,
+            "wand_p50_ms": round(statistics.median(wand_lat) * 1000, 2)
+                           if wand_lat else None,
             "bm25_n_queries": len(lat),
             "cpus": cpus,
         },
