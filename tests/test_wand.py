@@ -102,6 +102,26 @@ def test_fused_builder_stats_match(idx, seg_fused):
     assert seg_shards == doc_shards
 
 
+def test_negative_doc_ids_roundtrip(spark, corpus):
+    """Streaming ingest derives doc_id = xxhash64(url), which can be
+    NEGATIVE; the varbyte gap codec must stay exact (it is — encoding is
+    mod-2^64 consistent through the cumsum) and WAND must rank them."""
+    from textindexing_spark.operators.bm25 import build_segments_from_docs
+
+    neg = [(i - 150, t) for i, t in corpus]  # half the ids negative
+    docs = spark.createDataFrame(neg, "doc_id bigint, text string")
+    idx_neg = build_index(spark, docs, IndexConfig(block_size=16))
+    seg_neg = build_segments_from_docs(
+        spark, docs, IndexConfig(block_size=16), n_shards=4)
+    for q in ("word1 word7", "word2 word3 word11"):
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             idx_neg.search_bm25(q, 10).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             seg_neg.search_bm25(q, 10).collect()]
+        assert a == b, q
+        assert any(d < 0 for d, _ in a)
+
+
 def test_segment_roundtrip_save_load(spark, seg, tmp_path):
     path = str(tmp_path / "segidx")
     seg.save(path)

@@ -484,6 +484,86 @@ FROM tok WHERE len(ts) > 0
 """
 
 
+# --- Q3 / S6 / P5: predicate scan, glob source filter, pluggable tokenizer ---
+
+def _q_predicate_scan(spark, sf_dir):
+    # Q3 GetWordsMatching (ImmutableIndex.cs:73-82): arbitrary predicate
+    # over the dictionary — here "exactly four lowercase letters"
+    idx = _index(spark, sf_dir)
+    return (idx.matching("term rlike '^[a-z]{4}$'")
+            .select("term", "df"))
+
+
+_SQL_PREDICATE_SCAN = f"""
+WITH tf AS ({_TF})
+SELECT term, count(*)::BIGINT AS df FROM tf
+WHERE regexp_matches(term, '^[a-z]{{4}}$')
+GROUP BY term
+"""
+
+
+def _q_glob_filter(spark, sf_dir):
+    # S6 SearchPattern glob -> anchored case-insensitive regex
+    # (SearchPattern.cs:39-67) as a Catalyst rlike over a string column
+    from textindexing_spark.sources.glob import glob_filter
+
+    return glob_filter(_docs(spark, sf_dir), "source", "src1*") \
+        .select("doc_id", "source")
+
+
+_SQL_GLOB_FILTER = """
+SELECT doc_id, source FROM documents WHERE lower(source) LIKE 'src1%'
+"""
+
+
+def _q_regex_tokenizer(spark, sf_dir):
+    # P5 RegexLineParser (RegexLineParser.cs:18,40-45): user-regex
+    # tokenizer plugged through IndexConfig (≙ IndexerCreationOptions)
+    from textindexing_spark.operators.build import tokenize_documents
+
+    cfg = IndexConfig(tokenizer="regex:[A-Za-z0-9_]+")
+    toks = tokenize_documents(_docs(spark, sf_dir), cfg)
+    return toks.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct_terms"))
+
+
+_SQL_REGEX_TOKENIZER = """
+WITH t AS (SELECT doc_id,
+                  unnest(list_transform(
+                      regexp_extract_all(text, '[A-Za-z0-9_]+'),
+                      x -> lower(x))) AS term
+           FROM documents)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT term)::BIGINT AS n_distinct_terms
+FROM t GROUP BY doc_id
+"""
+
+
+def _q_punct_tokenizer(spark, sf_dir):
+    # P4 PunctuationSplittingLineParser (PunctuationSplittingLineParser.cs:
+    # 11-26): word char = NOT(punctuation OR whitespace) — keeps '$', '='
+    from textindexing_spark.operators.build import tokenize_documents
+
+    cfg = IndexConfig(tokenizer="punctuation")
+    toks = tokenize_documents(_docs(spark, sf_dir), cfg)
+    return toks.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct_terms"))
+
+
+_SQL_PUNCT_TOKENIZER = r"""
+WITH t AS (SELECT doc_id,
+                  unnest(list_transform(
+                      regexp_extract_all(text, '[^\pP\s]+'),
+                      x -> lower(x))) AS term
+           FROM documents)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       count(DISTINCT term)::BIGINT AS n_distinct_terms
+FROM t GROUP BY doc_id
+"""
+
+
 # --- multimodal columns (functions/multimodal.py) ----------------------------
 # synthesize_media derives payload + meta deterministically from doc_id, so
 # the header-validation path has an exact SQL oracle over doc_id alone.
@@ -643,6 +723,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_buckets": _q_lsh_buckets,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "dedup_embedding_cosine": _q_emb_cosine_pairs,
+    "predicate_scan": _q_predicate_scan,
+    "glob_url_filter": _q_glob_filter,
+    "regex_tokenizer_counts": _q_regex_tokenizer,
+    "punct_tokenizer_counts": _q_punct_tokenizer,
     "media_metadata": _q_media_metadata,
     "media_frame_sample": _q_media_frames,
     "media_image_features": _q_media_features,
@@ -678,6 +762,10 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_buckets": _SQL_LSH_BUCKETS,
     "ann_lsh_topk": _SQL_ANN_LSH_TOPK,
     "dedup_embedding_cosine": _SQL_EMB_COSINE_PAIRS,
+    "predicate_scan": _SQL_PREDICATE_SCAN,
+    "glob_url_filter": _SQL_GLOB_FILTER,
+    "regex_tokenizer_counts": _SQL_REGEX_TOKENIZER,
+    "punct_tokenizer_counts": _SQL_PUNCT_TOKENIZER,
     "media_metadata": _SQL_MEDIA_METADATA,
     "media_frame_sample": _SQL_MEDIA_FRAMES,
     "lang_id": _SQL_LANG_ID,
