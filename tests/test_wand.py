@@ -122,6 +122,53 @@ def test_negative_doc_ids_roundtrip(spark, corpus):
         assert any(d < 0 for d, _ in a)
 
 
+def test_segment_upsert_equals_rebuild(spark, corpus):
+    """Incremental shard-local upsert must equal a bulk rebuild of the
+    final corpus state — the reference's cross-engine equivalence gate
+    (SURVEY 5.1) applied to the compressed segment index. Covers
+    replacement (changed text), insertion (new doc), and empty-merge
+    deletion."""
+    from textindexing_spark.operators.bm25 import build_segments_from_docs
+
+    cfg = IndexConfig(block_size=16)
+    base_rows = corpus[:200]
+    base = build_segments_from_docs(
+        spark, spark.createDataFrame(base_rows, "doc_id bigint, text string"),
+        cfg, n_shards=4)
+
+    # delta: re-crawl docs 0-49 with doc 10's text, add docs 300-319,
+    # delete docs 50-59 via empty text
+    delta_rows = (
+        [(i, base_rows[10][1]) for i in range(50)]
+        + [(300 + j, base_rows[j][1]) for j in range(20)]
+        + [(50 + j, "") for j in range(10)]
+    )
+    delta = spark.createDataFrame(delta_rows, "doc_id bigint, text string")
+    upserted = base.upsert(delta)
+
+    final_state = dict(base_rows)
+    for d, t in delta_rows:
+        final_state[d] = t
+    final_rows = [(d, t) for d, t in sorted(final_state.items()) if t]
+    rebuilt = build_segments_from_docs(
+        spark, spark.createDataFrame(final_rows, "doc_id bigint, text string"),
+        cfg, n_shards=4)
+
+    assert upserted.n_docs == rebuilt.n_docs == len(final_rows)
+    assert upserted.avgdl == pytest.approx(rebuilt.avgdl, rel=1e-12)
+    ts_a = {(r["term"], r["df"]) for r in upserted.term_stats.collect()}
+    ts_b = {(r["term"], r["df"]) for r in rebuilt.term_stats.collect()}
+    assert ts_a == ts_b
+    for q in ("word1 word7", "word2 word3 word11", "word0"):
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             upserted.search_bm25(q, 10).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             rebuilt.search_bm25(q, 10).collect()]
+        assert a == b, q
+    # snapshot isolation: the base index is unaffected (IndexTests.cs:102-118)
+    assert base.n_docs == sum(1 for _, t in base_rows if t)
+
+
 def test_segment_roundtrip_save_load(spark, seg, tmp_path):
     path = str(tmp_path / "segidx")
     seg.save(path)

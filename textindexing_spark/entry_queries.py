@@ -211,6 +211,52 @@ FROM tf GROUP BY term
 """
 
 
+def _q_segment_upsert_bm25(spark, sf_dir):
+    """A1 merge at the COMPRESSED-segment level (operators/bm25.py
+    SegmentIndex.upsert): shard-local rewrite, untouched shards pass
+    through; then BM25 top-10 over the merged state via block-max WAND.
+    Oracle: plain BM25 SQL over the post-merge corpus."""
+    from textindexing_spark.operators.bm25 import build_segments_from_docs
+
+    docs = _docs(spark, sf_dir)
+    base = build_segments_from_docs(spark, docs, IndexConfig(), n_shards=8)
+    batch = (docs.where("doc_id < 20")
+             .select("doc_id",
+                     F.when(F.col("doc_id") == 3, F.lit(""))
+                      .otherwise(F.concat("text", F.lit(" hash hash merge")))
+                      .alias("text")))
+    merged = base.upsert(batch)
+    return (merged.search_bm25(" ".join(_BM25_TERMS), k=10)
+            .select("doc_id", F.round("score", 4).alias("score")))
+
+
+_SQL_SEGMENT_UPSERT_BM25 = f"""
+WITH corpus AS (
+  SELECT doc_id, CASE WHEN doc_id = 3 THEN ''
+                 ELSE text || ' hash hash merge' END AS text
+  FROM documents WHERE doc_id < 20
+  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         '[\\p{{L}}\\p{{Nd}}]+')) AS term FROM corpus),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(doc_len) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+q AS (SELECT unnest(['hash', 'merge', 'fast']) AS term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (tf.tf * ({_K1} + 1.0))
+             / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.doc_len / stats.avgdl))
+            ) AS score
+  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+       JOIN dl USING (doc_id), stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 # --- dedup -------------------------------------------------------------------
 
 def _q_dedup_exact(spark, sf_dir):
@@ -714,6 +760,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": _q_bm25,
     "delete_predicate": _q_delete_predicate,
     "upsert_merge": _q_upsert_merge,
+    "segment_upsert_bm25": _q_segment_upsert_bm25,
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_minhash_sigs": _q_minhash_sigs,
@@ -753,6 +800,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": _SQL_BM25,
     "delete_predicate": _SQL_DELETE_PREDICATE,
     "upsert_merge": _SQL_UPSERT_MERGE,
+    "segment_upsert_bm25": _SQL_SEGMENT_UPSERT_BM25,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_minhash_sigs": _SQL_MINHASH_SIGS,

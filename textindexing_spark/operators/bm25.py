@@ -84,7 +84,7 @@ class SegmentIndex:
 
     def __init__(self, spark, segments: DataFrame, shard_docs: DataFrame,
                  term_stats: DataFrame, n_docs: int, avgdl: float,
-                 cfg: IndexConfig):
+                 cfg: IndexConfig, n_shards: int | None = None):
         self.spark = spark
         self.segments = segments
         self.shard_docs = shard_docs
@@ -92,6 +92,7 @@ class SegmentIndex:
         self.n_docs = n_docs
         self.avgdl = avgdl
         self.cfg = cfg
+        self.n_shards = n_shards
 
     _fused = None  # fused-builder intermediate (persisted), if any
 
@@ -128,7 +129,8 @@ class SegmentIndex:
         self.term_stats = self.spark.read.parquet(f"{path}/term_stats")
         os.makedirs(path, exist_ok=True)
         with open(f"{path}/_meta.json", "w") as fh:
-            json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl}, fh)
+            json.dump({"n_docs": self.n_docs, "avgdl": self.avgdl,
+                       "n_shards": self.n_shards}, fh)
 
     @classmethod
     def load(cls, spark, path: str,
@@ -141,7 +143,56 @@ class SegmentIndex:
                    spark.read.parquet(f"{path}/segments"),
                    spark.read.parquet(f"{path}/shard_docs"),
                    spark.read.parquet(f"{path}/term_stats"),
-                   meta["n_docs"], meta["avgdl"], cfg or IndexConfig())
+                   meta["n_docs"], meta["avgdl"], cfg or IndexConfig(),
+                   n_shards=meta.get("n_shards"))
+
+    # -- incremental upsert (A1 merge at the compressed-segment level) ----
+
+    def upsert(self, docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> "SegmentIndex":
+        """Merge a batch of documents into a NEW SegmentIndex (self stays
+        a frozen snapshot ≙ ImmutableIndex copy-on-write). Re-crawled docs
+        replace their postings; empty token sets delete (IIndex.cs:116-119,
+        SURVEY 1.4.2).
+
+        Execution: the delta tokenizes+encodes into fused form with the
+        SAME doc-shard hashing as the base index, then a shard-keyed
+        cogroup rewrites ONLY the shards that received delta docs — every
+        untouched shard passes through without even decoding. Doc-sharding
+        makes replacement shard-local: all of a doc's postings live in
+        exactly one shard."""
+        from pyspark import StorageLevel
+
+        if not self.n_shards:
+            raise ValueError("upsert needs n_shards (index built by "
+                             "build_segments_from_docs or loaded with meta)")
+        delta = (docs.select(F.col(id_col).alias(id_col),
+                             F.col(text_col).alias(text_col))
+                 .repartition(self.n_shards, id_col)
+                 .mapInPandas(_fused_encoder(self.cfg, id_col, text_col,
+                                             include_empty_docs=True),
+                              FUSED_SCHEMA))
+        blocks_t = SEGMENT_SCHEMA["blocks"].dataType
+        existing = (self.segments
+                    .withColumn("doc_ids", F.lit(None).cast("binary"))
+                    .withColumn("doc_lens", F.lit(None).cast("binary"))
+                    .withColumn("sum_dl", F.lit(None).cast("long"))
+                    .unionByName(self.shard_docs.select(
+                        "shard",
+                        F.lit(None).cast("string").alias("term"),
+                        F.col("n").cast("long").alias("n_docs"),
+                        F.lit(None).cast("binary").alias("gaps"),
+                        F.lit(None).cast("binary").alias("tfs"),
+                        F.lit(None).cast(blocks_t).alias("blocks"),
+                        "doc_ids", "doc_lens",
+                        F.lit(None).cast("long").alias("sum_dl"))))
+        merged = (existing.groupby("shard")
+                  .cogroup(delta.groupby("shard"))
+                  .applyInPandas(_merge_shard_factory(self.cfg),
+                                 FUSED_SCHEMA)
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        return _index_from_fused(self.spark, merged, self.cfg,
+                                 self.n_shards)
 
     # -- query -----------------------------------------------------------
 
@@ -457,10 +508,125 @@ def build_segments_from_docs(spark, docs: DataFrame,
     from pyspark import StorageLevel
 
     from textindexing_spark._pkg import ensure_shipped
-    from textindexing_spark.functions.tokenize import tokenize_series
 
     ensure_shipped(spark)
     cfg = cfg or IndexConfig()
+    fused = (docs.select(F.col(id_col).alias(id_col),
+                         F.col(text_col).alias(text_col))
+             .repartition(n_shards, id_col)
+             .mapInPandas(_fused_encoder(cfg, id_col, text_col),
+                          FUSED_SCHEMA)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    return _index_from_fused(spark, fused, cfg, n_shards)
+
+
+_FUSED_COLS = [f.name for f in FUSED_SCHEMA.fields]
+
+
+def _merge_shard_factory(cfg: IndexConfig):
+    """cogroup applyInPandas fn: (existing fused rows, delta fused rows)
+    of ONE shard -> merged fused rows. Upsert semantics ≙ the reference's
+    Merge (IIndex.cs:116-119): a delta doc REPLACES its postings entirely;
+    a delta doc with doc_len 0 (empty token set) is DELETED; terms whose
+    posting lists empty out disappear (no empty lists, IIndex.cs:67-69).
+    Untouched shards pass through without decoding."""
+    block_size = cfg.block_size
+
+    def _decode_blob(blob):
+        return codec.varbyte_decode(np.frombuffer(blob, dtype=np.uint8))
+
+    def merge(left, right):
+        import pandas as pd
+
+        if right.empty:
+            return left[_FUSED_COLS]  # shard untouched by this batch
+        shard = int(right["shard"].iloc[0])
+        rsum = right[right["term"].isna()].iloc[0]
+        d_ids_r = _decode_blob(rsum["doc_ids"])
+        d_lens_r = _decode_blob(rsum["doc_lens"])
+        if left.empty:
+            d_ids_l = np.empty(0, dtype=np.int64)
+            d_lens_l = np.empty(0, dtype=np.int64)
+        else:
+            lsum = left[left["term"].isna()].iloc[0]
+            d_ids_l = _decode_blob(lsum["doc_ids"])
+            d_lens_l = _decode_blob(lsum["doc_lens"])
+        keep = ~np.isin(d_ids_l, d_ids_r)
+        alive = d_lens_r > 0
+        ids = np.concatenate([d_ids_l[keep], d_ids_r[alive]])
+        lens = np.concatenate([d_lens_l[keep], d_lens_r[alive]])
+        order = np.argsort(ids)
+        ids, lens = ids[order], lens[order]
+
+        lterms = left[left["term"].notna()] if not left.empty else left
+        rterms = right[right["term"].notna()]
+        rmap = {r["term"]: r for _, r in rterms.iterrows()}
+        rows = {c: [] for c in _FUSED_COLS}
+
+        def emit(term, doc, tf):
+            dl = lens[np.searchsorted(ids, doc)]
+            gb, tb, blocks = codec.encode_postings(doc, tf, block_size, dl)
+            rows["shard"].append(shard)
+            rows["term"].append(term)
+            rows["n_docs"].append(int(doc.size))
+            rows["gaps"].append(gb)
+            rows["tfs"].append(tb)
+            rows["blocks"].append(blocks)
+            rows["doc_ids"].append(None)
+            rows["doc_lens"].append(None)
+            rows["sum_dl"].append(None)
+
+        seen = set()
+        if not left.empty:
+            for _, lrow in lterms.iterrows():
+                term = lrow["term"]
+                seen.add(term)
+                doc_l, tf_l = codec.decode_postings(
+                    bytes(lrow["gaps"]), bytes(lrow["tfs"]),
+                    list(lrow["blocks"]))
+                m = ~np.isin(doc_l, d_ids_r)  # drop replaced/deleted docs
+                doc_l, tf_l = doc_l[m], tf_l[m]
+                rrow = rmap.get(term)
+                if rrow is not None:
+                    doc_r, tf_r = codec.decode_postings(
+                        bytes(rrow["gaps"]), bytes(rrow["tfs"]),
+                        list(rrow["blocks"]))
+                    doc_l = np.concatenate([doc_l, doc_r])
+                    tf_l = np.concatenate([tf_l, tf_r])
+                    o = np.argsort(doc_l)
+                    doc_l, tf_l = doc_l[o], tf_l[o]
+                if doc_l.size:
+                    emit(term, doc_l, tf_l)
+        for term, rrow in rmap.items():
+            if term in seen:
+                continue
+            doc_r, tf_r = codec.decode_postings(
+                bytes(rrow["gaps"]), bytes(rrow["tfs"]),
+                list(rrow["blocks"]))
+            emit(term, doc_r, tf_r)
+
+        rows["shard"].append(shard)
+        rows["term"].append(None)
+        rows["n_docs"].append(int(ids.size))
+        rows["gaps"].append(None)
+        rows["tfs"].append(None)
+        rows["blocks"].append(None)
+        rows["doc_ids"].append(codec.varbyte_encode(ids).tobytes())
+        rows["doc_lens"].append(codec.varbyte_encode(lens).tobytes())
+        rows["sum_dl"].append(int(lens.sum()))
+        return pd.DataFrame(rows)
+
+    return merge
+
+
+def _fused_encoder(cfg: IndexConfig, id_col: str, text_col: str,
+                   include_empty_docs: bool = False):
+    """mapInPandas fn: one doc-shard partition -> FUSED_SCHEMA rows.
+    ``include_empty_docs`` records token-less docs in the summary doc
+    table with doc_len 0 — the delta form upsert needs to express
+    "replace with nothing" (empty merge deletes, SURVEY 1.4.2)."""
+    from textindexing_spark.functions.tokenize import tokenize_series
+
     block_size = cfg.block_size
     tokenizer, fold = cfg.tokenizer, cfg.case_insensitive
 
@@ -479,7 +645,12 @@ def build_segments_from_docs(spark, docs: DataFrame,
             tok_lists = tokenize_series(pdf[text_col], tokenizer, fold)
             for doc_id, toks in zip(pdf[id_col].to_numpy(), tok_lists):
                 if not toks:
-                    continue  # empty doc: never indexed (SURVEY 1.4.2)
+                    # empty doc: never indexed (SURVEY 1.4.2); the delta
+                    # form keeps a dl=0 tombstone so upsert deletes it
+                    if include_empty_docs:
+                        d_ids.append(int(doc_id))
+                        d_lens.append(0)
+                    continue
                 counts: dict[str, int] = {}
                 for t in toks:
                     counts[t] = counts.get(t, 0) + 1
@@ -494,35 +665,36 @@ def build_segments_from_docs(spark, docs: DataFrame,
                                         count=len(counts)))
         if not d_ids:
             return  # empty shard: contribute no batches at all
-        doc = np.concatenate(p_doc)
-        code = np.concatenate(p_code)
-        tf = np.concatenate(p_tf)
         terms = np.array(list(vocab.keys()), dtype=object)
         d_ids_a = np.array(d_ids, dtype=np.int64)
         d_lens_a = np.array(d_lens, dtype=np.int64)
         d_order = np.argsort(d_ids_a)
         d_ids_a, d_lens_a = d_ids_a[d_order], d_lens_a[d_order]
-        order = np.lexsort((doc, code))
-        doc, code, tf = doc[order], code[order], tf[order]
-        dl = d_lens_a[np.searchsorted(d_ids_a, doc)]
-        starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
-        bounds = np.append(starts, code.size)
         rows = {"shard": [], "term": [], "n_docs": [], "gaps": [],
                 "tfs": [], "blocks": [], "doc_ids": [], "doc_lens": [],
                 "sum_dl": []}
-        for i in range(starts.size):
-            s, e = bounds[i], bounds[i + 1]
-            gb, tb, blocks = codec.encode_postings(doc[s:e], tf[s:e],
-                                                   block_size, dl[s:e])
-            rows["shard"].append(shard)
-            rows["term"].append(terms[code[s]])
-            rows["n_docs"].append(int(e - s))
-            rows["gaps"].append(gb)
-            rows["tfs"].append(tb)
-            rows["blocks"].append(blocks)
-            rows["doc_ids"].append(None)
-            rows["doc_lens"].append(None)
-            rows["sum_dl"].append(None)
+        if p_doc:
+            doc = np.concatenate(p_doc)
+            code = np.concatenate(p_code)
+            tf = np.concatenate(p_tf)
+            order = np.lexsort((doc, code))
+            doc, code, tf = doc[order], code[order], tf[order]
+            dl = d_lens_a[np.searchsorted(d_ids_a, doc)]
+            starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
+            bounds = np.append(starts, code.size)
+            for i in range(starts.size):
+                s, e = bounds[i], bounds[i + 1]
+                gb, tb, blocks = codec.encode_postings(
+                    doc[s:e], tf[s:e], block_size, dl[s:e])
+                rows["shard"].append(shard)
+                rows["term"].append(terms[code[s]])
+                rows["n_docs"].append(int(e - s))
+                rows["gaps"].append(gb)
+                rows["tfs"].append(tb)
+                rows["blocks"].append(blocks)
+                rows["doc_ids"].append(None)
+                rows["doc_lens"].append(None)
+                rows["sum_dl"].append(None)
         # shard summary row: packed doc table + stats (term NULL)
         rows["shard"].append(shard)
         rows["term"].append(None)
@@ -535,12 +707,13 @@ def build_segments_from_docs(spark, docs: DataFrame,
         rows["sum_dl"].append(int(d_lens_a.sum()))
         yield pd.DataFrame(rows)
 
-    fused = (docs.select(F.col(id_col).alias(id_col),
-                         F.col(text_col).alias(text_col))
-             .repartition(n_shards, id_col)
-             .mapInPandas(encode_partition, FUSED_SCHEMA)
-             .persist(StorageLevel.MEMORY_AND_DISK))
+    return encode_partition
 
+
+def _index_from_fused(spark, fused: DataFrame, cfg: IndexConfig,
+                      n_shards: int) -> "SegmentIndex":
+    """Split a FUSED_SCHEMA DataFrame into a SegmentIndex (segments,
+    shard doc tables, derived term stats, corpus stats)."""
     seg_cols = [f.name for f in SEGMENT_SCHEMA.fields]
     segments = fused.where(F.col("term").isNotNull()).select(*seg_cols)
     shard_docs = (fused.where(F.col("term").isNull())
@@ -557,7 +730,7 @@ def build_segments_from_docs(spark, docs: DataFrame,
     term_stats = segments.groupBy("term").agg(
         F.sum("n_docs").cast("bigint").alias("df"))
     idx = SegmentIndex(spark, segments, shard_docs, term_stats,
-                       n_docs, avgdl, cfg)
+                       n_docs, avgdl, cfg, n_shards=n_shards)
     idx._fused = fused  # handle for unpersist
     return idx
 
