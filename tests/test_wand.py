@@ -169,6 +169,33 @@ def test_segment_upsert_equals_rebuild(spark, corpus):
     assert base.n_docs == sum(1 for _, t in base_rows if t)
 
 
+def test_segment_store_versions_and_delete(spark, corpus, tmp_path):
+    """VersionedSegmentStore: atomic versioned commits with snapshot
+    isolation (≙ Q5/ImmutableIndex MVCC) over the compressed index;
+    delete_ids drops docs from every posting list shard-locally (A3)."""
+    from textindexing_spark.operators.bm25 import build_segments_from_docs
+    from textindexing_spark.sources.catalog import VersionedSegmentStore
+
+    cfg = IndexConfig(block_size=16)
+    store = VersionedSegmentStore(spark, str(tmp_path / "segstore"), cfg)
+    rows = corpus[:100]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    seg = build_segments_from_docs(spark, docs, cfg, n_shards=4)
+    v1 = store.commit(seg)
+
+    dead = spark.createDataFrame([(i,) for i in range(50)], "doc_id bigint")
+    v2 = store.commit(store.load(v1).delete_ids(dead))
+    assert store.versions() == [v1, v2]
+
+    latest, pinned = store.load(), store.load(v1)
+    n_all = sum(1 for _, t in rows if t)
+    n_kept = sum(1 for d, t in rows if t and d >= 50)
+    assert pinned.n_docs == n_all      # snapshot isolation
+    assert latest.n_docs == n_kept
+    got = {r.doc_id for r in latest.search_bm25("word1 word2", 50).collect()}
+    assert got and all(d >= 50 for d in got)
+
+
 def test_segment_roundtrip_save_load(spark, seg, tmp_path):
     path = str(tmp_path / "segidx")
     seg.save(path)

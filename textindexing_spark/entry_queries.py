@@ -530,6 +530,51 @@ FROM tok WHERE len(ts) > 0
 """
 
 
+# --- S2 / S4: point scan, byte-identical extraction ---------------------------
+
+def _q_point_scan(spark, sf_dir):
+    # S2 SingleFileDocumentSource (SingleFileDocumentSource.cs:56-64):
+    # a source that yields exactly 0 or 1 document — an equality point
+    # scan, pushed to the parquet reader
+    return (_docs(spark, sf_dir).where(F.col("doc_id") == 42)
+            .select("doc_id", "source", "n_chars"))
+
+
+_SQL_POINT_SCAN = """
+SELECT doc_id, source, n_chars FROM documents WHERE doc_id = 42
+"""
+
+
+def _q_extract_roundtrip(spark, sf_dir):
+    """S4 document open/read at web scale: html BINARY -> text extraction
+    must be BYTE-IDENTICAL per url (BASELINE.json input_hint). The query
+    wraps each doc's golden text in the deterministic HTML envelope,
+    extracts it back through the engine's Arrow UDF, and reports the
+    match — the oracle asserts every row matches."""
+    from pyspark.sql import types as T
+
+    from textindexing_spark.functions.extract import extract_text_udf
+    from textindexing_spark.sources.pages import wrap_html
+
+    @F.udf(T.BinaryType())
+    def _wrap(text):
+        return wrap_html(text or "")
+
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select("doc_id", "text", _wrap("text").alias("html"))
+    return (wrapped
+            .select("doc_id",
+                    (extract_text_udf()(F.col("html")) == F.col("text"))
+                    .alias("byte_identical"),
+                    F.length("text").alias("n_chars")))
+
+
+_SQL_EXTRACT_ROUNDTRIP = """
+SELECT doc_id, TRUE AS byte_identical, length(text)::INT AS n_chars
+FROM documents
+"""
+
+
 # --- Q3 / S6 / P5: predicate scan, glob source filter, pluggable tokenizer ---
 
 def _q_predicate_scan(spark, sf_dir):
@@ -770,6 +815,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_buckets": _q_lsh_buckets,
     "ann_lsh_topk": _q_ann_lsh_topk,
     "dedup_embedding_cosine": _q_emb_cosine_pairs,
+    "url_point_scan": _q_point_scan,
+    "extract_roundtrip": _q_extract_roundtrip,
     "predicate_scan": _q_predicate_scan,
     "glob_url_filter": _q_glob_filter,
     "regex_tokenizer_counts": _q_regex_tokenizer,
@@ -810,6 +857,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_buckets": _SQL_LSH_BUCKETS,
     "ann_lsh_topk": _SQL_ANN_LSH_TOPK,
     "dedup_embedding_cosine": _SQL_EMB_COSINE_PAIRS,
+    "url_point_scan": _SQL_POINT_SCAN,
+    "extract_roundtrip": _SQL_EXTRACT_ROUNDTRIP,
     "predicate_scan": _SQL_PREDICATE_SCAN,
     "glob_url_filter": _SQL_GLOB_FILTER,
     "regex_tokenizer_counts": _SQL_REGEX_TOKENIZER,

@@ -194,6 +194,23 @@ class SegmentIndex:
         return _index_from_fused(self.spark, merged, self.cfg,
                                  self.n_shards)
 
+    def delete_ids(self, doc_ids: DataFrame,
+                   id_col: str = "doc_id") -> "SegmentIndex":
+        """A3 RemoveDocumentsMatching (ImmutableIndex.cs:182-206) at the
+        segment level: drop the given doc ids from every posting list and
+        from the shard doc tables; emptied terms disappear. Returns a NEW
+        index (self stays a frozen snapshot).
+
+        Execution: the delete set reaches each shard as a synthetic delta
+        of dl=0 tombstones (exactly the upsert's empty-merge delete), so
+        only shards owning deleted docs rewrite."""
+        if not self.n_shards:
+            raise ValueError("delete_ids needs n_shards")
+        tombstones = doc_ids.select(
+            F.col(id_col).alias("doc_id"),
+            F.lit("").alias("text"))
+        return self.upsert(tombstones)
+
     # -- query -----------------------------------------------------------
 
     def idf(self, df_t: int) -> float:

@@ -35,6 +35,48 @@ def empty_index(spark, cfg: IndexConfig | None = None) -> Index:
                  cfg or IndexConfig())
 
 
+class VersionedSegmentStore:
+    """Snapshot-versioned store for the compressed SegmentIndex — the
+    scale path's MVCC layer. Same contract as VersionedIndexStore
+    (immutable v{N} dirs + atomic LATEST pointer ≙ ImmutableIndex's
+    state-pointer swap); versions are written by SegmentIndex.save and
+    are usually produced by shard-local upserts."""
+
+    def __init__(self, spark, root: str, cfg: IndexConfig | None = None):
+        self.spark = spark
+        self.root = root
+        self.cfg = cfg or IndexConfig()
+        os.makedirs(root, exist_ok=True)
+
+    def _latest(self) -> int | None:
+        try:
+            with open(f"{self.root}/LATEST") as fh:
+                return int(fh.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def versions(self) -> list[int]:
+        return sorted(int(d[1:]) for d in os.listdir(self.root)
+                      if d.startswith("v") and d[1:].isdigit())
+
+    def load(self, version: int | None = None):
+        from textindexing_spark.operators.bm25 import SegmentIndex
+
+        v = self._latest() if version is None else version
+        if v is None:
+            return None
+        return SegmentIndex.load(self.spark, f"{self.root}/v{v}", self.cfg)
+
+    def commit(self, seg) -> int:
+        v = (self._latest() or 0) + 1
+        seg.save(f"{self.root}/v{v}")
+        tmp = f"{self.root}/LATEST.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, f"{self.root}/LATEST")
+        return v
+
+
 class VersionedIndexStore:
     def __init__(self, spark, root: str, cfg: IndexConfig | None = None):
         self.spark = spark
