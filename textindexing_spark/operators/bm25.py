@@ -213,6 +213,24 @@ class SegmentIndex:
 
     # -- query -----------------------------------------------------------
 
+    _df_cache: dict | None = None
+
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Document frequencies for query terms, cached per index
+        instance — repeated queries skip the stats lookup job. Terms
+        absent from the index cache as 0 (and are dropped by callers)."""
+        if self._df_cache is None:
+            self._df_cache = {}
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (self.term_stats.where(F.col("term").isin(missing))
+                    .collect())
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = got.get(t, 0)
+        return {t: self._df_cache[t] for t in terms
+                if self._df_cache[t] > 0}
+
     def idf(self, df_t: int) -> float:
         return math.log(1.0 + (self.n_docs - df_t + 0.5) / (df_t + 0.5))
 
@@ -230,8 +248,7 @@ class SegmentIndex:
         out_schema = "doc_id bigint, score double"
         if not terms:
             return self.spark.createDataFrame([], out_schema)
-        stats = {r["term"]: r["df"] for r in
-                 self.term_stats.where(F.col("term").isin(terms)).collect()}
+        stats = self._term_dfs(terms)
         idfs = {t: self.idf(df_t) for t, df_t in stats.items()}
         if not idfs:
             return self.spark.createDataFrame([], out_schema)
