@@ -26,6 +26,19 @@ from textindexing_spark.config import IndexConfig
 from textindexing_spark.operators.build import build_index, tokenize_documents
 from textindexing_spark.operators.query import Index
 
-__all__ = ["IndexConfig", "build_index", "tokenize_documents", "Index"]
+
+def __getattr__(name):
+    # lazy: the segment/bm25 module pulls in numpy — keep base import light
+    if name in ("SegmentIndex", "build_segments_from_docs",
+                "build_segments", "segment_index_from"):
+        from textindexing_spark.operators import bm25
+
+        return getattr(bm25, name)
+    raise AttributeError(name)
+
+
+__all__ = ["IndexConfig", "build_index", "tokenize_documents", "Index",
+           "SegmentIndex", "build_segments_from_docs", "build_segments",
+           "segment_index_from"]
 
 __version__ = "0.1.0"
