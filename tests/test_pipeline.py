@@ -188,3 +188,49 @@ def test_recrawl_upsert_via_stream(spark, tmp_path):
     assert idx.search_bool("zeta").count() == 1
     assert idx.search_bool("gamma").count() == 0   # deleted via empty merge
     assert idx.documents.count() == 1
+
+
+def test_streaming_segment_ingest_equals_bulk(spark, tmp_path):
+    """Scale-path continuous maintenance: micro-batched shard-local
+    upserts into the compressed segment index must equal a bulk segment
+    build of the final corpus state (BM25 rank-identity), including
+    re-crawl replacement and empty-merge deletion."""
+    import datetime as dt
+
+    from textindexing_spark.operators.bm25 import build_segments_from_docs
+    from textindexing_spark.streaming.ingest import StreamingSegmentIngestor
+
+    rows = generate_pages_rows(n_docs=30, seed=13, recrawl_fraction=0.0)
+    src = str(tmp_path / "seg_src")
+    _write_batch(spark, rows[:20], src)
+
+    ing = StreamingSegmentIngestor(spark, str(tmp_path / "seg_idx"),
+                                   n_shards=4)
+    ing.ingest_available(src, str(tmp_path / "seg_ck"))
+    v1 = ing.store._latest()
+    assert v1 is not None
+
+    # second drop: 10 new docs + re-crawl of rows[0] + delete of rows[1]
+    t1 = dt.datetime(2024, 6, 1)
+    recrawl = [(rows[0][0], t1, None, "completely different words", "en"),
+               (rows[1][0], t1, None, "", "en")]
+    _write_batch(spark, rows[20:] + recrawl, src)
+    ing.ingest_available(src, str(tmp_path / "seg_ck"))
+    assert ing.store._latest() > v1
+
+    final = {r[0]: r for r in rows}
+    final[rows[0][0]] = recrawl[0]
+    final[rows[1][0]] = recrawl[1]
+    pages = spark.createDataFrame(list(final.values()), PAGES_SCHEMA)
+    bulk = build_segments_from_docs(
+        spark, doc_ids_for(pages).select("doc_id", "text"),
+        ing.cfg, n_shards=4)
+
+    stream_seg = ing.index()
+    assert stream_seg.n_docs == bulk.n_docs
+    for q in ("word1 word3", "completely different", "word0"):
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             stream_seg.search_bm25(q, 10).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             bulk.search_bm25(q, 10).collect()]
+        assert a == b, q
