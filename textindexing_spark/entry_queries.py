@@ -356,6 +356,26 @@ SELECT doc_id, ({acc})::BIGINT AS simhash FROM s
 
 # --- similarity search -------------------------------------------------------
 
+def _q_simhash_pairs(spark, sf_dir):
+    from textindexing_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, bits=16)
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    return f"""
+WITH s AS ({_simhash_sql(16)}),
+k AS (SELECT doc_id, simhash, i AS band,
+             (simhash >> (i * 4)) & 15 AS key
+      FROM s, unnest([0, 1, 2, 3]) AS t(i))
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       bit_count(xor(l.simhash, r.simhash))::INT AS hamming
+FROM k l JOIN k r ON l.band = r.band AND l.key = r.key
+                 AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+"""
+
+
 def _q_ann_cosine(spark, sf_dir):
     from textindexing_spark.operators.similarity import cosine_topk
 
@@ -811,6 +831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_sigs": _q_minhash_sigs,
     "dedup_lsh_candidates": _q_lsh_candidates,
     "dedup_simhash": _q_simhash,
+    "dedup_simhash_pairs": _q_simhash_pairs,
     "ann_cosine_topk": _q_ann_cosine,
     "ann_lsh_buckets": _q_lsh_buckets,
     "ann_lsh_topk": _q_ann_lsh_topk,
@@ -853,6 +874,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_minhash_sigs": _SQL_MINHASH_SIGS,
     "dedup_lsh_candidates": _SQL_LSH_CANDIDATES,
     "dedup_simhash": _simhash_sql(16),
+    "dedup_simhash_pairs": _simhash_pairs_sql(3),
     "ann_cosine_topk": _SQL_ANN_COSINE,
     "ann_lsh_buckets": _SQL_LSH_BUCKETS,
     "ann_lsh_topk": _SQL_ANN_LSH_TOPK,

@@ -136,6 +136,35 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8,
             .select("p.a", "p.b").distinct())
 
 
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  bits: int = 16) -> DataFrame:
+    """SimHash near-dup pairs (a, b, hamming), a < b, hamming <=
+    max_hamming — candidate generation by banding: two fingerprints
+    within hamming distance d <= bits/band_count must agree exactly on at
+    least one band (pigeonhole), so exact scoring runs only inside
+    band-equality buckets. With 4 bands of ``bits``/4, recall is total
+    for max_hamming <= 3."""
+    sig = simhash(docs, bits)
+    band_bits = bits // 4
+    mask = (1 << band_bits) - 1
+    bands = F.array(*[
+        F.shiftright(F.col("simhash"), i * band_bits)
+         .bitwiseAND(F.lit(mask)) for i in range(4)
+    ])
+    keys = sig.select("doc_id", "simhash",
+                      F.posexplode(bands).alias("band", "key"))
+    a = keys.select(F.col("doc_id").alias("a"),
+                    F.col("simhash").alias("sa"), "band", "key")
+    b = keys.select(F.col("doc_id").alias("b"),
+                    F.col("simhash").alias("sb"), "band", "key")
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (a.join(b, ["band", "key"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — bitwise majority over the md5 digests of the
