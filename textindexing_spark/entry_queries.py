@@ -723,6 +723,24 @@ def _q_media_features(spark, sf_dir):
         "doc_id", FF.size("feature").alias("dim"))
 
 
+def _q_rolling_fingerprint(spark, sf_dir):
+    from textindexing_spark.functions.analysis import rolling_fingerprint
+
+    return rolling_fingerprint(_docs(spark, sf_dir))
+
+
+_SQL_ROLLING_FINGERPRINT = f"""
+WITH tok AS ({_TOKL})
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform(ts,
+             t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 1000000007)),
+         (acc, h) -> (acc * 131 + h) % 1000000007) AS roll_hash
+FROM tok WHERE len(ts) > 0
+"""
+
+
 # --- events (change-stream / windowed semantics, batch-checked) --------------
 
 def _q_last_wins(spark, sf_dir):
@@ -849,6 +867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": _q_quality,
     "token_counts": _q_token_counts,
     "doc_fingerprint": _q_fingerprint,
+    "rolling_fingerprint": _q_rolling_fingerprint,
     "change_stream_last_wins": _q_last_wins,
     "hourly_agg": _q_hourly_agg,
     "sessionize": _q_sessionize,
@@ -891,6 +910,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_score": _SQL_QUALITY,
     "token_counts": _SQL_TOKEN_COUNTS,
     "doc_fingerprint": _SQL_FINGERPRINT,
+    "rolling_fingerprint": _SQL_ROLLING_FINGERPRINT,
     "change_stream_last_wins": _SQL_LAST_WINS,
     "hourly_agg": _SQL_HOURLY_AGG,
     "sessionize": _SQL_SESSIONIZE,

@@ -66,6 +66,26 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+ROLL_B = 131
+ROLL_M = 1_000_000_007
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, roll_hash) — order-SENSITIVE polynomial rolling hash
+    (Rabin-Karp style) over the token stream: h = fold(tokens,
+    (acc, t) -> (acc*B + H(t)) mod M) with H(t) from the token's md5
+    prefix. Unlike doc_fingerprint (bag-of-words identity), this detects
+    exact sequence duplicates and is engine-portable (same md5/modular
+    arithmetic in any SQL dialect). Pure Catalyst fold — no Python."""
+    h = "conv(substring(md5(t), 1, 8), 16, 10)"
+    expr = (f"aggregate(ts, CAST(0 AS BIGINT), (acc, t) -> "
+            f"(acc * {ROLL_B} + CAST({h} AS BIGINT) % {ROLL_M}) "
+            f"% {ROLL_M})")
+    return (docs.select("doc_id", tokens_col("text").alias("ts"))
+            .where(F.size("ts") > 0)
+            .select("doc_id", F.expr(expr).alias("roll_hash")))
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — md5 over the sorted distinct token set: a
     canonical content fingerprint invariant to token order (bag-of-words
