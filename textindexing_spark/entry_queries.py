@@ -413,6 +413,55 @@ FROM d GROUP BY vec_id
 """
 
 
+_SQL_IVF_COMMON = """
+cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+          WHERE vec_id IN (0, 1, 2, 3)),
+scored AS (SELECT e.vec_id, c.cid,
+    round(list_dot_product(e.embedding::DOUBLE[], c.ce::DOUBLE[]) /
+          (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(c.ce::DOUBLE[], c.ce::DOUBLE[]))), 6)
+        AS sim
+    FROM embeddings e, cents c),
+assign AS (SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cid) AS rn
+    FROM scored) WHERE rn = 1)
+"""
+
+
+def _q_ivf_cells(spark, sf_dir):
+    from textindexing_spark.operators.similarity import ivf_assign
+
+    return ivf_assign(_emb(spark, sf_dir))
+
+
+_SQL_IVF_CELLS = f"WITH {_SQL_IVF_COMMON} SELECT vec_id, cell FROM assign"
+
+
+def _q_ivf_topk(spark, sf_dir):
+    from textindexing_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=10, nprobe=2)
+
+
+_SQL_IVF_TOPK = f"""
+WITH {_SQL_IVF_COMMON},
+qcells AS (SELECT cid AS qcell FROM scored WHERE vec_id = 0
+           ORDER BY sim DESC, cid LIMIT 2),
+pool AS (SELECT e.* FROM embeddings e
+         JOIN assign USING (vec_id) JOIN qcells ON assign.cell = qcells.qcell),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS dot,
+             list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS na,
+             list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS nb
+      FROM pool e, q WHERE e.vec_id <> 0)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
 def _q_emb_cosine_pairs(spark, sf_dir):
     from textindexing_spark.operators.similarity import embedding_cosine_pairs
 
@@ -853,6 +902,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _q_ann_cosine,
     "ann_lsh_buckets": _q_lsh_buckets,
     "ann_lsh_topk": _q_ann_lsh_topk,
+    "ann_ivf_cells": _q_ivf_cells,
+    "ann_ivf_topk": _q_ivf_topk,
     "dedup_embedding_cosine": _q_emb_cosine_pairs,
     "url_point_scan": _q_point_scan,
     "extract_roundtrip": _q_extract_roundtrip,
@@ -897,6 +948,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": _SQL_ANN_COSINE,
     "ann_lsh_buckets": _SQL_LSH_BUCKETS,
     "ann_lsh_topk": _SQL_ANN_LSH_TOPK,
+    "ann_ivf_cells": _SQL_IVF_CELLS,
+    "ann_ivf_topk": _SQL_IVF_TOPK,
     "dedup_embedding_cosine": _SQL_EMB_COSINE_PAIRS,
     "url_point_scan": _SQL_POINT_SCAN,
     "extract_roundtrip": _SQL_EXTRACT_ROUNDTRIP,

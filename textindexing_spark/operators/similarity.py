@@ -61,6 +61,55 @@ def lsh_sign_buckets(embeddings: DataFrame,
                 lambda s: s["bit"])).alias("bucket")))
 
 
+def centroid_sims(embeddings: DataFrame,
+                  centroid_ids: tuple[int, ...] = (0, 1, 2, 3)) -> DataFrame:
+    """(vec_id, cid, sim) — cosine of every vector against every IVF
+    centroid. Centroids are deterministic dataset vectors (k-means would
+    sharpen cells but breaks cross-engine reproducibility; the
+    partitioning math is identical either way). Broadcast join: no
+    shuffle of the embedding table."""
+    cents = (embeddings.where(F.col("vec_id").isin(list(centroid_ids)))
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("ce")))
+    j = embeddings.crossJoin(F.broadcast(cents))
+    dot = F.expr(DOT.format(a="embedding", b="ce"))
+    nc = F.sqrt(F.expr(DOT.format(a="ce", b="ce")))
+    ne = F.sqrt(F.expr(DOT.format(a="embedding", b="embedding")))
+    return j.select("vec_id", "cid",
+                    F.round(dot / (ne * nc), 6).alias("sim"))
+
+
+def ivf_assign(embeddings: DataFrame,
+               centroid_ids: tuple[int, ...] = (0, 1, 2, 3)) -> DataFrame:
+    """(vec_id, cell) — IVF coarse quantization: each vector joins the
+    cell of its most-cosine-similar centroid (sim desc, cid asc
+    tie-break)."""
+    scored = centroid_sims(embeddings, centroid_ids)
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cid", F.struct(F.col("sim"), -F.col("cid")))
+         .alias("cell"))
+
+
+def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
+             centroid_ids: tuple[int, ...] = (0, 1, 2, 3),
+             nprobe: int = 1, round_to: int = 4) -> DataFrame:
+    """IVF ANN top-k: exact cosine ranking restricted to the query's
+    ``nprobe`` most-similar cells — the inverted-file twin of lsh_topk.
+    At web scale the cell assignment is precomputed once (a table
+    partitioned by cell) and the probe is a partition-pruned scan."""
+    assign = ivf_assign(embeddings, centroid_ids)
+    qcells = (centroid_sims(embeddings, centroid_ids)
+              .where(F.col("vec_id") == query_vec_id)
+              .orderBy(F.col("sim").desc(), F.col("cid").asc())
+              .limit(nprobe)
+              .select(F.col("cid").alias("qcell")))
+    cand = (assign.join(F.broadcast(qcells),
+                        F.col("cell") == F.col("qcell"))
+            .select("vec_id"))
+    pool = embeddings.join(cand, "vec_id", "left_semi")
+    return cosine_topk(pool, query_vec_id, k, round_to)
+
+
 def embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
                            anchor_ids: tuple[int, ...] = (1, 2, 3),
                            round_to: int = 4) -> DataFrame:
