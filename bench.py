@@ -132,7 +132,32 @@ def main() -> None:
     timed("wand_queries", run_wand)
     shutil.rmtree(seg_dir, ignore_errors=True)
 
-    # q5+: training-pipeline operators
+    # q5: head-term skew salting proof (SURVEY 7.4: Zipfian synthetic) —
+    # same Zipf corpus built with the salted two-phase aggregation
+    # (every head term splits across ceil(df/bucket) reducers) and
+    # unsalted; both materialized, the salted path must not lose ground
+    from textindexing_spark.sources.pages import generate_pages
+
+    zipf = (generate_pages(spark, n_docs=20_000, vocab_size=5000,
+                           recrawl_fraction=0.0)
+            .selectExpr("xxhash64(url) AS doc_id", "text")
+            .repartition(int(cpus)).cache())
+    zipf.count()
+    salted_cfg = IndexConfig(salt_df_threshold=1_000,
+                             salt_target_bucket=500)
+
+    def build_and_count(cfg_):
+        ix = build_index(spark, zipf, cfg_)
+        n = ix.postings.count()
+        ix.unpersist()
+        return n
+
+    timed("zipf_build_salted", lambda: build_and_count(salted_cfg))
+    timed("zipf_build_unsalted",
+          lambda: build_and_count(IndexConfig(salt_df_threshold=0)))
+    zipf.unpersist()
+
+    # q6+: training-pipeline operators
     timed("dedup_lsh_candidates",
           lambda: lsh_candidate_pairs(docs).count())
     timed("dedup_ngram_jaccard",
