@@ -1,0 +1,57 @@
+"""Physical-plan regression guards — the optimizations PLANS.md claims
+must stay in the plan: filter pushdown to the parquet scan, column
+pruning, broadcast join for the documents dim table, TakeOrdered top-k.
+A refactor that silently de-optimizes a path fails here, not in prod."""
+
+import contextlib
+import io
+
+import pytest
+
+from textindexing_spark import IndexConfig, build_index
+from textindexing_spark.sources.pages import generate_pages_rows
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def snap(spark, tmp_path_factory):
+    rows = [(i, t) for i, (_, _, _, t, _) in
+            enumerate(generate_pages_rows(n_docs=120, seed=7))]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = build_index(spark, docs, IndexConfig())
+    # parquet-backed snapshot: pushdown is only visible on a file scan
+    return idx.snapshot(str(tmp_path_factory.mktemp("planidx")))
+
+
+def test_exact_lookup_pushes_filter(snap):
+    p = _plan(snap.exact("word1"))
+    assert "EqualTo(term,word1)" in p
+    assert "doc_len" not in p  # documents table not touched
+
+
+def test_prefix_pushes_startswith(snap):
+    p = _plan(snap.prefix("word"))
+    assert "StringStartsWith(term,word)" in p
+
+
+def test_words_prunes_columns(snap):
+    p = _plan(snap.words())
+    assert "ReadSchema: struct<term:string>" in p
+
+
+def test_bool_exact_tokens_share_one_scan(snap):
+    p = _plan(snap.search_bool("word1 word2"))
+    # both exact tokens ride ONE pushed In(...) filter
+    assert "In(term, [word1,word2])" in p
+
+
+def test_bm25_broadcasts_documents_and_takeordered(snap):
+    p = _plan(snap.search_bm25("word1 word2", 10))
+    assert "BroadcastHashJoin" in p  # dim side broadcast, no postings shuffle
+    assert "TakeOrderedAndProject" in p  # top-k, never a global sort
