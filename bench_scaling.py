@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Scaling evidence for the north rule: the same index-build + BM25 query
-job at two parallelism levels (local[N] vs local[4N] — the sandbox stand-in
-for N vs 4N executor clusters), same input, reporting throughput at both
-plus scaling efficiency (target >= 0.8). Results land in BENCH.md.
+job at two cluster sizes — by default N vs 4N separate executor JVMs via
+Spark standalone local-cluster mode (the north rule's literal criterion;
+also far less noisy than local[N] threads on this VM) — same input,
+reporting throughput at both plus scaling efficiency (target >= 0.8).
+Results land in BENCH.md.
 
 Modes:
   python bench_scaling.py                 # orchestrate: run both levels in
@@ -210,17 +212,25 @@ def _CAL_WORK(n):
     return s
 
 
-def orchestrate(levels: tuple[int, int] = (2, 8)) -> None:
+def orchestrate(levels: tuple[int, int] = (2, 8),
+                cluster: bool = True) -> None:
+    """Run both levels in fresh processes, best-of-N each, write BENCH.md.
+    cluster=True (default) uses standalone local-cluster mode — N vs 4N
+    SEPARATE EXECUTOR JVMs (2 cores each), the north rule's literal
+    criterion and empirically far less noisy than local[] threads."""
     runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+    env = dict(os.environ, SPARK_LOCAL_DIRS="/dev/shm/tix-spark")
     results = {}
     for cpus in levels:
+        args = [sys.executable, os.path.abspath(__file__),
+                "--cpus", str(cpus)]
+        if cluster:
+            args += ["--master", f"local-cluster[{max(cpus // 2, 1)},2,6144]"]
         best = None
         for _ in range(runs):
             # fresh JVM per run: no cache / JIT / executor reuse
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--cpus", str(cpus)],
-                capture_output=True, text=True, check=True)
+            proc = subprocess.run(args, capture_output=True, text=True,
+                                  check=True, env=env)
             line = proc.stdout.strip().splitlines()[-1]
             r = json.loads(line)
             print(line)
@@ -239,7 +249,7 @@ def orchestrate(levels: tuple[int, int] = (2, 8)) -> None:
              / core_ratio)
     summary = {
         "metric": "index-build throughput scaling efficiency "
-                  f"(local[{small}] -> local[{big}])",
+                  f"({results[small]['master']} -> {results[big]['master']})",
         "value": round(eff, 3),
         "unit": "efficiency",
         "speedup": round(thr_ratio, 2),
@@ -282,15 +292,15 @@ variance from page cache / compilation / disk flush effects).
 
 | level | build wall (s) | build docs/sec | BM25 qps | BM25 p50 (ms) |
 |---|---|---|---|---|
-| local[{small}] | {a['build_s']} | {a['build_docs_per_sec']:,} | {a['bm25_qps']} | {a['bm25_p50_ms']} |
-| local[{big}] | {b['build_s']} | {b['build_docs_per_sec']:,} | {b['bm25_qps']} | {b['bm25_p50_ms']} |
+| {a['master']} | {a['build_s']} | {a['build_docs_per_sec']:,} | {a['bm25_qps']} | {a['bm25_p50_ms']} |
+| {b['master']} | {b['build_s']} | {b['build_docs_per_sec']:,} | {b['bm25_qps']} | {b['bm25_p50_ms']} |
 
-**Build-throughput speedup local[{small}] -> local[{big}]: {s['speedup']}x
+**Build-throughput speedup {a['master']} -> {b['master']}: {s['speedup']}x
 over a {s['core_ratio']:.0f}x core ratio => scaling efficiency =
 {s['value']}** (target >= 0.8). BM25 query-throughput efficiency:
 {s['bm25_qps_efficiency']}. Efficiency above 1.0 is a small-N local-mode
-artifact: at local[{small}] the JVM's service threads (shuffle, GC,
-Arrow IPC) compete with only {small} task slots, penalizing the
+artifact: at the small level the JVM's service threads (shuffle, GC,
+Arrow IPC) compete with only {small} task cores, penalizing the
 baseline; on a real cluster both sizes carry proportional service
 capacity, so the transferable claim is "the job preserves the machine's
 full parallel speedup" (next paragraph).
@@ -394,9 +404,12 @@ if __name__ == "__main__":
     ap.add_argument("--master", type=str, default="",
                     help="master override for --cpus runs (e.g. "
                          "local-cluster[4,2,6144] for 4 executor JVMs)")
+    ap.add_argument("--threads", action="store_true",
+                    help="orchestrate with local[N] threads instead of "
+                         "local-cluster executor JVMs")
     args = ap.parse_args()
     if args.cpus:
         print(json.dumps(run_level(args.cpus, args.master or None)))
     else:
         lv = tuple(int(x) for x in args.levels.split(","))
-        orchestrate(lv)
+        orchestrate(lv, cluster=not args.threads)
