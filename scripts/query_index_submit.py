@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Query a saved index from the command line (spark-submit entry point):
+
+    spark-submit --master <cluster> --py-files /tmp/textindexing_spark.zip \\
+        scripts/query_index_submit.py --index <root> \\
+        --query "hash merge fast" [--mode bm25|bool] [--k 10]
+
+--index points at either a SegmentIndex root (has _meta.json; queried
+via block-max WAND) or a boolean Index snapshot (postings/ + documents/;
+bm25 runs the Catalyst path, bool runs AND-with-wildcards). Prints one
+JSON line per query with results and latency. Accepts multiple --query
+flags; repeated queries amortize the index open (the serving pattern).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", action="append", required=True,
+                    help="repeatable")
+    ap.add_argument("--mode", choices=("bm25", "bool"), default="bm25")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("textindexing-query").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from textindexing_spark import Index
+    from textindexing_spark.operators.bm25 import SegmentIndex
+
+    if os.path.exists(f"{args.index}/_meta.json"):
+        idx = SegmentIndex.load(spark, args.index).cache()
+        kind = "segments"
+        if args.mode == "bool":
+            raise SystemExit("boolean queries need an Index snapshot "
+                             "(postings/ + documents/), not segments")
+    else:
+        idx = Index.load(spark, args.index).cache()
+        kind = "postings"
+
+    for q in args.query:
+        t0 = time.perf_counter()
+        if args.mode == "bm25":
+            rows = [(r["doc_id"], round(r["score"], 4))
+                    for r in idx.search_bm25(q, args.k).collect()]
+        else:
+            rows = [r["doc_id"] for r in idx.search_bool(q).collect()]
+        print(json.dumps({
+            "query": q, "mode": args.mode, "index_kind": kind,
+            "n_results": len(rows), "results": rows[:args.k],
+            "latency_ms": round((time.perf_counter() - t0) * 1000, 1),
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
