@@ -64,11 +64,19 @@ def main(argv: list[str] | None = None) -> None:
     t0 = time.perf_counter()
     pages = spark.read.parquet(args.input)
 
-    # input fingerprint: stable digest of the source content identity
-    fp_row = pages.agg(
-        F.count("*").alias("n"),
-        F.xxhash64(F.max("url"), F.max("warc_ts")).alias("h")).collect()[0]
-    fingerprint = f"{args.input}:{fp_row['n']}:{fp_row['h']}"
+    # input fingerprint: content-sensitive digest — xor of a per-row hash
+    # over (url, warc_ts, text length, html length) plus the row count, so
+    # ANY row-level change (edited text, replaced rows, recrawls) flips it
+    # and invalidates the stage manifests; xor is order-independent and
+    # map-side combinable (one narrow agg over the scan).
+    row_h = F.xxhash64(
+        "url", "warc_ts",
+        F.coalesce(F.length("text"), F.lit(-1)),
+        F.coalesce(F.length("html"), F.lit(-1)))
+    fp_row = (pages.select(row_h.alias("h"))
+              .agg(F.count("*").alias("n"),
+                   F.expr("bit_xor(h)").alias("x")).collect()[0])
+    fingerprint = f"{args.input}:{fp_row['n']}:{fp_row['x']}"
     pipe = StagePipeline(spark, args.output,
                          fingerprint if args.resume else
                          f"{fingerprint}:{time.time_ns()}")

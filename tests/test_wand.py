@@ -212,3 +212,54 @@ def test_segment_roundtrip_save_load(spark, seg, tmp_path):
     b = [(r.doc_id, round(r.score, 9)) for r in
          loaded.search_bm25("word1 word7", 10).collect()]
     assert a == b
+
+
+def test_upsert_single_doc_many_shards_keeps_avgdl(spark, corpus):
+    """Regression: an upsert touching FEW of MANY shards must still carry
+    every untouched shard's doc-length sum into the new index's corpus
+    stats (avgdl). Previously untouched shards contributed NULL sum_dl,
+    so avgdl collapsed to the touched shards' average and every BM25
+    score drifted from a bulk rebuild."""
+    from textindexing_spark.operators.bm25 import build_segments_from_docs
+
+    cfg = IndexConfig(block_size=16)
+    base_rows = corpus[:200]
+    base = build_segments_from_docs(
+        spark, spark.createDataFrame(base_rows, "doc_id bigint, text string"),
+        cfg, n_shards=32)
+
+    delta = spark.createDataFrame([(500, base_rows[3][1])],
+                                  "doc_id bigint, text string")
+    upserted = base.upsert(delta)
+
+    final_rows = [(d, t) for d, t in
+                  sorted(dict(base_rows + [(500, base_rows[3][1])]).items())
+                  if t]
+    rebuilt = build_segments_from_docs(
+        spark, spark.createDataFrame(final_rows, "doc_id bigint, text string"),
+        cfg, n_shards=32)
+    assert upserted.n_docs == rebuilt.n_docs
+    assert upserted.avgdl == pytest.approx(rebuilt.avgdl, rel=1e-12)
+    for q in ("word1 word7", "word0"):
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             upserted.search_bm25(q, 10).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             rebuilt.search_bm25(q, 10).collect()]
+        assert a == b, q
+
+    # a fully-empty delta must neither crash nor change corpus stats
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    same = base.upsert(empty)
+    assert same.n_docs == base.n_docs
+    assert same.avgdl == pytest.approx(base.avgdl, rel=1e-12)
+
+    # delete-only delta: stats reflect the survivors exactly
+    dead = spark.createDataFrame([(d,) for d, _ in base_rows[:5]],
+                                 "doc_id bigint")
+    pruned = base.delete_ids(dead)
+    survivors = [(d, t) for d, t in base_rows[5:] if t]
+    re2 = build_segments_from_docs(
+        spark, spark.createDataFrame(survivors, "doc_id bigint, text string"),
+        cfg, n_shards=32)
+    assert pruned.n_docs == re2.n_docs
+    assert pruned.avgdl == pytest.approx(re2.avgdl, rel=1e-12)

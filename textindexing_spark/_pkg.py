@@ -21,7 +21,10 @@ def package_zip(dest: str = "/tmp/textindexing_spark.zip") -> str:
         # --py-files): that zip IS the distribution — never clobber it
         zip_path = pkg_dir
         while zip_path and not os.path.isfile(zip_path):
-            zip_path = os.path.dirname(zip_path)
+            parent = os.path.dirname(zip_path)
+            if parent == zip_path:  # filesystem root: no zip ancestor
+                raise RuntimeError(f"cannot package: {pkg_dir} not found")
+            zip_path = parent
         if zip_path:
             return zip_path
         raise RuntimeError(f"cannot package: {pkg_dir} not found")

@@ -72,6 +72,10 @@ SHARD_DOCS_SCHEMA = T.StructType([
     T.StructField("doc_ids", T.BinaryType()),
     T.StructField("doc_lens", T.BinaryType()),
     T.StructField("n", T.IntegerType()),
+    # per-shard doc-length sum: carried so corpus avgdl stays exact across
+    # upserts that leave this shard untouched (its summary row passes
+    # through _merge_shard_factory without decoding)
+    T.StructField("sum_dl", T.LongType()),
 ])
 
 
@@ -146,6 +150,29 @@ class SegmentIndex:
                    meta["n_docs"], meta["avgdl"], cfg or IndexConfig(),
                    n_shards=meta.get("n_shards"))
 
+    def _shard_docs_with_sum_dl(self) -> DataFrame:
+        """shard_docs with a guaranteed non-null ``sum_dl`` column.
+        Indexes saved before sum_dl existed (or built via paths that left
+        it null) get it recomputed by decoding each shard's doc_lens blob
+        once — a narrow map over S rows, no shuffle."""
+        sd = self.shard_docs
+        if "sum_dl" not in sd.columns:
+            sd = sd.withColumn("sum_dl", F.lit(None).cast("long"))
+
+        @F.pandas_udf("long")
+        def _decode_sum(doc_lens):
+            import pandas as pd
+
+            return pd.Series([
+                int(codec.varbyte_decode(
+                    np.frombuffer(b, dtype=np.uint8)).sum())
+                if b is not None else 0
+                for b in doc_lens], dtype="int64")
+
+        return sd.withColumn(
+            "sum_dl", F.coalesce(F.col("sum_dl"),
+                                 _decode_sum(F.col("doc_lens"))))
+
     # -- incremental upsert (A1 merge at the compressed-segment level) ----
 
     def upsert(self, docs: DataFrame, id_col: str = "doc_id",
@@ -177,7 +204,7 @@ class SegmentIndex:
                     .withColumn("doc_ids", F.lit(None).cast("binary"))
                     .withColumn("doc_lens", F.lit(None).cast("binary"))
                     .withColumn("sum_dl", F.lit(None).cast("long"))
-                    .unionByName(self.shard_docs.select(
+                    .unionByName(self._shard_docs_with_sum_dl().select(
                         "shard",
                         F.lit(None).cast("string").alias("term"),
                         F.col("n").cast("long").alias("n_docs"),
@@ -185,7 +212,7 @@ class SegmentIndex:
                         F.lit(None).cast("binary").alias("tfs"),
                         F.lit(None).cast(blocks_t).alias("blocks"),
                         "doc_ids", "doc_lens",
-                        F.lit(None).cast("long").alias("sum_dl"))))
+                        F.col("sum_dl").cast("long").alias("sum_dl"))))
         merged = (existing.groupby("shard")
                   .cogroup(delta.groupby("shard"))
                   .applyInPandas(_merge_shard_factory(self.cfg),
@@ -500,6 +527,7 @@ def build_segments(spark, tokens: DataFrame, documents: DataFrame,
             "doc_ids": [codec.varbyte_encode(ids).tobytes()],
             "doc_lens": [codec.varbyte_encode(lens).tobytes()],
             "n": [ids.size],
+            "sum_dl": [int(lens.sum())],
         })
 
     shard_docs = (documents
@@ -752,12 +780,14 @@ def _index_from_fused(spark, fused: DataFrame, cfg: IndexConfig,
     segments = fused.where(F.col("term").isNotNull()).select(*seg_cols)
     shard_docs = (fused.where(F.col("term").isNull())
                   .select("shard", "doc_ids", "doc_lens",
-                          F.col("n_docs").cast("int").alias("n")))
+                          F.col("n_docs").cast("int").alias("n"),
+                          F.col("sum_dl").cast("long").alias("sum_dl")))
     stats = (fused.where(F.col("term").isNull())
              .agg(F.sum("n_docs").alias("n"),
                   F.sum("sum_dl").alias("sdl")).collect()[0])
     n_docs = int(stats["n"] or 0)
-    avgdl = float(stats["sdl"] / n_docs) if n_docs else 0.0
+    avgdl = (float(stats["sdl"] / n_docs)
+             if n_docs and stats["sdl"] is not None else 0.0)
 
     # global document frequency, derived from the segments themselves:
     # a term's df is the sum of its per-shard posting counts

@@ -107,7 +107,9 @@ class StreamingIngestor:
         idx = self.store.load()
         new_idx = idx.merge(docs)
         v = self.store.commit(new_idx)
-        self.metrics.docs_indexed += docs.count()
+        # indexed = docs that actually entered the index: empty-text rows
+        # are tombstones (deletes), not indexed documents
+        self.metrics.docs_indexed += docs.where(F.length("text") > 0).count()
         self.metrics.versions.append(v)
         return v
 
@@ -181,6 +183,6 @@ class StreamingSegmentIngestor(StreamingIngestor):
         else:
             new_seg = base.upsert(docs)
         v = self.store.commit(new_seg)
-        self.metrics.docs_indexed += docs.count()
+        self.metrics.docs_indexed += docs.where(F.length("text") > 0).count()
         self.metrics.versions.append(v)
         return v
