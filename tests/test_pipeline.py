@@ -234,3 +234,71 @@ def test_streaming_segment_ingest_equals_bulk(spark, tmp_path):
         b = [(r.doc_id, round(r.score, 9)) for r in
              bulk.search_bm25(q, 10).collect()]
         assert a == b, q
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """O(delta) incremental merge: after a small upsert, every term/doc
+    bucket the batch did not touch must be the SAME files (manifest
+    entries unchanged, still pointing into the earlier version's data
+    dir) — and the merged index must equal a bulk rebuild of the final
+    corpus state (Index.merge semantics: replace, insert, empty=delete)."""
+    import os
+
+    from textindexing_spark.sources.bucketed import BucketedIndexStore
+
+    # controlled corpus: doc i holds terms w{i}..w{i+2}, so a delta over
+    # two docs affects a KNOWN handful of terms (not the whole vocabulary)
+    base_rows = [(i, f"w{i} w{i + 1} w{i + 2} w{i}") for i in range(80)]
+    base_docs = spark.createDataFrame(base_rows,
+                                      "doc_id bigint, text string")
+    store = BucketedIndexStore(spark, str(tmp_path / "bstore"),
+                               n_term_buckets=16, n_doc_buckets=8)
+    v1 = store.commit_merge(base_docs)
+    m1 = store.manifest(v1)
+    assert set(m1["postings"]) and set(m1["documents"])
+
+    # delta: one re-crawl (replacement), one new doc, one delete
+    base_collected = base_docs.collect()
+    d_replace = base_collected[3]["doc_id"]
+    d_delete = base_collected[7]["doc_id"]
+    delta = spark.createDataFrame(
+        [(d_replace, "completely fresh words here"),
+         (999_999, "brand new document words"),
+         (d_delete, "")], "doc_id bigint, text string")
+    v2 = store.commit_merge(delta)
+    m2 = store.manifest(v2)
+
+    # untouched buckets: identical manifest entries, still v1 files
+    same_p = [k for k in m1["postings"]
+              if m2["postings"].get(k) == m1["postings"][k]]
+    same_d = [k for k in m1["documents"]
+              if m2["documents"].get(k) == m1["documents"][k]]
+    assert same_p, "no postings bucket survived untouched"
+    assert same_d, "no documents bucket survived untouched"
+    changed_p = [k for k in m2["postings"]
+                 if m2["postings"][k] != m1["postings"].get(k)]
+    assert all(f"v{v2}_data" in m2["postings"][k] for k in changed_p)
+    assert all(f"v{v2}_data" not in m1["postings"].get(k, "")
+               for k in same_p)
+    # byte-identity of an untouched bucket's files across versions
+    k = same_p[0]
+    files = sorted(f for f in os.listdir(m1["postings"][k])
+                   if f.endswith(".parquet"))
+    assert files == sorted(f for f in os.listdir(m2["postings"][k])
+                           if f.endswith(".parquet"))
+
+    # equivalence with a bulk rebuild of the final state
+    final = {r["doc_id"]: r["text"] for r in base_collected}
+    final[d_replace] = "completely fresh words here"
+    final[999_999] = "brand new document words"
+    del final[d_delete]
+    bulk = build_index(spark, spark.createDataFrame(
+        sorted(final.items()), "doc_id bigint, text string"))
+    got = {(r.term, tuple(sorted((p.doc_id, p.tf) for p in r.postings)))
+           for r in store.load().postings.collect()}
+    want = {(r.term, tuple(sorted((p.doc_id, p.tf) for p in r.postings)))
+            for r in bulk.postings.collect()}
+    assert got == want
+    assert store.load().documents.count() == len(final)
+    # snapshot isolation: v1 unaffected by the later merge
+    assert store.load(v1).documents.count() == len(base_collected)

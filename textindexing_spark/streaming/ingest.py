@@ -69,17 +69,33 @@ def dedup_last_wins(batch: DataFrame) -> DataFrame:
 
 
 class StreamingIngestor:
-    """Continuously maintained index over a growing pages directory."""
+    """Continuously maintained index over a growing pages directory.
+
+    ``bucketed=True`` (default) maintains the index in a
+    BucketedIndexStore: each micro-batch rewrites only the term/doc
+    buckets it touches — O(delta + touched buckets) per batch.
+    ``bucketed=False`` falls back to full-snapshot commits through
+    ``Index.merge`` (the logical-rebuild plan; demo scale only)."""
 
     def __init__(self, spark, index_root: str,
                  cfg: IndexConfig | None = None,
-                 quarantine_path: str | None = None):
+                 quarantine_path: str | None = None,
+                 bucketed: bool = True,
+                 n_term_buckets: int = 64, n_doc_buckets: int = 64):
         from textindexing_spark._pkg import ensure_shipped
 
         ensure_shipped(spark)
         self.spark = spark
         self.cfg = cfg or IndexConfig()
-        self.store = VersionedIndexStore(spark, index_root, self.cfg)
+        if bucketed:
+            from textindexing_spark.sources.bucketed import (
+                BucketedIndexStore)
+
+            self.store = BucketedIndexStore(
+                spark, index_root, self.cfg,
+                n_term_buckets=n_term_buckets, n_doc_buckets=n_doc_buckets)
+        else:
+            self.store = VersionedIndexStore(spark, index_root, self.cfg)
         self.quarantine_path = quarantine_path or f"{index_root}/_quarantine"
         self.metrics = IngestMetrics()
 
@@ -104,9 +120,12 @@ class StreamingIngestor:
         good = batch.where(F.col("url").isNotNull())
         docs = (doc_ids_for(good)
                 .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
-        idx = self.store.load()
-        new_idx = idx.merge(docs)
-        v = self.store.commit(new_idx)
+        if hasattr(self.store, "commit_merge"):
+            # O(delta) path: bucket-level copy-on-write merge
+            v = self.store.commit_merge(docs)
+        else:
+            idx = self.store.load()
+            v = self.store.commit(idx.merge(docs))
         # indexed = docs that actually entered the index: empty-text rows
         # are tombstones (deletes), not indexed documents
         self.metrics.docs_indexed += docs.where(F.length("text") > 0).count()
@@ -153,7 +172,8 @@ class StreamingSegmentIngestor(StreamingIngestor):
                  cfg: IndexConfig | None = None,
                  quarantine_path: str | None = None,
                  n_shards: int = 64):
-        super().__init__(spark, index_root, cfg, quarantine_path)
+        super().__init__(spark, index_root, cfg, quarantine_path,
+                         bucketed=False)
         self.store = VersionedSegmentStore(spark, index_root, self.cfg)
         self.n_shards = n_shards
 
