@@ -253,7 +253,7 @@ def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
                                       "doc_id bigint, text string")
     store = BucketedIndexStore(spark, str(tmp_path / "bstore"),
                                n_term_buckets=16, n_doc_buckets=8)
-    v1 = store.commit_merge(base_docs)
+    v1 = store.commit_merge(base_docs, mode="rewrite")
     m1 = store.manifest(v1)
     assert set(m1["postings"]) and set(m1["documents"])
 
@@ -265,7 +265,7 @@ def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
         [(d_replace, "completely fresh words here"),
          (999_999, "brand new document words"),
          (d_delete, "")], "doc_id bigint, text string")
-    v2 = store.commit_merge(delta)
+    v2 = store.commit_merge(delta, mode="rewrite")
     m2 = store.manifest(v2)
 
     # untouched buckets: identical manifest entries, still v1 files
@@ -302,3 +302,71 @@ def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert store.load().documents.count() == len(final)
     # snapshot isolation: v1 unaffected by the later merge
     assert store.load(v1).documents.count() == len(base_collected)
+
+
+def test_lsm_delta_commits_equal_bulk_and_compact(spark, tmp_path):
+    """LSM path: a stream of delta commits must (a) never rewrite base
+    bucket files, (b) keep the live delta count tiered (O(log batches)),
+    (c) resolve to exactly the bulk-built index at every step, and
+    (d) compact() must fold deltas into the base with identical results."""
+    from textindexing_spark.sources.bucketed import BucketedIndexStore
+
+    rows = generate_pages_rows(n_docs=60, seed=31, recrawl_fraction=0.0)
+    pages = spark.createDataFrame(rows, PAGES_SCHEMA)
+    all_docs = doc_ids_for(pages).select("doc_id", "text").collect()
+    ids = [r["doc_id"] for r in all_docs]
+
+    store = BucketedIndexStore(spark, str(tmp_path / "lsm"),
+                               n_term_buckets=8, n_doc_buckets=4)
+    # base: first 30 docs, folded into buckets
+    store.commit_merge(
+        spark.createDataFrame(all_docs[:30], "doc_id bigint, text string"),
+        mode="rewrite")
+    m_base = store.manifest()
+
+    # stream: 3 delta batches — inserts, a replacement, a delete
+    batches = [
+        all_docs[30:40],
+        [(ids[2], "replacement text for document two")] + all_docs[40:50],
+        [(ids[5], "")] + all_docs[50:60],
+    ]
+    state = {r["doc_id"]: r["text"] for r in all_docs[:30]}
+    for b in batches:
+        b = [(int(d), t) for d, t in b]
+        store.commit_merge(
+            spark.createDataFrame(b, "doc_id bigint, text string"))
+        for d, t in b:
+            if t:
+                state[d] = t
+            else:
+                state.pop(d, None)
+    m_now = store.manifest()
+    # (a) base buckets untouched by delta commits
+    assert m_now["postings"] == m_base["postings"]
+    assert m_now["documents"] == m_base["documents"]
+    # (b) tiering collapsed equal-size batches
+    assert 1 <= len(m_now["deltas"]) <= 3
+
+    def postings_set(idx):
+        return {(r.term,
+                 tuple(sorted((p.doc_id, p.tf) for p in r.postings)),
+                 r.df, r.total_tf)
+                for r in idx.postings.collect()}
+
+    bulk = build_index(spark, spark.createDataFrame(
+        sorted(state.items()), "doc_id bigint, text string"))
+    want = postings_set(bulk)
+    # (c) resolved view == bulk rebuild (incl. df/total_tf and doc table)
+    assert postings_set(store.load()) == want
+    assert ({(r.doc_id, r.doc_len) for r in store.load().documents.collect()}
+            == {(r.doc_id, r.doc_len) for r in bulk.documents.collect()})
+    # lookups on the resolved view behave (replacement + delete visible)
+    assert store.load().search_bool("replacement").count() == 1
+
+    # (d) compaction: same answers, zero deltas, base now owns everything
+    v_compacted = store.compact()
+    m_c = store.manifest(v_compacted)
+    assert m_c["deltas"] == []
+    assert postings_set(store.load()) == want
+    # compacting a compacted store is a no-op version-wise
+    assert store.compact() == v_compacted

@@ -1,46 +1,51 @@
-"""Term-bucket-partitioned, copy-on-write boolean index store — the
-O(delta) incremental merge path for operator A1 (incremental).
+"""Bucketed + LSM-delta boolean index store — the O(delta) incremental
+merge path for operator A1 (incremental).
 
 The reference's merge walks only the dictionary entries affected by the
 merged document (merge-join over sorted terms, ImmutableIndex.cs:130-176);
 everything else is structurally shared between the old and new immutable
-index. The lake equivalent of that structural sharing is partition-level
-copy-on-write — what Iceberg's MERGE INTO does with its file manifests.
-This module implements the same contract directly over parquet:
+index. At lake scale that translates to TWO mechanisms, both here:
 
-    postings  split into ``n_term_buckets`` hash buckets of the term
-              (pmod(xxhash64(term), B)) — the unit of rewrite;
-    doc_tokens (doc_id, term, tf) forward table split into
-              ``n_doc_buckets`` hash buckets of doc_id — the point-lookup
-              that answers "which terms did this batch's docs have BEFORE
-              the merge" without touching the whole index;
-    documents (doc_id, doc_len) split by the same doc buckets;
-    v{N}.json manifest mapping bucket -> parquet directory, committed
-              with an atomic LATEST pointer swap (≙ the state-pointer
-              swap, ImmutableIndex.cs:92-96).
+1. **Delta commits (LSM).** A merge batch is written as a small *delta*:
+   its tombstone set (the batch's doc ids — they override every older
+   appearance), its token table, and its documents rows. NOTHING of the
+   base index is rewritten — per-batch cost is O(batch), independent of
+   corpus size. Deltas are size-tiered like LSM levels / Lucene segments:
+   when a new delta is at least half the size of the previous one the two
+   merge (cost = their combined size), so a long stream keeps at most
+   O(log total) deltas alive and per-batch cost stays amortized O(batch
+   * log). Readers resolve base + deltas lazily with last-wins-per-doc
+   semantics; term lookups still push the term filter into the base's
+   term-bucketed parquet.
 
-A merge batch rewrites ONLY
+2. **Bucket-level copy-on-write compaction.** ``compact()`` (or
+   ``commit_merge(mode="rewrite")``) folds deltas into the base, which is
+   partitioned into ``n_term_buckets`` hash buckets of the term — the
+   unit of rewrite — plus a doc-bucketed forward table (doc_id, term, tf)
+   that answers "which terms did these docs have BEFORE the merge"
+   without scanning the index. Only buckets owning affected terms / docs
+   are rewritten; every untouched bucket's files carry into the new
+   manifest unchanged (byte-identical) — the parquet stand-in for
+   Iceberg's MERGE INTO file-level copy-on-write.
 
-    - the doc buckets owning the batch's doc ids, and
-    - the term buckets owning the batch's affected terms
-      (old terms of re-crawled/deleted docs ∪ new terms),
+Versions are manifests (v{N}.json mapping bucket -> directory, plus the
+delta list) committed with an atomic LATEST pointer swap (≙ the
+reference's state-pointer swap, ImmutableIndex.cs:92-96). Merge
+semantics are exactly ``Index.merge`` (IIndex.cs:116-119): a re-merged
+doc REPLACES its postings, an empty token set DELETES the doc, emptied
+terms disappear — gated by the streaming==bulk equivalence tests.
 
-referencing every other bucket's existing files unchanged in the new
-manifest — per-batch cost is O(delta + touched buckets), independent of
-corpus size, and untouched buckets are byte-identical (the same files).
-At 100 TB the bucket count scales with the corpus (e.g. 4096), keeping a
-bucket at a comfortable task size; the rewrite of a bucket is one
-partial+final hash-agg with the same skew salting as the bulk build.
-
-Merge semantics are exactly ``Index.merge`` (IIndex.cs:116-119): a
-re-merged doc REPLACES its postings, an empty token set DELETES the doc,
-emptied terms disappear — gated by the streaming==bulk equivalence tests.
+At 100 TB: bucket count scales with the corpus (constant bucket size);
+per-batch cost depends only on batch size and tier count; compaction is
+a scheduled maintenance job (Lucene's background segment merging), not a
+per-batch tax.
 """
 
 from __future__ import annotations
 
 import json
 import os
+from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -51,15 +56,17 @@ POSTINGS_DDL = ("term string, df bigint, total_tf bigint, "
                 "postings array<struct<doc_id:bigint,tf:int>>")
 TOKENS_DDL = "doc_id bigint, term string, tf int"
 DOCS_DDL = "doc_id bigint, doc_len bigint"
+IDS_DDL = "doc_id bigint"
 
 _TABLES = ("postings", "doc_tokens", "documents")
 
 
 class BucketedIndexStore:
-    """Snapshot-versioned boolean index with bucket-level copy-on-write
-    merges. Same external surface as VersionedIndexStore (latest_version /
-    versions / load -> Index) plus ``commit_merge`` which IS the merge —
-    there is no full-index rewrite anywhere on this path."""
+    """Snapshot-versioned boolean index with O(batch) delta commits and
+    bucket-level copy-on-write compaction. Same external surface as
+    VersionedIndexStore (latest_version / versions / load -> Index) plus
+    ``commit_merge`` which IS the merge — there is no full-index rewrite
+    anywhere on this path."""
 
     def __init__(self, spark, root: str, cfg: IndexConfig | None = None,
                  n_term_buckets: int = 64, n_doc_buckets: int = 64):
@@ -102,46 +109,210 @@ class BucketedIndexStore:
         if v is None:
             return None
         with open(f"{self.root}/v{v}.json") as fh:
-            return json.load(fh)
+            m = json.load(fh)
+        m.setdefault("deltas", [])
+        return m
+
+    def _write_manifest(self, v: int, man: dict) -> int:
+        tmp = f"{self.root}/v{v}.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(tmp, f"{self.root}/v{v}.json")
+        tmp = f"{self.root}/LATEST.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, f"{self.root}/LATEST")
+        return v
 
     # -- readers ----------------------------------------------------------
 
     def _read(self, paths: list[str], ddl: str) -> DataFrame:
+        paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
             return self.spark.createDataFrame([], ddl)
         return self.spark.read.schema(ddl).parquet(*paths)
 
     def load(self, version: int | None = None) -> Index:
+        """Resolved view of a version: base plus deltas, last-wins-per-doc.
+        With no deltas this is the raw term-bucketed parquet; with deltas,
+        a lazy merge whose term filter still pushes into the base scan
+        (term is the grouping key, so lookup predicates travel through
+        the aggregation, union, and explode down to parquet)."""
         m = self.manifest(version)
         if m is None:
             from textindexing_spark.sources.catalog import empty_index
 
             return empty_index(self.spark, self.cfg)
-        return Index(self.spark,
-                     self._read(list(m["postings"].values()), POSTINGS_DDL),
-                     self._read(list(m["documents"].values()), DOCS_DDL),
-                     self.cfg)
+        base_postings = self._read(list(m["postings"].values()),
+                                   POSTINGS_DDL)
+        base_docs = self._read(list(m["documents"].values()), DOCS_DDL)
+        if not m["deltas"]:
+            return Index(self.spark, base_postings, base_docs, self.cfg)
 
-    # -- the O(delta) merge ------------------------------------------------
+        from textindexing_spark.operators.build import postings_from_tokens
+
+        # resolve newest-to-oldest: rows of delta i survive unless a LATER
+        # delta's tombstones (cumulative ``later``) override them; base
+        # rows survive unless any delta overrides them
+        later = None
+        tok_parts, doc_parts = [], []
+        for d in reversed(m["deltas"]):
+            dt = self._read([f"{d['dir']}/doc_tokens"], TOKENS_DDL)
+            dd = self._read([f"{d['dir']}/documents"], DOCS_DDL)
+            if later is not None:
+                dt = dt.join(F.broadcast(later), "doc_id", "left_anti")
+                dd = dd.join(F.broadcast(later), "doc_id", "left_anti")
+            tok_parts.append(dt)
+            doc_parts.append(dd)
+            t = self._read([f"{d['dir']}/tombstones"], IDS_DDL)
+            later = t if later is None else later.unionByName(t).distinct()
+        base_tok = (base_postings
+                    .select("term", F.explode("postings").alias("p"))
+                    .select(F.col("p.doc_id").alias("doc_id"), "term",
+                            F.col("p.tf").alias("tf"))
+                    .join(F.broadcast(later), "doc_id", "left_anti"))
+        all_tok = reduce(DataFrame.unionByName, tok_parts + [base_tok])
+        documents = reduce(
+            DataFrame.unionByName,
+            doc_parts + [base_docs.join(F.broadcast(later), "doc_id",
+                                        "left_anti")])
+        return Index(self.spark, postings_from_tokens(all_tok, self.cfg),
+                     documents, self.cfg)
+
+    # -- merge: O(batch) delta commit --------------------------------------
 
     def commit_merge(self, docs: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> int:
+                     text_col: str = "text", mode: str = "delta") -> int:
         """Merge a document batch (Index.merge semantics) into a NEW
-        version, rewriting only the buckets the batch touches."""
+        version. mode='delta' (default) appends an LSM delta and
+        size-tier-merges — O(batch) amortized, base untouched.
+        mode='rewrite' folds the batch straight into the term buckets,
+        rewriting only the buckets it touches."""
         from pyspark import StorageLevel
 
         from textindexing_spark.operators.build import (
-            document_lengths, postings_from_tokens, tokenize_documents)
+            document_lengths, tokenize_documents)
 
-        prev = self.manifest() or {t: {} for t in _TABLES}
+        prev = self.manifest() or {**{t: {} for t in _TABLES}, "deltas": []}
+        if mode == "rewrite" and prev["deltas"]:
+            # deltas are NEWER than the base; folding a still-newer batch
+            # under them would invert last-wins — flush them first
+            self.compact()
+            prev = self.manifest()
         v = (self.latest_version() or 0) + 1
         vdir = f"{self.root}/v{v}_data"
-
         new_tokens = (tokenize_documents(docs, self.cfg, id_col=id_col,
                                          text_col=text_col)
                       .persist(StorageLevel.MEMORY_AND_DISK))
         batch_ids = (docs.select(F.col(id_col).alias("doc_id")).distinct()
                      .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            if mode == "rewrite":
+                man = self._fold_into_buckets(prev, new_tokens, batch_ids,
+                                              vdir)
+                man["deltas"] = list(prev["deltas"])
+                return self._write_manifest(v, man)
+
+            ddir = f"{vdir}/delta"
+            n_docs = self._write_delta(ddir, batch_ids, new_tokens,
+                                       document_lengths(new_tokens))
+            deltas = list(prev["deltas"]) + [{"dir": ddir, "n_docs": n_docs}]
+            deltas = self._tier_merge(deltas, vdir)
+            man = {t: dict(prev[t]) for t in _TABLES}
+            man["deltas"] = deltas
+            return self._write_manifest(v, man)
+        finally:
+            new_tokens.unpersist()
+            batch_ids.unpersist()
+
+    def _write_delta(self, ddir: str, tombstones: DataFrame,
+                     doc_tokens: DataFrame, documents: DataFrame) -> int:
+        """Write one delta (tombstones + token/doc tables). Deltas are
+        micro-batch-sized: single-file writes, no shuffle."""
+        (tombstones.coalesce(1).write.mode("overwrite")
+         .parquet(f"{ddir}/tombstones"))
+        (doc_tokens.coalesce(1).write.mode("overwrite")
+         .parquet(f"{ddir}/doc_tokens"))
+        (documents.coalesce(1).write.mode("overwrite")
+         .parquet(f"{ddir}/documents"))
+        return documents.count()
+
+    def _tier_merge(self, deltas: list[dict], vdir: str) -> list[dict]:
+        """Size-tiered delta merging (LSM): while the newest delta has
+        grown to >= half its predecessor, merge the two — keeps the live
+        delta count O(log total) and amortized merge cost O(batch * log).
+        Merging two deltas is exact: the newer one's tombstones override
+        the older one's rows."""
+        i = 0
+        while len(deltas) >= 2 and \
+                deltas[-1]["n_docs"] * 2 >= deltas[-2]["n_docs"]:
+            old, new = deltas[-2], deltas[-1]
+            old_t = self._read([f"{old['dir']}/tombstones"], IDS_DDL)
+            new_t = self._read([f"{new['dir']}/tombstones"], IDS_DDL)
+            over = F.broadcast(new_t)
+            mdir = f"{vdir}/merged{i}"
+            i += 1
+            n = self._write_delta(
+                mdir,
+                old_t.unionByName(new_t).distinct(),
+                self._read([f"{old['dir']}/doc_tokens"], TOKENS_DDL)
+                    .join(over, "doc_id", "left_anti")
+                    .unionByName(self._read([f"{new['dir']}/doc_tokens"],
+                                            TOKENS_DDL)),
+                self._read([f"{old['dir']}/documents"], DOCS_DDL)
+                    .join(over, "doc_id", "left_anti")
+                    .unionByName(self._read([f"{new['dir']}/documents"],
+                                            DOCS_DDL)))
+            deltas = deltas[:-2] + [{"dir": mdir, "n_docs": n}]
+        return deltas
+
+    # -- compaction: fold deltas into the term buckets ---------------------
+
+    def compact(self) -> int:
+        """Fold every live delta into the base term buckets (one bucket
+        rewrite per touched bucket; untouched buckets keep their files).
+        A maintenance operation — schedule it like Lucene's background
+        segment merges; queries work identically before and after."""
+        prev = self.manifest()
+        if prev is None or not prev["deltas"]:
+            return self.latest_version() or 0
+        from pyspark import StorageLevel
+
+        v = (self.latest_version() or 0) + 1
+        vdir = f"{self.root}/v{v}_data"
+        # resolved state of all delta docs (newest wins), plus the full
+        # override set as batch ids
+        later = None
+        tok_parts = []
+        all_tombs = []
+        for d in reversed(prev["deltas"]):
+            dt = self._read([f"{d['dir']}/doc_tokens"], TOKENS_DDL)
+            if later is not None:
+                dt = dt.join(F.broadcast(later), "doc_id", "left_anti")
+            tok_parts.append(dt)
+            t = self._read([f"{d['dir']}/tombstones"], IDS_DDL)
+            all_tombs.append(t)
+            later = t if later is None else later.unionByName(t).distinct()
+        new_tokens = (reduce(DataFrame.unionByName, tok_parts)
+                      .persist(StorageLevel.MEMORY_AND_DISK))
+        batch_ids = (reduce(DataFrame.unionByName, all_tombs).distinct()
+                     .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            man = self._fold_into_buckets(prev, new_tokens, batch_ids, vdir)
+            man["deltas"] = []
+            return self._write_manifest(v, man)
+        finally:
+            new_tokens.unpersist()
+            batch_ids.unpersist()
+
+    def _fold_into_buckets(self, prev: dict, new_tokens: DataFrame,
+                           batch_ids: DataFrame, vdir: str) -> dict:
+        """Bucket-level copy-on-write: rewrite ONLY the term buckets
+        owning affected terms (old terms of replaced/deleted docs ∪ new
+        terms) and the doc buckets owning batch ids; inherit every other
+        bucket's files unchanged. Returns the new base-table manifest."""
+        from textindexing_spark.operators.build import (
+            document_lengths, postings_from_tokens)
 
         # doc buckets owning the batch ids — old rows of re-crawled docs
         # and all new rows land in exactly these buckets
@@ -196,9 +367,6 @@ class BucketedIndexStore:
          .write.mode("overwrite").partitionBy("db")
          .parquet(f"{vdir}/documents"))
 
-        new_tokens.unpersist()
-        batch_ids.unpersist()
-
         # manifest: inherit every untouched bucket's existing files; a
         # touched bucket maps to its fresh directory, or disappears if the
         # merge emptied it (partitionBy writes no dir for absent values)
@@ -209,18 +377,9 @@ class BucketedIndexStore:
             if os.path.isdir(d):
                 man["postings"][str(k)] = d
         for k in touched_db:
-            for t, part in (("doc_tokens", "db"), ("documents", "db")):
+            for t in ("doc_tokens", "documents"):
                 man[t].pop(str(k), None)
-                d = f"{vdir}/{t}/{part}={k}"
+                d = f"{vdir}/{t}/db={k}"
                 if os.path.isdir(d):
                     man[t][str(k)] = d
-
-        tmp = f"{self.root}/v{v}.json.tmp"
-        with open(tmp, "w") as fh:
-            json.dump(man, fh)
-        os.replace(tmp, f"{self.root}/v{v}.json")
-        tmp = f"{self.root}/LATEST.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(v))
-        os.replace(tmp, f"{self.root}/LATEST")
-        return v
+        return man

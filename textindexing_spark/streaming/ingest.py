@@ -81,12 +81,14 @@ class StreamingIngestor:
                  cfg: IndexConfig | None = None,
                  quarantine_path: str | None = None,
                  bucketed: bool = True,
-                 n_term_buckets: int = 64, n_doc_buckets: int = 64):
+                 n_term_buckets: int = 64, n_doc_buckets: int = 64,
+                 compact_every: int | None = None):
         from textindexing_spark._pkg import ensure_shipped
 
         ensure_shipped(spark)
         self.spark = spark
         self.cfg = cfg or IndexConfig()
+        self.compact_every = compact_every
         if bucketed:
             from textindexing_spark.sources.bucketed import (
                 BucketedIndexStore)
@@ -121,8 +123,11 @@ class StreamingIngestor:
         docs = (doc_ids_for(good)
                 .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
         if hasattr(self.store, "commit_merge"):
-            # O(delta) path: bucket-level copy-on-write merge
+            # O(batch) path: LSM delta commit (+ scheduled compaction)
             v = self.store.commit_merge(docs)
+            if self.compact_every and \
+                    self.metrics.batches % self.compact_every == 0:
+                v = self.store.compact()
         else:
             idx = self.store.load()
             v = self.store.commit(idx.merge(docs))
