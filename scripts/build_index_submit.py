@@ -57,8 +57,8 @@ def main(argv: list[str] | None = None) -> None:
     from textindexing_spark.operators.build import (
         document_lengths, postings_from_tokens, tokenize_documents)
     from textindexing_spark.plans.manifest import StagePipeline
-    from textindexing_spark.streaming.ingest import (
-        dedup_last_wins, doc_ids_for)
+    from textindexing_spark.sources.urlids import UrlIdTable
+    from textindexing_spark.streaming.ingest import dedup_last_wins
 
     cfg = IndexConfig()
     t0 = time.perf_counter()
@@ -81,10 +81,14 @@ def main(argv: list[str] | None = None) -> None:
                          fingerprint if args.resume else
                          f"{fingerprint}:{time.time_ns()}")
 
+    url_ids = UrlIdTable(spark, f"{args.output}/_urlmap")
+
     def stage_docs(spark_, pages_df):
         current = dedup_last_wins(pages_df)
         texted = extract_text_column(current)
-        return (doc_ids_for(texted)
+        # dense collision-free doc ids (persisted dimension — a url keeps
+        # its id across incremental builds)
+        return (url_ids.assign(texted)
                 .select("doc_id", "url",
                         F.coalesce("text", F.lit("")).alias("text")))
 

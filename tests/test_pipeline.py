@@ -143,10 +143,12 @@ def test_streaming_ingest_equals_bulk(spark, tmp_path):
     ing.ingest_available(src, str(tmp_path / "ckpt"))
     assert ing.store.latest_version() > v_after_bulk
 
-    # equivalence: streaming-built index == bulk-built index
+    # equivalence: streaming-built index == bulk-built index (ids come
+    # from the ingestor's persisted url dimension)
     pages = spark.createDataFrame(rows, PAGES_SCHEMA)
     bulk = build_index(
-        spark, doc_ids_for(pages).select("doc_id", "text"))
+        spark, pages.join(ing.url_ids.mapping(), "url")
+        .select("doc_id", "text"))
     stream_idx = ing.index()
     a = {(r.term, tuple(sorted((p.doc_id, p.tf) for p in r.postings)))
          for r in bulk.postings.collect()}
@@ -223,7 +225,8 @@ def test_streaming_segment_ingest_equals_bulk(spark, tmp_path):
     final[rows[1][0]] = recrawl[1]
     pages = spark.createDataFrame(list(final.values()), PAGES_SCHEMA)
     bulk = build_segments_from_docs(
-        spark, doc_ids_for(pages).select("doc_id", "text"),
+        spark, pages.join(ing.url_ids.mapping(), "url")
+        .select("doc_id", "text"),
         ing.cfg, n_shards=4)
 
     stream_seg = ing.index()

@@ -1,0 +1,63 @@
+"""UrlIdTable: collision-free dense doc ids (VERDICT round-1 item 2 —
+replaces the xxhash64(url) surrogate whose 64-bit birthday bound makes
+collisions certain at the 100 TB tier)."""
+
+import pytest
+
+from textindexing_spark.sources.urlids import UrlIdTable
+
+
+@pytest.fixture()
+def urls():
+    return [f"https://example.org/page/{i:05d}" for i in range(1000)]
+
+
+def _df(spark, urls):
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_dense_unique_and_stable(spark, tmp_path, urls):
+    t = UrlIdTable(spark, str(tmp_path / "ids"))
+    out = t.assign(_df(spark, urls))
+    got = {r.url: r.doc_id for r in out.collect()}
+    # dense 0..n-1, unique by construction (no birthday bound)
+    assert sorted(got.values()) == list(range(len(urls)))
+
+    # idempotent: re-assigning the same urls changes nothing
+    again = {r.url: r.doc_id
+             for r in t.assign(_df(spark, urls)).collect()}
+    assert again == got
+    assert t.mapping().count() == len(urls)
+
+    # append: old urls keep their ids, new urls extend the dense range
+    new_urls = [f"https://example.org/new/{i}" for i in range(250)]
+    out2 = {r.url: r.doc_id
+            for r in t.assign(_df(spark, urls[:10] + new_urls)).collect()}
+    for u in urls[:10]:
+        assert out2[u] == got[u]
+    all_ids = set(got.values()) | {out2[u] for u in new_urls}
+    assert len(all_ids) == len(urls) + len(new_urls)
+    assert sorted(all_ids) == list(range(len(urls) + len(new_urls)))
+
+
+def test_assignment_is_deterministic(spark, tmp_path, urls):
+    a = UrlIdTable(spark, str(tmp_path / "a"))
+    b = UrlIdTable(spark, str(tmp_path / "b"))
+    # different partitionings of the same url set -> identical mapping
+    ma = {r.url: r.doc_id for r in
+          a.assign(_df(spark, urls).repartition(7)).collect()}
+    mb = {r.url: r.doc_id for r in
+          b.assign(_df(spark, list(reversed(urls))).repartition(3))
+          .collect()}
+    assert ma == mb
+
+
+def test_extra_columns_and_nulls_pass_through(spark, tmp_path):
+    t = UrlIdTable(spark, str(tmp_path / "ids"))
+    df = spark.createDataFrame(
+        [("u1", "hello"), (None, "orphan"), ("u2", "world")],
+        "url string, text string")
+    rows = {r.url: (r.doc_id, r.text) for r in t.assign(df).collect()}
+    assert rows["u1"][1] == "hello" and rows["u2"][1] == "world"
+    assert rows[None][0] is None  # null urls get no id (quarantined upstream)
+    assert {rows["u1"][0], rows["u2"][0]} == {0, 1}

@@ -298,8 +298,13 @@ class SegmentIndex:
                  "score": pd.Series([s for _, s in top], dtype="float64")})
 
         seg_q = self.segments.where(F.col("term").isin(list(idfs)))
+        # rebind the docs side with fresh expression ids (Alias) — both
+        # sides can derive from one fused frame, and cogrouping a frame
+        # with itself trips the ambiguous-self-join check
+        docs_side = self.shard_docs.select(
+            *[F.col(c).alias(c) for c in self.shard_docs.columns])
         per_shard = (seg_q.groupby("shard")
-                     .cogroup(self.shard_docs.groupby("shard"))
+                     .cogroup(docs_side.groupby("shard"))
                      .applyInPandas(shard_topk, out_schema))
         return (per_shard
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())

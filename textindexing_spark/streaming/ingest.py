@@ -50,10 +50,11 @@ class IngestMetrics:
 
 
 def doc_ids_for(pages: DataFrame, id_expr: str = "xxhash64(url)") -> DataFrame:
-    """Deterministic surrogate doc_id per url. Default: xxhash64(url) —
-    stable across runs/partitionings (a global row_number over url gives
-    dense ids at the cost of a sort; both are deterministic, unlike
-    zipWithIndex)."""
+    """Stateless surrogate doc_id per url (default xxhash64(url)) —
+    fine for one-shot/demo corpora and tests. A 64-bit hash collides
+    near 5e9 urls, so the INGEST paths use the persistent dense-id
+    dimension instead (sources/urlids.UrlIdTable), which is
+    collision-free at any scale."""
     return pages.withColumn("doc_id", F.expr(id_expr))
 
 
@@ -99,6 +100,11 @@ class StreamingIngestor:
         else:
             self.store = VersionedIndexStore(spark, index_root, self.cfg)
         self.quarantine_path = quarantine_path or f"{index_root}/_quarantine"
+        from textindexing_spark.sources.urlids import UrlIdTable
+
+        # collision-free dense doc ids, persisted beside the index so a
+        # url keeps its id across batches/restarts
+        self.url_ids = UrlIdTable(spark, f"{index_root}/_urlmap")
         self.metrics = IngestMetrics()
 
     # -- batch core (shared by streaming + manual batch ingest) -----------
@@ -120,7 +126,7 @@ class StreamingIngestor:
             (bad.withColumn("error", F.lit("null url"))
                 .write.mode("append").parquet(self.quarantine_path))
         good = batch.where(F.col("url").isNotNull())
-        docs = (doc_ids_for(good)
+        docs = (self.url_ids.assign(good)
                 .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
         if hasattr(self.store, "commit_merge"):
             # O(batch) path: LSM delta commit (+ scheduled compaction)
@@ -199,7 +205,7 @@ class StreamingSegmentIngestor(StreamingIngestor):
             (bad.withColumn("error", F.lit("null url"))
                 .write.mode("append").parquet(self.quarantine_path))
         good = batch.where(F.col("url").isNotNull())
-        docs = (doc_ids_for(good)
+        docs = (self.url_ids.assign(good)
                 .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
         base = self.store.load()
         if base is None:
