@@ -140,13 +140,19 @@ def run_level(cpus: int, master: str | None = None) -> dict:
     n_indexed = seg.n_docs
 
     with open(f"{REPO}/fixtures/queries.json") as fh:
-        qset = [q for q in json.load(fh) if q["mode"] == "bm25"][:3]
+        qset = [q for q in json.load(fh) if q["mode"] == "bm25"]
+    # per-query latency sample (interactive mode)
     lat = []
-    tq0 = time.perf_counter()
-    for q in qset:
+    for q in qset[:3]:
         t = time.perf_counter()
         seg.search_bm25(q["query_text"], q["k"]).collect()
         lat.append(time.perf_counter() - t)
+    # throughput mode: the WHOLE query set as ONE batched job — this is
+    # what scales with executors (per-query jobs are dominated by fixed
+    # shard-task scheduling at small k)
+    texts = [q["query_text"] for q in qset]
+    tq0 = time.perf_counter()
+    seg.search_bm25_many(texts, 10).collect()
     query_s = time.perf_counter() - tq0
 
     out = {

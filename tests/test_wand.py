@@ -263,3 +263,24 @@ def test_upsert_single_doc_many_shards_keeps_avgdl(spark, corpus):
         cfg, n_shards=32)
     assert pruned.n_docs == re2.n_docs
     assert pruned.avgdl == pytest.approx(re2.avgdl, rel=1e-12)
+
+
+def test_batched_wand_matches_per_query(seg):
+    """search_bm25_many must return, per query, exactly what per-query
+    search_bm25 returns — one Spark job for the whole set (the round-1
+    query-throughput-scaling fix)."""
+    batched = seg.search_bm25_many(QUERIES, 10).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r.query_id, []).append((r.doc_id,
+                                                round(r.score, 9)))
+    for q in QUERIES:
+        single = [(r.doc_id, round(r.score, 9)) for r in
+                  seg.search_bm25(q, 10).collect()]
+        assert by_q.get(q, []) == single, q
+    # dict form: explicit ids
+    named = seg.search_bm25_many({"a": "word1 word7"}, 5).collect()
+    assert {r.query_id for r in named} == {"a"}
+    assert [(r.doc_id, round(r.score, 9)) for r in named] == [
+        (r.doc_id, round(r.score, 9)) for r in
+        seg.search_bm25("word1 word7", 5).collect()]

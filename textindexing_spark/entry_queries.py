@@ -330,6 +330,37 @@ WHERE l.doc_id < r.doc_id
 """
 
 
+def _q_lsh_verified(spark, sf_dir):
+    from textindexing_spark.operators.dedup import near_duplicates
+
+    return near_duplicates(_docs(spark, sf_dir), threshold=0.5,
+                           num_hashes=4, band_size=2)
+
+
+_SQL_LSH_VERIFIED = f"""
+WITH {_SQL_SHINGLES},
+sig AS (SELECT doc_id,
+               min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+               min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3
+        FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band, h2 || '|' || h3 AS key FROM sig),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+         WHERE l.doc_id < r.doc_id),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT c.a, c.b, count(*) AS i
+          FROM cand c
+          JOIN sh x ON x.doc_id = c.a
+          JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+          GROUP BY 1, 2)
+SELECT a, b, round(i / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+WHERE round(i / (sa.n + sb.n - i), 4) >= 0.5
+"""
+
+
 def _q_simhash(spark, sf_dir):
     from textindexing_spark.operators.dedup import simhash
 
@@ -897,6 +928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": _q_ngram_jaccard,
     "dedup_minhash_sigs": _q_minhash_sigs,
     "dedup_lsh_candidates": _q_lsh_candidates,
+    "dedup_lsh_verified": _q_lsh_verified,
     "dedup_simhash": _q_simhash,
     "dedup_simhash_pairs": _q_simhash_pairs,
     "ann_cosine_topk": _q_ann_cosine,
@@ -943,6 +975,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
     "dedup_minhash_sigs": _SQL_MINHASH_SIGS,
     "dedup_lsh_candidates": _SQL_LSH_CANDIDATES,
+    "dedup_lsh_verified": _SQL_LSH_VERIFIED,
     "dedup_simhash": _simhash_sql(16),
     "dedup_simhash_pairs": _simhash_pairs_sql(3),
     "ann_cosine_topk": _SQL_ANN_COSINE,

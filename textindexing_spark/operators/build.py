@@ -33,6 +33,32 @@ from textindexing_spark.functions.tokenize import tokenize_series
 TOKENS_SCHEMA = "doc_id bigint, term string, tf int"
 
 
+def _count_tf(ids, tok_lists, np, pd):
+    """Vectorized per-doc term-frequency counting for one Arrow batch:
+    factorize the batch's flat token stream once, then find (doc, term)
+    runs with a single lexsort — no per-doc/per-token Python dict loops
+    in the hot encode stage. Empty docs contribute nothing (never
+    indexed, SURVEY 1.4.2). Returns (doc_id, term, tf) arrays."""
+    from itertools import chain
+
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    total = int(lens.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, object),
+                np.empty(0, np.int64))
+    flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object,
+                       count=total)
+    codes, uniq = pd.factorize(flat)
+    doc_rep = np.repeat(ids, lens)
+    order = np.lexsort((codes, doc_rep))
+    dr, cd = doc_rep[order], codes[order]
+    starts = np.flatnonzero(
+        np.r_[True, (dr[1:] != dr[:-1]) | (cd[1:] != cd[:-1])])
+    tf = np.diff(np.append(starts, dr.size))
+    return dr[starts], np.asarray(uniq, dtype=object)[cd[starts]], tf
+
+
 def tokenize_documents(docs: DataFrame, cfg: IndexConfig | None = None,
                        id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
@@ -51,24 +77,17 @@ def tokenize_documents(docs: DataFrame, cfg: IndexConfig | None = None,
     fold = cfg.case_insensitive
 
     def _tok(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             tok_lists = tokenize_series(pdf[text_col], tokenizer, fold)
-            ids, terms, tfs = [], [], []
-            for doc_id, toks in zip(pdf[id_col].to_numpy(), tok_lists):
-                if not toks:
-                    continue  # empty doc: never indexed (SURVEY 1.4.2)
-                counts: dict[str, int] = {}
-                for t in toks:
-                    counts[t] = counts.get(t, 0) + 1
-                ids.extend([doc_id] * len(counts))
-                terms.extend(counts.keys())
-                tfs.extend(counts.values())
+            doc_id, term, tf = _count_tf(pdf[id_col].to_numpy(np.int64),
+                                         tok_lists, np, pd)
             yield pd.DataFrame(
-                {"doc_id": pd.Series(ids, dtype="int64"),
-                 "term": pd.Series(terms, dtype="object"),
-                 "tf": pd.Series(tfs, dtype="int32")})
+                {"doc_id": pd.Series(doc_id, dtype="int64"),
+                 "term": pd.Series(term, dtype="object"),
+                 "tf": pd.Series(tf, dtype="int32")})
 
     return docs.select(F.col(id_col).alias(id_col),
                        F.col(text_col).alias(text_col)) \

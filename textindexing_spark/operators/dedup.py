@@ -62,10 +62,12 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         n: int = 3) -> DataFrame:
-    """Near-dup pairs (a, b, jaccard) with a < b, by n-gram shingle
-    Jaccard >= threshold. The shingle self-join only materializes pairs
-    sharing >=1 shingle — at web scale, run it AFTER MinHash-LSH banding
-    (lsh_candidate_pairs) to bound the candidate set."""
+    """EXHAUSTIVE near-dup pairs (a, b, jaccard) with a < b, by n-gram
+    shingle Jaccard >= threshold — the recall-audit verifier for bounded
+    corpora. The shingle self-join only materializes pairs sharing >=1
+    shingle, but a head shingle still blows it up; the web-scale
+    operator is ``near_duplicates`` (LSH candidates -> exact Jaccard on
+    candidates only)."""
     # the .distinct() is a logical no-op (shingles are per-doc distinct
     # already) but materializes ONE shared exchange that every consumer
     # below — both self-join sides and the sizes agg — reuses
@@ -84,6 +86,32 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                     F.round(F.col("inter") /
                             (F.col("na") + F.col("nb") - F.col("inter")), 4)
                      .alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def near_duplicates(docs: DataFrame, threshold: float = 0.5,
+                    num_hashes: int = 8, band_size: int = 2,
+                    n: int = 3) -> DataFrame:
+    """Composed scale-safe near-dup operator: MinHash-LSH candidate
+    generation, then EXACT n-gram Jaccard verification on the candidate
+    pairs ONLY. No shingle self-join ever forms — the verification work
+    is O(candidates), and candidates are sub-quadratic by banding, so
+    this is the operator to run at web scale (``ngram_jaccard_pairs`` is
+    the exhaustive verifier for bounded corpora / recall audits).
+
+    Verification is per-pair set arithmetic on the two docs' shingle
+    arrays (array_intersect — no explode, no aggregation); a missed-by-
+    every-band true pair is not recovered, per standard LSH recall
+    bounds (tune num_hashes/band_size). Returns (a, b, jaccard), a < b,
+    jaccard >= threshold."""
+    cands = lsh_candidate_pairs(docs, num_hashes, band_size, n)
+    sh = shingle_arrays(docs, n)
+    a_sh = sh.select(F.col("doc_id").alias("a"), F.col("shs").alias("sha"))
+    b_sh = sh.select(F.col("doc_id").alias("b"), F.col("shs").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = F.round(inter / (F.size("sha") + F.size("shb") - inter), 4)
+    return (cands.join(a_sh, "a").join(b_sh, "b")
+            .select("a", "b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 
