@@ -1,0 +1,134 @@
+"""F8 IngestorSet (≙ IndexerSet.cs:60-163) and watch-loop delete
+detection (≙ FileSystemDocumentSource Deleted events)."""
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+
+from textindexing_spark import IndexConfig
+from textindexing_spark.sources.pages import PAGES_SCHEMA
+from textindexing_spark.streaming.ingest import (
+    StreamingIngestor, StreamingSegmentIngestor)
+from textindexing_spark.streaming.registry import IngestorSet
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _write(spark, rows, path):
+    spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(path)
+
+
+def test_ingestor_set_add_remove_purges_source(spark, tmp_path):
+    """Two sources into ONE shared index; removing one stops it and
+    purges its documents everywhere (IndexerSet.cs:148-163 ->
+    RemoveFromIndex); duplicate sources are rejected (:96-99); removing
+    an unknown source is a no-op (:152-155)."""
+    src_a = str(tmp_path / "src_a")
+    src_b = str(tmp_path / "src_b")
+    _write(spark, [("a1", T0, None, "apple banana", "en"),
+                   ("a2", T0, None, "banana cherry", "en")], src_a)
+    _write(spark, [("b1", T0, None, "cherry dates", "en")], src_b)
+
+    iset = IngestorSet(spark, str(tmp_path / "shared_idx"),
+                       n_term_buckets=8, n_doc_buckets=4)
+    iset.add(src_a)
+    iset.add(src_b)
+    with pytest.raises(ValueError, match="already included"):
+        iset.add(src_a)
+    iset.drain()
+
+    idx = iset.index()
+    assert idx.search_bool("banana").count() == 2
+    assert idx.search_bool("cherry").count() == 2  # one from each source
+    assert idx.documents.count() == 3
+
+    # remove source A: its docs vanish, B's survive
+    iset.remove(src_a)
+    assert iset.sources == [src_b]
+    idx = iset.index()
+    assert idx.search_bool("banana").count() == 0
+    assert idx.search_bool("apple").count() == 0
+    assert idx.search_bool("cherry").count() == 1
+    assert idx.documents.count() == 1
+
+    iset.remove(str(tmp_path / "nonexistent"))  # no-op, no raise
+
+    # a url provided by BOTH live sources survives removal of one
+    src_c = str(tmp_path / "src_c")
+    src_d = str(tmp_path / "src_d")
+    shared = ("shared_url", T0, None, "elderberry fig", "en")
+    _write(spark, [shared], src_c)
+    _write(spark, [shared, ("d1", T0, None, "grape", "en")], src_d)
+    iset.add(src_c)
+    iset.add(src_d)
+    iset.drain()
+    assert iset.index().search_bool("elderberry").count() == 1
+    iset.remove(src_c)
+    assert iset.index().search_bool("elderberry").count() == 1  # still in D
+    iset.remove(src_d)
+    assert iset.index().search_bool("elderberry").count() == 0
+    assert iset.index().search_bool("grape").count() == 0
+
+
+def test_per_source_parser_config(spark, tmp_path):
+    """Each source can carry its own parser (≙ per-Indexer ITextParser,
+    IndexerSet.cs:118-133): a punctuation-split source and the default
+    alnum source feed one index."""
+    src_a = str(tmp_path / "sa")
+    src_b = str(tmp_path / "sb")
+    _write(spark, [("u1", T0, None, "foo_bar baz", "en")], src_a)
+    _write(spark, [("u2", T0, None, "foo_bar qux", "en")], src_b)
+
+    iset = IngestorSet(spark, str(tmp_path / "idx"),
+                       n_term_buckets=8, n_doc_buckets=4)
+    iset.add(src_a)  # default alnum: foo_bar -> foo, bar
+    iset.add(src_b, IndexConfig(tokenizer="regex:[a-z_]+"))  # keeps foo_bar
+    iset.drain()
+    idx = iset.index()
+    assert idx.search_bool("foo").count() == 1      # only u1
+    assert idx.search_bool("foo_bar").count() == 1  # only u2
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (StreamingIngestor, {"n_term_buckets": 8, "n_doc_buckets": 4}),
+    (StreamingSegmentIngestor, {"n_shards": 4}),
+])
+def test_reconcile_deletes_drops_vanished_urls(spark, tmp_path, cls, kw):
+    """A url that disappears from the source listing (file deleted on
+    disk) is tombstoned out of the index on reconcile — the watcher's
+    Deleted event (FileSystemDocumentSource.cs:120-140) as a
+    listing-vs-documents anti-join."""
+    src = str(tmp_path / "src")
+    _write(spark, [("u1", T0, None, "alpha beta", "en"),
+                   ("u2", T0, None, "gamma delta", "en")], src)
+    first_files = set(glob.glob(f"{src}/*.parquet"))
+    _write(spark, [("u3", T0, None, "epsilon", "en")], src)
+
+    ing = cls(spark, str(tmp_path / "idx"), **kw)
+    ing.ingest_available(src, str(tmp_path / "ck"))
+    idx = ing.index()
+    n_q = (idx.search_bool("alpha").count() if hasattr(idx, "search_bool")
+           else idx.search_bm25("alpha", 5).count())
+    assert n_q == 1
+
+    # crawler dropped the first file: u1, u2 vanish from the listing
+    for f in first_files:
+        os.remove(f)
+    ing.reconcile_deletes(src)
+    idx = ing.index()
+    if hasattr(idx, "search_bool"):
+        assert idx.search_bool("alpha").count() == 0
+        assert idx.search_bool("gamma").count() == 0
+        assert idx.search_bool("epsilon").count() == 1
+        assert idx.documents.count() == 1
+    else:
+        assert idx.search_bm25("alpha", 5).count() == 0
+        assert idx.search_bm25("epsilon", 5).count() == 1
+        assert idx.documents_df().count() == 1
+
+    # idempotent: nothing more to delete
+    v = ing.reconcile_deletes(src)
+    assert v >= 1

@@ -150,6 +150,24 @@ class SegmentIndex:
                    meta["n_docs"], meta["avgdl"], cfg or IndexConfig(),
                    n_shards=meta.get("n_shards"))
 
+    def documents_df(self) -> DataFrame:
+        """(doc_id, doc_len) decoded from the packed shard doc tables — a
+        narrow map over S summary rows (no shuffle); the segment-path
+        equivalent of the boolean Index's documents table."""
+        def decode(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for _, r in pdf.iterrows():
+                    ids = codec.varbyte_decode(
+                        np.frombuffer(r["doc_ids"], dtype=np.uint8))
+                    lens = codec.varbyte_decode(
+                        np.frombuffer(r["doc_lens"], dtype=np.uint8))
+                    yield pd.DataFrame({"doc_id": ids, "doc_len": lens})
+
+        return (self.shard_docs.select("doc_ids", "doc_lens")
+                .mapInPandas(decode, "doc_id bigint, doc_len bigint"))
+
     def _shard_docs_with_sum_dl(self) -> DataFrame:
         """shard_docs with a guaranteed non-null ``sum_dl`` column.
         Indexes saved before sum_dl existed (or built via paths that left

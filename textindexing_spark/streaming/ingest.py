@@ -128,18 +128,49 @@ class StreamingIngestor:
         good = batch.where(F.col("url").isNotNull())
         docs = (self.url_ids.assign(good)
                 .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
-        if hasattr(self.store, "commit_merge"):
-            # O(batch) path: LSM delta commit (+ scheduled compaction)
-            v = self.store.commit_merge(docs)
-            if self.compact_every and \
-                    self.metrics.batches % self.compact_every == 0:
-                v = self.store.compact()
-        else:
-            idx = self.store.load()
-            v = self.store.commit(idx.merge(docs))
+        v = self._merge_docs(docs)
+        if self.compact_every and \
+                self.metrics.batches % self.compact_every == 0 and \
+                hasattr(self.store, "compact"):
+            v = self.store.compact()
         # indexed = docs that actually entered the index: empty-text rows
         # are tombstones (deletes), not indexed documents
         self.metrics.docs_indexed += docs.where(F.length("text") > 0).count()
+        self.metrics.versions.append(v)
+        return v
+
+    def _merge_docs(self, docs: DataFrame) -> int:
+        """Commit one docs(doc_id, text) batch with upsert semantics."""
+        if hasattr(self.store, "commit_merge"):
+            # O(batch) path: LSM delta commit
+            return self.store.commit_merge(docs)
+        return self.store.commit(self.store.load().merge(docs))
+
+    def reconcile_deletes(self, source_dir: str) -> int:
+        """Delete detection for the watch loop: documents whose url is no
+        longer present in the source's CURRENT listing are tombstoned out
+        of the index — the reconciliation twin of the reference watcher's
+        Deleted events (FileSystemDocumentSource.cs:120-140; a Renamed
+        event ≙ this delete plus the new url arriving through the normal
+        change stream, DirectoryDocumentSource.cs:81-93). Returns the new
+        version (or the current one if nothing vanished)."""
+        live = (self.spark.read.schema(PAGES_SCHEMA).parquet(source_dir)
+                .select("url").distinct())
+        idx = self.index()
+        if idx is None:
+            return 0
+        docs_df = (idx.documents if hasattr(idx, "documents")
+                   else idx.documents_df())  # SegmentIndex
+        indexed = (docs_df.select("doc_id")
+                   .join(self.url_ids.mapping(), "doc_id"))
+        gone = (indexed.join(live, "url", "left_anti")
+                .select("doc_id", F.lit("").alias("text")))
+        n_gone = gone.count()
+        if n_gone == 0:
+            return (self.store.latest_version() or 0
+                    if hasattr(self.store, "latest_version")
+                    else self.store._latest() or 0)
+        v = self._merge_docs(gone)
         self.metrics.versions.append(v)
         return v
 
@@ -207,13 +238,19 @@ class StreamingSegmentIngestor(StreamingIngestor):
         good = batch.where(F.col("url").isNotNull())
         docs = (self.url_ids.assign(good)
                 .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
+        v = self._merge_docs(docs)
+        self.metrics.docs_indexed += docs.where(F.length("text") > 0).count()
+        self.metrics.versions.append(v)
+        return v
+
+    def _merge_docs(self, docs: DataFrame) -> int:
+        from textindexing_spark.operators.bm25 import (
+            build_segments_from_docs)
+
         base = self.store.load()
         if base is None:
             new_seg = build_segments_from_docs(self.spark, docs, self.cfg,
                                                n_shards=self.n_shards)
         else:
             new_seg = base.upsert(docs)
-        v = self.store.commit(new_seg)
-        self.metrics.docs_indexed += docs.where(F.length("text") > 0).count()
-        self.metrics.versions.append(v)
-        return v
+        return self.store.commit(new_seg)

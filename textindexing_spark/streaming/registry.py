@@ -1,0 +1,134 @@
+"""IngestorSet — operator F8: a registry of (source, parser) pairs
+maintaining ONE shared index (reference: Indexing/IndexerSet.cs:60-163).
+
+Reference semantics mirrored exactly:
+
+- ``add`` rejects a source already in the set
+  (IndexerSet.cs:93-99 "Source is already included in this IndexerSet");
+- each source can carry its OWN parser/tokenizer config
+  (≙ per-Indexer ITextParser, IndexerSet.cs:118-133) while all sources
+  merge into the same index;
+- ``remove`` = stop indexing + purge that source's documents from the
+  shared index via delete-by-predicate (A3)
+  (IndexerSet.cs:148-163 -> Indexer.RemoveFromIndex).
+
+Spark shape: every source is a StreamingIngestor over its own pages
+directory with its own streaming checkpoint, all committing into one
+BucketedIndexStore (LSM delta merges) and one UrlIdTable at
+``index_root`` — state is shared through the store, so sources can
+drain independently. Each micro-batch additionally appends its url set
+to the source's PROVENANCE table; ``remove`` purges the source's urls
+minus any url still provided by another live source (url is global
+document identity here — a deliberate deviation from the reference's
+per-source document identity, documented in COVERAGE.md)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from textindexing_spark.config import IndexConfig
+from textindexing_spark.streaming.ingest import StreamingIngestor
+
+
+class _SourceIngestor(StreamingIngestor):
+    """StreamingIngestor that records each batch's urls in the source's
+    provenance table before merging (append-only, url column)."""
+
+    def __init__(self, spark, index_root, cfg, prov_path, **kw):
+        super().__init__(spark, index_root, cfg, **kw)
+        self.prov_path = prov_path
+
+    def process_batch(self, batch, epoch_id: int = 0) -> int:
+        (batch.select("url").where(F.col("url").isNotNull()).distinct()
+         .coalesce(1).write.mode("append").parquet(self.prov_path))
+        return super().process_batch(batch, epoch_id)
+
+
+class IngestorSet:
+    """Multiple document sources, one shared index (≙ IndexerSet)."""
+
+    def __init__(self, spark, index_root: str,
+                 cfg: IndexConfig | None = None,
+                 n_term_buckets: int = 64, n_doc_buckets: int = 64):
+        self.spark = spark
+        self.index_root = index_root
+        self.cfg = cfg or IndexConfig()  # ≙ DefaultTextParser
+        self._buckets = (n_term_buckets, n_doc_buckets)
+        self._sources: dict[str, _SourceIngestor] = {}
+
+    def _key(self, source_dir: str) -> str:
+        return source_dir.rstrip("/")
+
+    @property
+    def sources(self) -> list[str]:
+        return sorted(self._sources)
+
+    def add(self, source_dir: str,
+            cfg: IndexConfig | None = None) -> _SourceIngestor:
+        """Register a source with an optional source-specific parser
+        config; raises if the source is already in the set
+        (IndexerSet.cs:96-99)."""
+        key = self._key(source_dir)
+        if key in self._sources:
+            raise ValueError(
+                "Source is already included in this IndexerSet: " + key)
+        digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+        ing = _SourceIngestor(
+            self.spark, self.index_root, cfg or self.cfg,
+            prov_path=f"{self.index_root}/_prov/{digest}",
+            n_term_buckets=self._buckets[0],
+            n_doc_buckets=self._buckets[1])
+        ing.source_dir = key
+        ing.checkpoint_dir = f"{self.index_root}/_ck/{digest}"
+        self._sources[key] = ing
+        return ing
+
+    def drain(self, source_dir: str | None = None) -> None:
+        """Ingest everything currently available from one source (or all)
+        — initial add = bulk scan, later drains = the change stream
+        (per-source streaming checkpoints)."""
+        keys = [self._key(source_dir)] if source_dir else list(self._sources)
+        for k in keys:
+            ing = self._sources[k]
+            ing.ingest_available(ing.source_dir, ing.checkpoint_dir)
+
+    def remove(self, source_dir: str) -> None:
+        """Drop a source: its documents vanish from the shared index
+        (purge via tombstone merge ≙ RemoveFromIndex/A3). Removing an
+        unknown source does nothing (IndexerSet.cs:152-155)."""
+        key = self._key(source_dir)
+        ing = self._sources.pop(key, None)
+        if ing is None:
+            return
+        try:
+            prov = (self.spark.read.schema("url string")
+                    .parquet(ing.prov_path).distinct())
+        except Exception:
+            return  # source registered but never drained: nothing indexed
+        # keep urls still provided by another live source
+        for other in self._sources.values():
+            try:
+                o = (self.spark.read.schema("url string")
+                     .parquet(other.prov_path))
+            except Exception:
+                continue  # source registered but never drained
+            prov = prov.join(o, "url", "left_anti")
+        tombstones = (ing.url_ids.assign(prov)
+                      .where(F.col("doc_id").isNotNull())
+                      .select("doc_id", F.lit("").alias("text")))
+        if tombstones.limit(1).count():
+            ing.store.commit_merge(tombstones)
+
+    def index(self):
+        """The shared index (latest committed version)."""
+        if self._sources:
+            return next(iter(self._sources.values())).index()
+        # registry may be empty (all sources removed): read the store
+        from textindexing_spark.sources.bucketed import BucketedIndexStore
+
+        return BucketedIndexStore(
+            self.spark, self.index_root, self.cfg,
+            n_term_buckets=self._buckets[0],
+            n_doc_buckets=self._buckets[1]).load()
