@@ -161,3 +161,20 @@ def test_salted_build_equals_unsalted(spark):
           tuple((p.doc_id, p.tf) for p in r.postings))
          for r in salted.postings.collect()}
     assert a == b
+
+
+def test_matching_accepts_python_callable(idx):
+    """Q3 parity with Func<string,bool> (IIndex.cs:52-62): a Python
+    callable filters the dictionary identically to the equivalent SQL
+    expression, and bad predicate types are rejected."""
+    import pytest as _pt
+
+    want = {r.term for r in
+            idx.matching("term rlike '^[a-z]{4}$'").collect()}
+    got = {r.term for r in
+           idx.matching(lambda w: len(w) == 4 and w.islower()
+                        and w.isalpha()).collect()}
+    # islower/isalpha over the alnum dictionary == the regex class here
+    assert got == want and want
+    with _pt.raises(TypeError):
+        idx.matching(42)

@@ -693,6 +693,23 @@ GROUP BY term
 """
 
 
+def _q_predicate_scan_callable(spark, sf_dir):
+    # Q3 with an arbitrary PYTHON callable (≙ Func<string, bool>,
+    # IIndex.cs:52-62): pandas-UDF filter over the dictionary — the
+    # oracle uses an equivalent SQL expression of the same predicate
+    idx = _index(spark, sf_dir)
+    return (idx.matching(lambda w: "a" in w and len(w) >= 5)
+            .select("term", "df"))
+
+
+_SQL_PREDICATE_SCAN_CALLABLE = f"""
+WITH tf AS ({_TF})
+SELECT term, count(*)::BIGINT AS df FROM tf
+WHERE term LIKE '%a%' AND length(term) >= 5
+GROUP BY term
+"""
+
+
 def _q_glob_filter(spark, sf_dir):
     # S6 SearchPattern glob -> anchored case-insensitive regex
     # (SearchPattern.cs:39-67) as a Catalyst rlike over a string column
@@ -792,15 +809,49 @@ FROM documents, unnest([0, 2, 4, 6]) AS t(f)
 
 
 def _q_media_features(spark, sf_dir):
-    # rows-only check: features come from the stubbed numpy decode — not
-    # SQL-expressible; the shape/determinism is pinned in test_multimodal.py
+    # full-value oracle: the fake container's body is a linear function
+    # of (doc_id, byte index), so every decode-derived feature (channel
+    # means/stds, quadrant means) is reproducible in SQL over doc_id
     from textindexing_spark.functions.multimodal import (
         image_features, synthesize_media)
-    from pyspark.sql import functions as FF
 
     media = synthesize_media(_docs(spark, sf_dir), "image")
-    return image_features(media).select(
-        "doc_id", FF.size("feature").alias("dim"))
+    feats = image_features(media)
+    names = ["mean_r", "mean_g", "mean_b", "std_r", "std_g", "std_b",
+             "q0", "q1", "q2", "q3"]
+    return feats.select(
+        "doc_id",
+        *[F.round(F.col("feature")[i].cast("double"), 2).alias(nm)
+          for i, nm in enumerate(names)],
+        F.col("feature")[10].cast("int").alias("width"),
+        F.col("feature")[11].cast("int").alias("height"))
+
+
+_SQL_MEDIA_FEATURES = """
+WITH dims AS (
+  SELECT doc_id, (8 + doc_id % 24)::BIGINT AS w,
+         (8 + doc_id % 16)::BIGINT AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, j,
+         ((doc_id * 31 + (j % 256) * 7) % 256)::DOUBLE AS v,
+         (j % 3)::INT AS c,
+         ((j // 3) % w)::BIGINT AS x, ((j // 3) // w)::BIGINT AS y
+  FROM dims, unnest(generate_series(0, w * h * 3 - 1)) AS t(j))
+SELECT doc_id,
+  round(avg(v) FILTER (c = 0), 2) AS mean_r,
+  round(avg(v) FILTER (c = 1), 2) AS mean_g,
+  round(avg(v) FILTER (c = 2), 2) AS mean_b,
+  round(sqrt(avg(v*v) FILTER (c = 0) - avg(v) FILTER (c = 0)^2), 2) AS std_r,
+  round(sqrt(avg(v*v) FILTER (c = 1) - avg(v) FILTER (c = 1)^2), 2) AS std_g,
+  round(sqrt(avg(v*v) FILTER (c = 2) - avg(v) FILTER (c = 2)^2), 2) AS std_b,
+  round(avg(v) FILTER (y < h // 2 AND x < w // 2), 2) AS q0,
+  round(avg(v) FILTER (y < h // 2 AND x >= w // 2), 2) AS q1,
+  round(avg(v) FILTER (y >= h // 2 AND x < w // 2), 2) AS q2,
+  round(avg(v) FILTER (y >= h // 2 AND x >= w // 2), 2) AS q3,
+  max(w)::INT AS width, max(h)::INT AS height
+FROM px GROUP BY doc_id
+"""
 
 
 def _q_rolling_fingerprint(spark, sf_dir):
@@ -940,6 +991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_point_scan": _q_point_scan,
     "extract_roundtrip": _q_extract_roundtrip,
     "predicate_scan": _q_predicate_scan,
+    "predicate_scan_callable": _q_predicate_scan_callable,
     "glob_url_filter": _q_glob_filter,
     "regex_tokenizer_counts": _q_regex_tokenizer,
     "punct_tokenizer_counts": _q_punct_tokenizer,
@@ -987,11 +1039,13 @@ ORACLE_SQL: dict[str, str] = {
     "url_point_scan": _SQL_POINT_SCAN,
     "extract_roundtrip": _SQL_EXTRACT_ROUNDTRIP,
     "predicate_scan": _SQL_PREDICATE_SCAN,
+    "predicate_scan_callable": _SQL_PREDICATE_SCAN_CALLABLE,
     "glob_url_filter": _SQL_GLOB_FILTER,
     "regex_tokenizer_counts": _SQL_REGEX_TOKENIZER,
     "punct_tokenizer_counts": _SQL_PUNCT_TOKENIZER,
     "media_metadata": _SQL_MEDIA_METADATA,
     "media_frame_sample": _SQL_MEDIA_FRAMES,
+    "media_image_features": _SQL_MEDIA_FEATURES,
     "lang_id": _SQL_LANG_ID,
     "quality_score": _SQL_QUALITY,
     "token_counts": _SQL_TOKEN_COUNTS,

@@ -116,8 +116,9 @@ def synthesize_media(docs: DataFrame, kind: str = "image",
         for pdf in batches:
             out = {"doc_id": [], "kind": [], "payload": [], "meta": []}
             for doc_id in pdf["_id"].to_numpy():
-                rng = np.random.RandomState((doc_id * 2654435761) % (2**31))
                 if kind == "audio":
+                    rng = np.random.RandomState(
+                        (doc_id * 2654435761) % (2**31))
                     sr, w, h, nf = 16000, 0, 0, 0
                     body = (rng.randint(-3000, 3000, 1600)
                             .astype("<i2").tobytes())
@@ -125,8 +126,11 @@ def synthesize_media(docs: DataFrame, kind: str = "image",
                     sr = 0
                     w, h = 8 + int(doc_id) % 24, 8 + int(doc_id) % 16
                     nf = frames
-                    body = rng.randint(0, 256, 256, dtype=np.int64) \
-                              .astype(np.uint8).tobytes()
+                    # body bytes are a LINEAR function of (doc_id, i) —
+                    # deterministic AND SQL-expressible, so decode-derived
+                    # features have an exact DuckDB oracle
+                    body = (((int(doc_id) * 31 + np.arange(256) * 7) % 256)
+                            .astype(np.uint8).tobytes())
                 out["doc_id"].append(int(doc_id))
                 out["kind"].append(kind)
                 out["payload"].append(pack_media(codec, w, h, nf, sr, body))
@@ -184,7 +188,10 @@ def image_features(media: DataFrame) -> DataFrame:
             ids, feats = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    img = decode_rgb(bytes(payload)).astype(np.float32)
+                    # accumulate in float64 (float32 partial sums drift
+                    # ~1e-2 over a few hundred pixels); the emitted
+                    # vector is float32, standard embedding width
+                    img = decode_rgb(bytes(payload)).astype(np.float64)
                 except NotImplementedError:
                     continue  # quarantine path: undecodable -> dropped
                 h, w, _ = img.shape

@@ -88,8 +88,28 @@ class Index:
 
     def matching(self, predicate) -> DataFrame:
         """Q3 GetWordsMatching (ImmutableIndex.cs:73-82): arbitrary
-        predicate over the dictionary; pass a Column or a SQL string."""
-        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        predicate over the dictionary. Accepts a SQL string or Column
+        (Catalyst-evaluated, pushdown-friendly) OR any Python callable
+        str -> bool — full parity with the reference's
+        ``Func<string, bool>`` (IIndex.cs:52-62) via an Arrow-batched
+        pandas UDF over the term column (the dictionary is tiny relative
+        to postings, so the Python hop costs little; prefer SQL/Column
+        predicates when expressible)."""
+        from pyspark.sql import Column
+
+        if isinstance(predicate, str):
+            cond = F.expr(predicate)
+        elif isinstance(predicate, Column):
+            cond = predicate
+        elif callable(predicate):
+            @F.pandas_udf("boolean")
+            def _pred(terms):
+                return terms.map(lambda t: bool(predicate(t)))
+
+            cond = _pred(F.col("term"))
+        else:
+            raise TypeError("predicate must be a SQL string, Column, or "
+                            "callable str -> bool")
         return self.postings.where(cond)
 
     def words(self) -> DataFrame:
