@@ -749,8 +749,21 @@ def _merge_shard_factory(cfg: IndexConfig):
                     bytes(lrow["gaps"]), bytes(lrow["tfs"]),
                     list(lrow["blocks"]))
                 m = ~np.isin(doc_l, d_ids_r)  # drop replaced/deleted docs
-                doc_l, tf_l = doc_l[m], tf_l[m]
                 rrow = rmap.get(term)
+                if rrow is None and m.all():
+                    # posting list untouched by this delta: pass the
+                    # encoded bytes through verbatim (no re-encode)
+                    rows["shard"].append(shard)
+                    rows["term"].append(term)
+                    rows["n_docs"].append(int(lrow["n_docs"]))
+                    rows["gaps"].append(lrow["gaps"])
+                    rows["tfs"].append(lrow["tfs"])
+                    rows["blocks"].append(lrow["blocks"])
+                    rows["doc_ids"].append(None)
+                    rows["doc_lens"].append(None)
+                    rows["sum_dl"].append(None)
+                    continue
+                doc_l, tf_l = doc_l[m], tf_l[m]
                 if rrow is not None:
                     doc_r, tf_r = codec.decode_postings(
                         bytes(rrow["gaps"]), bytes(rrow["tfs"]),
