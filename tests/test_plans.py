@@ -55,3 +55,23 @@ def test_bm25_broadcasts_documents_and_takeordered(snap):
     p = _plan(snap.search_bm25("word1 word2", 10))
     assert "BroadcastHashJoin" in p  # dim side broadcast, no postings shuffle
     assert "TakeOrderedAndProject" in p  # top-k, never a global sort
+
+
+def test_lsm_view_pushes_term_filter_to_all_scans(spark, tmp_path):
+    """The LSM resolved view (base buckets + deltas) must keep lookup
+    predicates pushed into EVERY parquet scan: term filters travel
+    through the re-aggregation, union, explode, and anti-joins down to
+    both the base bucket files and the delta token files."""
+    from textindexing_spark.sources.bucketed import BucketedIndexStore
+
+    store = BucketedIndexStore(spark, str(tmp_path / "pushidx"),
+                               n_term_buckets=8, n_doc_buckets=4)
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} common") for i in range(50)],
+        "doc_id bigint, text string")
+    store.commit_merge(docs, mode="rewrite")
+    store.commit_merge(spark.createDataFrame(
+        [(100, "fresh w3")], "doc_id bigint, text string"))
+    idx = store.load()
+    p = _plan(idx.exact("w3"))
+    assert p.count("EqualTo(term,w3)") >= 2  # base scan AND delta scan
