@@ -197,6 +197,28 @@ def _q_upsert_merge(spark, sf_dir):
     return idx.merge(batch).postings.select("term", "df", "total_tf")
 
 
+def _q_bucketed_merge(spark, sf_dir):
+    # A1 incremental, SCALE path: the same merge as upsert_merge but
+    # through the LSM/bucket store (delta commit over a bucketed base;
+    # the resolved view must equal the logical Index.merge result)
+    import tempfile
+
+    from textindexing_spark.sources.bucketed import BucketedIndexStore
+
+    store = BucketedIndexStore(
+        spark, tempfile.mkdtemp(prefix="tix_bmerge_"),
+        n_term_buckets=8, n_doc_buckets=4)
+    store.commit_merge(_docs(spark, sf_dir).select("doc_id", "text"),
+                       mode="rewrite")
+    batch = (_docs(spark, sf_dir).where("doc_id < 20")
+             .select("doc_id",
+                     F.when(F.col("doc_id") == 3, F.lit(""))
+                      .otherwise(F.concat("text", F.lit(" zzmergedzz token")))
+                      .alias("text")))
+    store.commit_merge(batch)
+    return store.load().postings.select("term", "df", "total_tf")
+
+
 _SQL_UPSERT_MERGE = f"""
 WITH corpus AS (
   SELECT doc_id, CASE WHEN doc_id = 3 THEN ''
@@ -974,6 +996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": _q_bm25,
     "delete_predicate": _q_delete_predicate,
     "upsert_merge": _q_upsert_merge,
+    "bucketed_merge": _q_bucketed_merge,
     "segment_upsert_bm25": _q_segment_upsert_bm25,
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_ngram_jaccard,
@@ -1022,6 +1045,7 @@ ORACLE_SQL: dict[str, str] = {
     "bm25_topk": _SQL_BM25,
     "delete_predicate": _SQL_DELETE_PREDICATE,
     "upsert_merge": _SQL_UPSERT_MERGE,
+    "bucketed_merge": _SQL_UPSERT_MERGE,
     "segment_upsert_bm25": _SQL_SEGMENT_UPSERT_BM25,
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
