@@ -349,9 +349,28 @@ Raw per-level JSON:
         fh.write(md + _LAUNCH_EVIDENCE)
 
 
-# static transcript (scripts/build_index_submit.py, measured 2026-08-17) —
-# kept in the generator so a BENCH.md regeneration preserves it
+# static transcripts (measured 2026-08-17) — kept in the generator so a
+# BENCH.md regeneration preserves them
 _LAUNCH_EVIDENCE = """
+## Incremental-merge cost vs corpus size (O(delta) evidence)
+
+`scripts/bench_upsert.py`: the SAME 200-doc batch stream merged into a
+10k-doc and a 40k-doc corpus (median of 4 batches, local[8], fresh
+store per level):
+
+| path | per-batch @10k docs | per-batch @40k docs | 4x-corpus ratio |
+|---|---|---|---|
+| LSM delta commit (`BucketedIndexStore.commit_merge`, ingest default) | 3.17 s | 2.78 s | **0.88 (flat)** |
+| legacy full logical rebuild (`Index.merge` + snapshot commit) | 4.10 s | 6.40 s | 1.56 (grows with corpus) |
+
+The delta path's absolute per-batch time is fixed Spark job overhead
+(tokenize batch + three micro-batch-sized writes + occasional tier
+merge) — independent of corpus size by construction: no base bucket
+file is read or rewritten on commit. Compaction
+(`BucketedIndexStore.compact`) is a scheduled maintenance job, not a
+per-batch tax.
+
+
 ## Multi-executor evidence (`local-cluster`, N vs 4N executors)
 
 The north rule's literal criterion — throughput scaling efficiency >= 0.8
