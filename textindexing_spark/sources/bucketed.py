@@ -176,7 +176,13 @@ class BucketedIndexStore:
             DataFrame.unionByName,
             doc_parts + [base_docs.join(F.broadcast(later), "doc_id",
                                         "left_anti")])
-        return Index(self.spark, postings_from_tokens(all_tok, self.cfg),
+        # the view re-aggregates lazily per query: skip the salting
+        # df pre-pass (it doubles the scan lineage and only matters for
+        # full materializations, which compaction handles with salting)
+        from dataclasses import replace
+
+        view_cfg = replace(self.cfg, salt_df_threshold=0)
+        return Index(self.spark, postings_from_tokens(all_tok, view_cfg),
                      documents, self.cfg)
 
     # -- merge: O(batch) delta commit --------------------------------------
@@ -345,10 +351,18 @@ class BucketedIndexStore:
                     F.col("p.tf").alias("tf"))
             .join(F.broadcast(batch_ids), "doc_id", "left_anti"))
         tokens_all = old_tokens_kept.unionByName(new_tokens)
+        if self.cfg.salt_df_threshold > 0:
+            # the salting df pre-pass reads tokens twice — persist so the
+            # decode+anti-join lineage runs once
+            from pyspark import StorageLevel
+
+            tokens_all = tokens_all.persist(StorageLevel.MEMORY_AND_DISK)
         (postings_from_tokens(tokens_all, self.cfg)
          .withColumn("tb", self._term_bucket())
          .write.mode("overwrite").partitionBy("tb")
          .parquet(f"{vdir}/postings"))
+        if self.cfg.salt_df_threshold > 0:
+            tokens_all.unpersist()
 
         # rewrite touched doc buckets of the forward table + documents
         kept_dt = old_dt.join(F.broadcast(batch_ids), "doc_id", "left_anti")
