@@ -373,3 +373,28 @@ def test_lsm_delta_commits_equal_bulk_and_compact(spark, tmp_path):
     assert postings_set(store.load()) == want
     # compacting a compacted store is a no-op version-wise
     assert store.compact() == v_compacted
+
+
+def test_streaming_auto_compaction(spark, tmp_path):
+    """compact_every=N folds LSM deltas into the bucketed base every N
+    micro-batches (scheduled maintenance ≙ Lucene background merges);
+    query results are identical before and after."""
+    rows = generate_pages_rows(n_docs=30, seed=41, recrawl_fraction=0.0)
+    src = str(tmp_path / "src")
+    ing = StreamingIngestor(spark, str(tmp_path / "idx"),
+                            n_term_buckets=8, n_doc_buckets=4,
+                            compact_every=2)
+    _write_batch(spark, rows[:15], src)
+    ing.ingest_available(src, str(tmp_path / "ck"))
+    _write_batch(spark, rows[15:], src)
+    ing.ingest_available(src, str(tmp_path / "ck"))
+    assert ing.metrics.batches == 2
+    assert ing.store.manifest()["deltas"] == []  # compacted
+    bulk = build_index(
+        spark, spark.createDataFrame(rows, PAGES_SCHEMA)
+        .join(ing.url_ids.mapping(), "url").select("doc_id", "text"))
+    a = {(r.term, tuple(sorted((p.doc_id, p.tf) for p in r.postings)))
+         for r in bulk.postings.collect()}
+    b = {(r.term, tuple(sorted((p.doc_id, p.tf) for p in r.postings)))
+         for r in ing.index().postings.collect()}
+    assert a == b
