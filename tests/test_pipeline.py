@@ -398,3 +398,31 @@ def test_streaming_auto_compaction(spark, tmp_path):
     b = {(r.term, tuple(sorted((p.doc_id, p.tf) for p in r.postings)))
          for r in ing.index().postings.collect()}
     assert a == b
+
+
+def test_streaming_windowed_counts_equal_batch(spark, tmp_path):
+    """The watermarked streaming window aggregation must produce exactly
+    the batch hourly aggregation after draining the same events (late
+    rows inside the watermark horizon included)."""
+    import shutil
+
+    from textindexing_spark.streaming.windows import run_windowed_counts
+
+    src = str(tmp_path / "ev_src")
+    events = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    events.coalesce(2).write.parquet(src)
+
+    out = str(tmp_path / "ev_out")
+    run_windowed_counts(spark, src, out, str(tmp_path / "ev_ck"))
+    got = {(r.hour_ts, r.event_type, r.n, r.sum_value)
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.hour_ts, r.event_type, r.n, r.sum_value)
+            for r in (events.groupBy(
+                F.unix_timestamp(F.date_trunc("hour", "ts"))
+                 .alias("hour_ts"), "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .collect())}
+    assert got == want and got
+    shutil.rmtree(out, ignore_errors=True)
