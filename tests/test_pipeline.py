@@ -426,3 +426,61 @@ def test_streaming_windowed_counts_equal_batch(spark, tmp_path):
                 .collect())}
     assert got == want and got
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: with all events in one
+    micro-batch, every session except each user's trailing open one is
+    provably closed and emitted — counts must equal the batch window
+    sessionization minus that one open session per user; boundaries must
+    respect the 30-min gap rule."""
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from textindexing_spark.streaming.stateful import run_sessionize
+
+    src = str(tmp_path / "sess_src")
+    events = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    events.coalesce(1).write.parquet(src)  # one file -> one micro-batch
+
+    out = str(tmp_path / "sess_out")
+    run_sessionize(spark, src, out, str(tmp_path / "sess_ck"))
+    got = spark.read.parquet(out)
+    closed_per_user = {r.user_id: r.n for r in
+                       got.groupBy("user_id")
+                       .agg(F.count("*").alias("n")).collect()}
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (events
+             .withColumn("us", F.unix_micros(F.col("ts")
+                                             .cast("timestamp_ltz")))
+             .withColumn("prev", F.lag("us").over(w))
+             .withColumn("new_s", F.when(
+                 F.col("prev").isNull() |
+                 (F.col("us") - F.col("prev") > 1800 * 1_000_000),
+                 1).otherwise(0))
+             .groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"),
+                                     F.max("us").alias("last_us")))
+    # a user's trailing open session is flushed iff the final watermark
+    # (global max event time - 2h) passed its 30-min gap horizon
+    global_max = events.agg(F.max(F.unix_micros(
+        F.col("ts").cast("timestamp_ltz")))).collect()[0][0]
+    wm_us = global_max - 7200 * 1_000_000
+    want = {}
+    for r in batch.collect():
+        n = r.n_sessions if wm_us > r.last_us + 1800 * 1_000_000 \
+            else r.n_sessions - 1
+        if n > 0:
+            want[r.user_id] = n
+    assert closed_per_user == want and want
+
+    # every emitted session respects the gap rule internally and ends
+    # > 30 min before the user's next session starts
+    rows = sorted(got.collect(), key=lambda r: (r.user_id, r.start_us))
+    for a, b in zip(rows, rows[1:]):
+        if a.user_id == b.user_id:
+            assert b.start_us - a.end_us > 1800 * 1_000_000
+    assert all(r.end_us >= r.start_us and r.n_events >= 1 for r in rows)
+    shutil.rmtree(out, ignore_errors=True)
