@@ -876,6 +876,31 @@ FROM px GROUP BY doc_id
 """
 
 
+def _q_audio_stats(spark, sf_dir):
+    # audio analogue of quality_score over decoded PCM; the fake body is
+    # a linear function of (doc_id, sample index), so rms/peak have an
+    # exact SQL restatement
+    from textindexing_spark.functions.multimodal import (
+        audio_stats, synthesize_media)
+
+    audio = synthesize_media(_docs(spark, sf_dir), "audio")
+    return audio_stats(audio).select(
+        "doc_id", "n_samples",
+        F.round("rms", 4).alias("rms"),
+        F.round("peak", 4).alias("peak"))
+
+
+_SQL_AUDIO_STATS = """
+WITH pcm AS (
+  SELECT doc_id, ((doc_id * 13 + i * 11) % 6001 - 3000)::DOUBLE AS s
+  FROM documents, unnest(generate_series(0, 1599)) AS t(i))
+SELECT doc_id, count(*)::BIGINT AS n_samples,
+       round(sqrt(avg(s * s)), 4) AS rms,
+       round(max(abs(s)), 4) AS peak
+FROM pcm GROUP BY doc_id
+"""
+
+
 def _q_rolling_fingerprint(spark, sf_dir):
     from textindexing_spark.functions.analysis import rolling_fingerprint
 
@@ -1021,6 +1046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_metadata": _q_media_metadata,
     "media_frame_sample": _q_media_frames,
     "media_image_features": _q_media_features,
+    "media_audio_stats": _q_audio_stats,
     "lang_id": _q_lang_id,
     "quality_score": _q_quality,
     "token_counts": _q_token_counts,
@@ -1070,6 +1096,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_metadata": _SQL_MEDIA_METADATA,
     "media_frame_sample": _SQL_MEDIA_FRAMES,
     "media_image_features": _SQL_MEDIA_FEATURES,
+    "media_audio_stats": _SQL_AUDIO_STATS,
     "lang_id": _SQL_LANG_ID,
     "quality_score": _SQL_QUALITY,
     "token_counts": _SQL_TOKEN_COUNTS,

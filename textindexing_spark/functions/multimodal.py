@@ -117,10 +117,11 @@ def synthesize_media(docs: DataFrame, kind: str = "image",
             out = {"doc_id": [], "kind": [], "payload": [], "meta": []}
             for doc_id in pdf["_id"].to_numpy():
                 if kind == "audio":
-                    rng = np.random.RandomState(
-                        (doc_id * 2654435761) % (2**31))
                     sr, w, h, nf = 16000, 0, 0, 0
-                    body = (rng.randint(-3000, 3000, 1600)
+                    # linear fn of (doc_id, i): deterministic and
+                    # SQL-expressible like the image body
+                    body = ((((int(doc_id) * 13 + np.arange(1600) * 11)
+                              % 6001) - 3000)
                             .astype("<i2").tobytes())
                 else:
                     sr = 0
