@@ -62,9 +62,16 @@ def main() -> None:
     from textindexing_spark.operators.similarity import cosine_topk, lsh_topk
     from textindexing_spark.functions.analysis import quality_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the sf tables are single parquet files = single scan tasks; spread
+    # them so per-row work (tokenize, shingle, hash) parallelizes — at
+    # production scale the input arrives in thousands of files and this
+    # repartition is the file count
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(int(cpus)).cache())
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .repartition(int(cpus)).cache())
     n_docs = docs.count()
+    emb.count()
 
     # warmup outside the timings: JIT/codegen/python-worker spin-up
     warm = build_index(spark, docs.limit(200), IndexConfig())
