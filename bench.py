@@ -73,10 +73,17 @@ def main() -> None:
     n_docs = docs.count()
     emb.count()
 
-    # warmup outside the timings: JIT/codegen/python-worker spin-up
+    # warmup outside the timings: JIT/codegen/python-worker spin-up —
+    # including the dedup/ANN paths, whose generated code (8 md5 lambda
+    # transforms + banding) costs seconds to compile on first call
     warm = build_index(spark, docs.limit(200), IndexConfig())
     warm.search_bm25("data fast", 3).collect()
     warm.unpersist()
+    lsh_candidate_pairs(docs.limit(50)).count()
+    near_duplicates(docs.limit(50)).count()
+    simhash(docs.limit(50)).count()
+    cosine_topk(emb.limit(50), 0, 3).collect()
+    lsh_topk(emb.limit(50), 0, 3).collect()
 
     timings: dict[str, float] = {}
 
