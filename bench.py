@@ -133,7 +133,9 @@ def main() -> None:
     seg = timed("fused_segment_build", lambda: (
         lambda s: (s.save(seg_dir), s)[1]
     )(build_segments_from_docs(spark, docs, IndexConfig(), n_shards=64)))
-    seg = SegmentIndex.load(spark, seg_dir)
+    # query-serving layout: shard-clustered cached cogroup sides (what a
+    # long-lived query session runs on)
+    seg = SegmentIndex.load(spark, seg_dir).prepare_for_queries()
 
     wand_lat: list[float] = []
 

@@ -39,7 +39,8 @@ def main(argv: list[str] | None = None) -> None:
     from textindexing_spark.operators.bm25 import SegmentIndex
 
     if os.path.exists(f"{args.index}/_meta.json"):
-        idx = SegmentIndex.load(spark, args.index).cache()
+        # serving layout: shard-clustered in-memory cogroup sides
+        idx = SegmentIndex.load(spark, args.index).prepare_for_queries()
         kind = "segments"
         if args.mode == "bool":
             raise SystemExit("boolean queries need an Index snapshot "
