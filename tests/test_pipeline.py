@@ -484,3 +484,38 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
             assert b.start_us - a.end_us > 1800 * 1_000_000
     assert all(r.end_us >= r.start_us and r.n_events >= 1 for r in rows)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_bucketed_vacuum_keeps_live_versions_readable(spark, tmp_path):
+    """vacuum() must delete only data unreachable from the kept
+    manifests: the latest versions stay byte-for-byte queryable
+    (copy-on-write shares bucket files across versions, so reachability
+    is over the union of kept manifests), older versions disappear."""
+    import os
+
+    from textindexing_spark.sources.bucketed import BucketedIndexStore
+
+    store = BucketedIndexStore(spark, str(tmp_path / "vac"),
+                               n_term_buckets=8, n_doc_buckets=4)
+    docs = [(i, f"w{i} w{i + 1} shared") for i in range(40)]
+    store.commit_merge(
+        spark.createDataFrame(docs, "doc_id bigint, text string"),
+        mode="rewrite")
+    for j in range(4):  # four delta commits -> five versions
+        store.commit_merge(spark.createDataFrame(
+            [(100 + j, f"delta{j} words")], "doc_id bigint, text string"))
+    versions = store.versions()
+    assert len(versions) == 5
+    before = {r.term for r in store.load().postings.collect()}
+
+    deleted = store.vacuum(keep_last=2)
+    assert deleted
+    assert store.versions() == versions[-2:]
+    # latest version still fully queryable, identical content
+    after = {r.term for r in store.load().postings.collect()}
+    assert after == before
+    assert store.load().search_bool("delta3").count() == 1
+    assert store.load().search_bool("shared").count() == 40
+    # the v1 base bucket files survive (still referenced via inheritance)
+    m = store.manifest()
+    assert all(os.path.isdir(p) for p in m["postings"].values())

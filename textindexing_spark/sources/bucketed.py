@@ -311,6 +311,42 @@ class BucketedIndexStore:
             new_tokens.unpersist()
             batch_ids.unpersist()
 
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Garbage-collect data directories no longer reachable from the
+        last ``keep_last`` version manifests (≙ Iceberg's
+        expire_snapshots + remove_orphan_files). Copy-on-write shares
+        bucket files across versions, so reachability is computed over
+        the UNION of kept manifests' paths — a data dir is deleted only
+        when no kept version references anything inside it. Older
+        manifests are dropped too (their versions become unreadable).
+        Returns the deleted paths."""
+        import shutil
+
+        versions = self.versions()
+        if len(versions) <= keep_last:
+            return []
+        keep_vs = set(versions[-keep_last:])
+        referenced: set[str] = set()
+        for v in keep_vs:
+            m = self.manifest(v)
+            for t in _TABLES:
+                referenced.update(m[t].values())
+            for d in m["deltas"]:
+                referenced.add(d["dir"])
+        deleted = []
+        for name in sorted(os.listdir(self.root)):
+            full = f"{self.root}/{name}"
+            if name.endswith("_data") and os.path.isdir(full):
+                if not any(p == full or p.startswith(full + "/")
+                           for p in referenced):
+                    shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(full)
+            elif name.startswith("v") and name.endswith(".json") \
+                    and name[1:-5].isdigit() and int(name[1:-5]) not in keep_vs:
+                os.unlink(full)
+                deleted.append(full)
+        return deleted
+
     def _fold_into_buckets(self, prev: dict, new_tokens: DataFrame,
                            batch_ids: DataFrame, vdir: str) -> dict:
         """Bucket-level copy-on-write: rewrite ONLY the term buckets
