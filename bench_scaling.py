@@ -414,15 +414,15 @@ $ python -c "from textindexing_spark._pkg import package_zip; print(package_zip(
 $ spark-submit --master local[8] --py-files /tmp/textindexing_spark.zip \\
     scripts/build_index_submit.py --input /tmp/pages_demo \\
     --output /tmp/ix_demo --resume --shards 8
-{"input": "/tmp/pages_demo", "output": "/tmp/ix_demo", "n_docs": 1959,
+{"input": "/tmp/pages_demo", "output": "/tmp/ix_demo", "n_docs": 1963,
  "n_terms": 5039, "stages_executed": ["docs", "tokens", "postings",
- "documents"], "stages_skipped": [], "wall_s": 45.16, "docs_per_sec": 43.4}
+ "documents"], "stages_skipped": [], "wall_s": 28.37, "docs_per_sec": 69.2}
 
 $ spark-submit ... --resume --skip-segments        # rerun: checkpoint resume
-{"input": "/tmp/pages_demo", "output": "/tmp/ix_demo", "n_docs": 1959,
+{"input": "/tmp/pages_demo", "output": "/tmp/ix_demo", "n_docs": 1963,
  "n_terms": 5039, "stages_executed": [],
  "stages_skipped": ["docs", "tokens", "postings", "documents"],
- "wall_s": 7.2, "docs_per_sec": 272.1}
+ "wall_s": 6.93, "docs_per_sec": 283.1}
 ```
 
 Every stage materializes with a per-partition lineage manifest
