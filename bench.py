@@ -109,6 +109,12 @@ def main() -> None:
                 idx.search_bool(q["query_text"]).collect()
     timed("bool_queries", run_bool)
 
+    # batched boolean: the whole set in ONE job (shared In-filter scan +
+    # one aggregation) — the throughput-serving mode
+    bool_texts = [q["query_text"] for q in qset if q["mode"] == "bool_and"]
+    timed("bool_batch",
+          lambda: idx.search_bool_many(bool_texts).collect())
+
     # q3: BM25 top-10 latency per query (p50 reported in extras)
     lat: list[float] = []
 

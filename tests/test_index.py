@@ -178,3 +178,16 @@ def test_matching_accepts_python_callable(idx):
     assert got == want and want
     with _pt.raises(TypeError):
         idx.matching(42)
+
+
+def test_batched_bool_matches_per_query(idx):
+    """search_bool_many: one job for the query set, per-query identical
+    to search_bool (incl. wildcard routing and duplicate tokens)."""
+    queries = ["word1 word7", "sc* *ow", "word2 word2 word3",
+               "zzabsent", "", "word1"]
+    batched = {}
+    for r in idx.search_bool_many(queries).collect():
+        batched.setdefault(r.query_id, []).append(r.doc_id)
+    for q in queries:
+        single = [r.doc_id for r in idx.search_bool(q).collect()]
+        assert batched.get(q, []) == single, repr(q)

@@ -519,3 +519,56 @@ def test_bucketed_vacuum_keeps_live_versions_readable(spark, tmp_path):
     # the v1 base bucket files survive (still referenced via inheritance)
     m = store.manifest()
     assert all(os.path.isdir(p) for p in m["postings"].values())
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_lsm_random_operation_sequences(spark, tmp_path, seed):
+    """Randomized (seeded) merge sequences — inserts, re-crawls, deletes,
+    mixed delta/rewrite commits, a mid-stream compaction — must leave the
+    store equal to a bulk rebuild of the model state (the reference's
+    merge-equivalence property, applied to the LSM/bucket path)."""
+    import random
+
+    from textindexing_spark.sources.bucketed import BucketedIndexStore
+
+    rng = random.Random(seed)
+    vocab = [f"t{j}" for j in range(30)]
+    store = BucketedIndexStore(spark, str(tmp_path / f"rand{seed}"),
+                               n_term_buckets=8, n_doc_buckets=4)
+    model: dict[int, str] = {}
+    next_id = 0
+    for step in range(5):
+        batch: dict[int, str] = {}
+        for _ in range(rng.randint(1, 8)):
+            roll = rng.random()
+            if roll < 0.5 or not model:
+                did = next_id
+                next_id += 1
+            else:
+                did = rng.choice(sorted(model))
+            text = "" if (roll > 0.85 and model) else " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(1, 12)))
+            batch[did] = text
+        mode = "rewrite" if rng.random() < 0.25 else "delta"
+        store.commit_merge(
+            spark.createDataFrame(sorted(batch.items()),
+                                  "doc_id bigint, text string"),
+            mode=mode)
+        for d, t in batch.items():
+            if t:
+                model[d] = t
+            else:
+                model.pop(d, None)
+        if step == 2:
+            store.compact()
+
+    bulk = build_index(spark, spark.createDataFrame(
+        sorted(model.items()), "doc_id bigint, text string"))
+    want = {(r.term, tuple(sorted((p.doc_id, p.tf) for p in r.postings)),
+             r.df, r.total_tf) for r in bulk.postings.collect()}
+    got = {(r.term, tuple(sorted((p.doc_id, p.tf) for p in r.postings)),
+            r.df, r.total_tf) for r in store.load().postings.collect()}
+    assert got == want
+    assert ({(r.doc_id, r.doc_len) for r in
+             store.load().documents.collect()} ==
+            {(r.doc_id, r.doc_len) for r in bulk.documents.collect()})

@@ -167,6 +167,58 @@ class Index:
                 .select("doc_id")
                 .orderBy("doc_id"))
 
+    def search_bool_many(self, queries) -> DataFrame:
+        """Batched boolean search: evaluate a whole query SET in ONE job
+        (per query identical to ``search_bool``). All queries' exact
+        tokens share a single In-filter scan; each distinct wildcard
+        token gets one scan regardless of how many queries use it; a
+        broadcast (query_id, token) map fans matches out to queries and
+        one aggregation applies the AND. ``queries``: list of query
+        strings (each its own id) or {query_id: text}. Returns
+        (query_id, doc_id) ordered by query_id, doc_id."""
+        if not isinstance(queries, dict):
+            queries = {q: q for q in queries}
+        qtokens = {qid: list(dict.fromkeys(
+                       self._fold(t) for t in (text or "").split(" ") if t))
+                   for qid, text in queries.items()}
+        qtokens = {qid: ts for qid, ts in qtokens.items() if ts}
+        out_schema = "query_id string, doc_id bigint"
+        if not qtokens:
+            return self.spark.createDataFrame([], out_schema)
+        qmap = self.spark.createDataFrame(
+            [(qid, t) for qid, ts in qtokens.items() for t in ts],
+            "query_id string, qi string")
+        all_tokens = sorted({t for ts in qtokens.values() for t in ts})
+        exacts = [t for t in all_tokens
+                  if not (t.startswith("*") or t.endswith("*"))]
+        wilds = [t for t in all_tokens
+                 if t.startswith("*") or t.endswith("*")]
+        per_scan = []
+        if exacts:
+            per_scan.append(
+                self.postings.where(F.col("term").isin(exacts))
+                    .select(F.col("term").alias("qi"),
+                            F.explode("postings").alias("p"))
+                    .select("qi", F.col("p.doc_id").alias("doc_id")))
+        per_scan.extend(
+            self.postings.where(self._route(tok))
+                .select(F.lit(tok).alias("qi"),
+                        F.explode("postings").alias("p"))
+                .select("qi", F.col("p.doc_id").alias("doc_id"))
+                .distinct()  # one wildcard token may match many words
+            for tok in wilds)
+        matched = reduce(DataFrame.unionByName, per_scan)
+        need = self.spark.createDataFrame(
+            [(qid, len(ts)) for qid, ts in qtokens.items()],
+            "query_id string, _need int")
+        return (matched.join(F.broadcast(qmap), "qi")
+                .groupBy("query_id", "doc_id")
+                .agg(F.count_distinct("qi").alias("_nq"))
+                .join(F.broadcast(need), "query_id")
+                .where(F.col("_nq") == F.col("_need"))
+                .select("query_id", "doc_id")
+                .orderBy("query_id", "doc_id"))
+
     # -- T3 + M5: BM25 ranked retrieval ---------------------------------------
 
     def bm25_scores(self, query_text: str) -> DataFrame:

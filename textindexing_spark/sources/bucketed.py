@@ -33,7 +33,14 @@ delta list) committed with an atomic LATEST pointer swap (≙ the
 reference's state-pointer swap, ImmutableIndex.cs:92-96). Merge
 semantics are exactly ``Index.merge`` (IIndex.cs:116-119): a re-merged
 doc REPLACES its postings, an empty token set DELETES the doc, emptied
-terms disappear — gated by the streaming==bulk equivalence tests.
+terms disappear — gated by the streaming==bulk equivalence tests plus
+randomized merge-sequence equivalence (test_pipeline.py).
+
+Concurrency contract: SINGLE WRITER (matching the reference's
+write-locked merge, ImmutableIndex.cs:98-106) — commits are
+read-modify-write on the manifest with a last-writer-wins pointer swap,
+so concurrent writers must be serialized by the caller (the streaming
+ingestors are). Readers are always safe: they pin an immutable manifest.
 
 At 100 TB: bucket count scales with the corpus (constant bucket size);
 per-batch cost depends only on batch size and tier count; compaction is
