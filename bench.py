@@ -139,9 +139,10 @@ def main() -> None:
     seg = timed("fused_segment_build", lambda: (
         lambda s: (s.save(seg_dir), s)[1]
     )(build_segments_from_docs(spark, docs, IndexConfig(), n_shards=64)))
-    # query-serving layout: shard-clustered cached cogroup sides (what a
-    # long-lived query session runs on)
-    seg = SegmentIndex.load(spark, seg_dir).prepare_for_queries()
+    # query-serving layout: cached cogroup sides coalesced to 8 tasks
+    # per query (shard count stays build-sized; task count query-sized)
+    seg = (SegmentIndex.load(spark, seg_dir)
+           .prepare_for_queries(query_groups=8))
 
     wand_lat: list[float] = []
 

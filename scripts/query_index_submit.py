@@ -39,8 +39,9 @@ def main(argv: list[str] | None = None) -> None:
     from textindexing_spark.operators.bm25 import SegmentIndex
 
     if os.path.exists(f"{args.index}/_meta.json"):
-        # serving layout: shard-clustered in-memory cogroup sides
-        idx = SegmentIndex.load(spark, args.index).prepare_for_queries()
+        # serving layout: in-memory cogroup sides, 8 tasks per query
+        idx = (SegmentIndex.load(spark, args.index)
+               .prepare_for_queries(query_groups=8))
         kind = "segments"
         if args.mode == "bool":
             raise SystemExit("boolean queries need an Index snapshot "

@@ -284,3 +284,27 @@ def test_batched_wand_matches_per_query(seg):
     assert [(r.doc_id, round(r.score, 9)) for r in named] == [
         (r.doc_id, round(r.score, 9)) for r in
         seg.search_bm25("word1 word7", 5).collect()]
+
+
+def test_query_group_coalescing_is_rank_identical(seg):
+    """prepare_for_queries(query_groups=G) coalesces shards into G tasks
+    per query; results (single and batched) must be identical to
+    per-shard evaluation."""
+    import copy
+
+    grouped = copy.copy(seg)
+    grouped.prepare_for_queries(query_groups=2)
+    for q in ("word1 word7", "word2 word3 word11", "word0"):
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             seg.search_bm25(q, 10).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             grouped.search_bm25(q, 10).collect()]
+        assert a == b, q
+    many = grouped.search_bm25_many(["word1 word7", "word0"], 5).collect()
+    by_q = {}
+    for r in many:
+        by_q.setdefault(r.query_id, []).append((r.doc_id,
+                                                round(r.score, 9)))
+    for q in ("word1 word7", "word0"):
+        assert by_q[q] == [(r.doc_id, round(r.score, 9)) for r in
+                           seg.search_bm25(q, 5).collect()], q

@@ -106,20 +106,45 @@ class SegmentIndex:
         self.term_stats = self.term_stats.cache()
         return self
 
-    def prepare_for_queries(self) -> "SegmentIndex":
+    _query_groups: int | None = None
+
+    def prepare_for_queries(self,
+                            query_groups: int | None = None
+                            ) -> "SegmentIndex":
         """Pin the query-SERVING layout: both cogroup sides repartitioned
-        by shard and cached (materialized now), so every query job starts
-        from in-memory shard-clustered data instead of re-scanning and
-        re-shuffling parquet — measured ~40% per-query p50 cut at 64
-        shards. Call once on a long-lived query session (the CLI/server
-        mode); batch/one-shot jobs don't need it."""
-        n = self.n_shards or 64
-        self.segments = self.segments.repartition(n, "shard").cache()
-        self.shard_docs = self.shard_docs.repartition(n, "shard").cache()
+        on the query grouping key and cached (materialized now), so every
+        query job starts from in-memory clustered data instead of
+        re-scanning and re-shuffling parquet — measured ~40% per-query
+        p50 cut at 64 shards. ``query_groups`` additionally coalesces
+        shards into G tasks per query (each task runs WAND over several
+        shards): at small k the per-task scheduling + Python round-trip
+        dominates latency, so an interactive session wants G ≈ cores,
+        while shard count stays sized for build/upsert parallelism.
+        Call once on a long-lived query session (the CLI/server mode);
+        batch/one-shot jobs don't need it."""
+        self._query_groups = query_groups
+        key = (F.pmod(F.col("shard"), F.lit(query_groups)).cast("int")
+               if query_groups else F.col("shard"))
+        n = query_groups or self.n_shards or 64
+        self.segments = self.segments.repartition(n, key).cache()
+        self.shard_docs = self.shard_docs.repartition(n, key).cache()
         self.term_stats = self.term_stats.cache()
         self.segments.count()
         self.shard_docs.count()
         return self
+
+    def _cogroup_by_query_key(self, seg_q: DataFrame,
+                              docs_side: DataFrame):
+        """Group both WAND sides by the query key: per shard, or a
+        coarse pmod(shard, G) when a serving session coalesced tasks."""
+        g = self._query_groups
+        if g:
+            seg_q = seg_q.withColumn(
+                "_qg", F.pmod(F.col("shard"), F.lit(g)).cast("int"))
+            docs_side = docs_side.withColumn(
+                "_qg", F.pmod(F.col("shard"), F.lit(g)).cast("int"))
+            return seg_q.groupby("_qg").cogroup(docs_side.groupby("_qg"))
+        return seg_q.groupby("shard").cogroup(docs_side.groupby("shard"))
 
     def unpersist(self) -> None:
         for df in (self.segments, self.shard_docs, self.term_stats,
@@ -314,21 +339,29 @@ class SegmentIndex:
             return self.spark.createDataFrame([], out_schema)
         k1, b, avgdl = self.cfg.bm25.k1, self.cfg.bm25.b, self.avgdl
 
-        def shard_topk(seg, docs):
+        def group_topk(seg, docs):
             import pandas as pd
 
-            if seg.empty or docs.empty:
-                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                     "score": pd.Series(dtype="float64")})
-            dl_ids = codec.varbyte_decode(
-                np.frombuffer(docs["doc_ids"].iloc[0], dtype=np.uint8))
-            dl_vals = codec.varbyte_decode(
-                np.frombuffer(docs["doc_lens"].iloc[0], dtype=np.uint8))
-            top = _wand_shard(seg, dl_ids, dl_vals, idfs, k, k1, b, avgdl,
-                              prune)
+            ids_out: list[int] = []
+            scores_out: list[float] = []
+            if not seg.empty and not docs.empty:
+                # the task may hold SEVERAL shards (serving sessions
+                # coalesce tasks); WAND runs shard-locally within it
+                for s, sub in seg.groupby("shard"):
+                    drow = docs[docs["shard"] == s]
+                    if drow.empty:
+                        continue
+                    dl_ids = codec.varbyte_decode(np.frombuffer(
+                        drow["doc_ids"].iloc[0], dtype=np.uint8))
+                    dl_vals = codec.varbyte_decode(np.frombuffer(
+                        drow["doc_lens"].iloc[0], dtype=np.uint8))
+                    for d, sc in _wand_shard(sub, dl_ids, dl_vals, idfs,
+                                             k, k1, b, avgdl, prune):
+                        ids_out.append(d)
+                        scores_out.append(sc)
             return pd.DataFrame(
-                {"doc_id": pd.Series([d for d, _ in top], dtype="int64"),
-                 "score": pd.Series([s for _, s in top], dtype="float64")})
+                {"doc_id": pd.Series(ids_out, dtype="int64"),
+                 "score": pd.Series(scores_out, dtype="float64")})
 
         seg_q = self.segments.where(F.col("term").isin(list(idfs)))
         # rebind the docs side with fresh expression ids (Alias) — both
@@ -336,9 +369,8 @@ class SegmentIndex:
         # with itself trips the ambiguous-self-join check
         docs_side = self.shard_docs.select(
             *[F.col(c).alias(c) for c in self.shard_docs.columns])
-        per_shard = (seg_q.groupby("shard")
-                     .cogroup(docs_side.groupby("shard"))
-                     .applyInPandas(shard_topk, out_schema))
+        per_shard = (self._cogroup_by_query_key(seg_q, docs_side)
+                     .applyInPandas(group_topk, out_schema))
         return (per_shard
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
@@ -382,28 +414,29 @@ class SegmentIndex:
             return self.spark.createDataFrame([], out_schema)
         k1, b, avgdl = self.cfg.bm25.k1, self.cfg.bm25.b, self.avgdl
 
-        def shard_topk_many(seg, docs):
+        def group_topk_many(seg, docs):
             import pandas as pd
 
             out = {"query_id": [], "doc_id": [], "score": []}
-            if seg.empty or docs.empty:
-                return pd.DataFrame({
-                    "query_id": pd.Series(dtype="object"),
-                    "doc_id": pd.Series(dtype="int64"),
-                    "score": pd.Series(dtype="float64")})
-            dl_ids = codec.varbyte_decode(
-                np.frombuffer(docs["doc_ids"].iloc[0], dtype=np.uint8))
-            dl_vals = codec.varbyte_decode(
-                np.frombuffer(docs["doc_lens"].iloc[0], dtype=np.uint8))
-            for qid, idfs in per_query.items():
-                sub = seg[seg["term"].isin(idfs)]
-                if sub.empty:
-                    continue
-                for d, s in _wand_shard(sub, dl_ids, dl_vals, idfs, k,
-                                        k1, b, avgdl, prune):
-                    out["query_id"].append(qid)
-                    out["doc_id"].append(d)
-                    out["score"].append(s)
+            if not seg.empty and not docs.empty:
+                for s, sub_shard in seg.groupby("shard"):
+                    drow = docs[docs["shard"] == s]
+                    if drow.empty:
+                        continue
+                    dl_ids = codec.varbyte_decode(np.frombuffer(
+                        drow["doc_ids"].iloc[0], dtype=np.uint8))
+                    dl_vals = codec.varbyte_decode(np.frombuffer(
+                        drow["doc_lens"].iloc[0], dtype=np.uint8))
+                    for qid, idfs in per_query.items():
+                        sub = sub_shard[sub_shard["term"].isin(idfs)]
+                        if sub.empty:
+                            continue
+                        for d, sc in _wand_shard(sub, dl_ids, dl_vals,
+                                                 idfs, k, k1, b, avgdl,
+                                                 prune):
+                            out["query_id"].append(qid)
+                            out["doc_id"].append(d)
+                            out["score"].append(sc)
             return pd.DataFrame(
                 {"query_id": pd.Series(out["query_id"], dtype="object"),
                  "doc_id": pd.Series(out["doc_id"], dtype="int64"),
@@ -412,9 +445,8 @@ class SegmentIndex:
         seg_q = self.segments.where(F.col("term").isin(all_terms))
         docs_side = self.shard_docs.select(
             *[F.col(c).alias(c) for c in self.shard_docs.columns])
-        per_shard = (seg_q.groupby("shard")
-                     .cogroup(docs_side.groupby("shard"))
-                     .applyInPandas(shard_topk_many, out_schema))
+        per_shard = (self._cogroup_by_query_key(seg_q, docs_side)
+                     .applyInPandas(group_topk_many, out_schema))
         w = W.partitionBy("query_id").orderBy(
             F.col("score").desc(), F.col("doc_id").asc())
         return (per_shard.withColumn("_rn", F.row_number().over(w))
