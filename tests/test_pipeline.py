@@ -572,3 +572,49 @@ def test_lsm_random_operation_sequences(spark, tmp_path, seed):
     assert ({(r.doc_id, r.doc_len) for r in
              store.load().documents.collect()} ==
             {(r.doc_id, r.doc_len) for r in bulk.documents.collect()})
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """A session spanning a micro-batch boundary must merge with the
+    carried state (batch-2 events within the gap extend it; the next
+    gap closes it with the combined span/count)."""
+    import datetime as dt
+
+    from textindexing_spark.streaming.stateful import sessionize_stream
+
+    ev_ddl = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, session_hint int")
+
+    def ev(eid, minute):
+        return (eid, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute),
+                1, "view", 1.0, 0)
+
+    src = str(tmp_path / "xbatch")
+    _f1 = spark.createDataFrame([ev(1, 0), ev(2, 10)], ev_ddl)
+    _f1.coalesce(1).write.mode("append").parquet(src)
+    _f2 = spark.createDataFrame([ev(3, 20), ev(4, 180), ev(5, 480)], ev_ddl)
+    _f2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(ev_ddl)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "xbatch_out")
+    q = (sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "xbatch_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    base = dt.datetime(2024, 1, 1)
+
+    def us(minute):
+        return int((base + dt.timedelta(minutes=minute))
+                   .replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    got = sorted((r.start_us, r.end_us, r.n_events)
+                 for r in spark.read.parquet(out).collect())
+    # session 1 spans the batch boundary: 00:00 + 00:10 (batch 1) then
+    # 00:20 (batch 2) -> closed by the 03:00 gap with 3 events;
+    # session 2 = the lone 03:00 event, closed by the 08:00 gap; the
+    # 08:00 session stays open (watermark 06:00 < its 08:30 horizon)
+    assert got == [(us(0), us(20), 3), (us(180), us(180), 1)]

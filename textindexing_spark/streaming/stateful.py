@@ -69,17 +69,30 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
             else:
                 s0 = l0 = None
                 n0 = 0
-            for t in ts.tolist():
-                if s0 is None:
-                    s0 = l0 = t
-                    n0 = 1
-                elif t - l0 > gap_us:
-                    emit(s0, l0, n0)
-                    s0 = l0 = t
-                    n0 = 1
-                else:
-                    l0 = t
-                    n0 += 1
+            if ts.size:
+                # vectorized session split: a session boundary sits
+                # wherever the gap to the previous event (including the
+                # carried-over state's last event) exceeds the horizon
+                prev = np.r_[l0 if l0 is not None else ts[0] - gap_us - 1,
+                             ts[:-1]]
+                starts = np.flatnonzero(ts - prev > gap_us)
+                if s0 is not None:
+                    # prefix before the first boundary continues the
+                    # carried session; a boundary then closes it
+                    k = int(starts[0]) if starts.size else ts.size
+                    if k > 0:
+                        l0 = int(ts[k - 1])
+                        n0 = int(n0 + k)
+                    if starts.size:
+                        emit(s0, l0, n0)
+                        s0 = None
+                bounds = np.append(starts, ts.size)
+                for i in range(max(starts.size - 1, 0)):
+                    a, b = int(bounds[i]), int(bounds[i + 1])
+                    emit(ts[a], ts[b - 1], b - a)
+                if starts.size:  # last run becomes the open session
+                    a = int(starts[-1])
+                    s0, l0, n0 = int(ts[a]), int(ts[-1]), int(ts.size - a)
             if s0 is not None:
                 state.update((int(s0), int(l0), int(n0)))
                 # flush the open session when event time passes its gap
