@@ -1,0 +1,48 @@
+"""ANN recall regression: the bucketed variants trade recall for a
+sub-linear candidate pool; these tests pin the measured recall@10 on the
+deterministic driver embeddings so a refactor that silently collapses
+candidate generation (empty buckets, wrong key, broken probe) fails
+loudly. Ground truth = exact brute-force cosine."""
+
+import pytest
+
+from textindexing_spark.operators.similarity import (cosine_topk, ivf_topk,
+                                                     lsh_topk)
+
+QUERY_IDS = [0, 7, 42, 99, 123]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+         .cache())
+    e.count()
+    return e
+
+
+def _recall(emb, variant_fn):
+    hits = 0
+    for q in QUERY_IDS:
+        truth = {r[0] for r in
+                 cosine_topk(emb, q, 10).select("vec_id").collect()}
+        got = {r[0] for r in variant_fn(q).select("vec_id").collect()}
+        hits += len(truth & got)
+    return hits / (10 * len(QUERY_IDS))
+
+
+def test_lsh_recall_and_multiprobe_dial(emb):
+    r0 = _recall(emb, lambda q: lsh_topk(emb, q, 10))
+    r1 = _recall(emb, lambda q: lsh_topk(emb, q, 10, multiprobe=1))
+    # measured 0.18 / 0.68 on this corpus; pinned with margin
+    assert r0 >= 0.10
+    assert r1 >= 0.50
+    assert r1 > r0  # probing more buckets must not lose recall
+
+
+def test_ivf_recall_and_nprobe_dial(emb):
+    r1 = _recall(emb, lambda q: ivf_topk(emb, q, 10, nprobe=1))
+    r2 = _recall(emb, lambda q: ivf_topk(emb, q, 10, nprobe=2))
+    # measured 0.48 / 0.70; pinned with margin
+    assert r1 >= 0.30
+    assert r2 >= 0.55
+    assert r2 >= r1

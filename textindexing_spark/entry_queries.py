@@ -576,6 +576,43 @@ FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def _q_ann_lsh_topk_mp(spark, sf_dir):
+    # multiprobe LSH ANN: exact cosine over every bucket within Hamming
+    # distance 1 of the query's sign key (recall/cost dial)
+    from textindexing_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=10,
+                    multiprobe=1)
+
+
+_HAM1 = " + ".join(
+    f"(CASE WHEN substr(buckets.bucket, {i}, 1) <> "
+    f"substr(qb.bucket, {i}, 1) THEN 1 ELSE 0 END)" for i in (1, 2, 3))
+
+_SQL_ANN_LSH_TOPK_MP = f"""
+WITH a AS (SELECT vec_id AS aid, embedding AS ae FROM embeddings
+           WHERE vec_id IN (1, 2, 3)),
+d AS (SELECT e.vec_id, a.aid,
+             CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                        a.ae::DOUBLE[]) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM embeddings e, a),
+buckets AS (SELECT vec_id, string_agg(bit, '' ORDER BY aid) AS bucket
+            FROM d GROUP BY vec_id),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+pool AS (SELECT e.* FROM embeddings e JOIN buckets USING (vec_id), qb
+         WHERE {_HAM1} <= 1),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS dot,
+             list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS na,
+             list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS nb
+      FROM pool e, q WHERE e.vec_id <> 0)
+SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
 # --- text analysis -----------------------------------------------------------
 
 _STOP_IN = ", ".join(f"'{w}'" for w in
@@ -1033,6 +1070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": _q_ann_cosine,
     "ann_lsh_buckets": _q_lsh_buckets,
     "ann_lsh_topk": _q_ann_lsh_topk,
+    "ann_lsh_topk_mp": _q_ann_lsh_topk_mp,
     "ann_ivf_cells": _q_ivf_cells,
     "ann_ivf_topk": _q_ivf_topk,
     "dedup_embedding_cosine": _q_emb_cosine_pairs,
@@ -1083,6 +1121,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_cosine_topk": _SQL_ANN_COSINE,
     "ann_lsh_buckets": _SQL_LSH_BUCKETS,
     "ann_lsh_topk": _SQL_ANN_LSH_TOPK,
+    "ann_lsh_topk_mp": _SQL_ANN_LSH_TOPK_MP,
     "ann_ivf_cells": _SQL_IVF_CELLS,
     "ann_ivf_topk": _SQL_IVF_TOPK,
     "dedup_embedding_cosine": _SQL_EMB_COSINE_PAIRS,
