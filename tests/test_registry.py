@@ -132,3 +132,37 @@ def test_reconcile_deletes_drops_vanished_urls(spark, tmp_path, cls, kw):
     # idempotent: nothing more to delete
     v = ing.reconcile_deletes(src)
     assert v >= 1
+
+
+def test_registry_reconcile_respects_other_sources(spark, tmp_path):
+    """IngestorSet.reconcile: a url that vanished from source A's
+    listing is purged — unless source B still provides it."""
+    import glob as _glob
+    import os as _os
+
+    src_a = str(tmp_path / "ra")
+    src_b = str(tmp_path / "rb")
+    shared = ("both_url", T0, None, "kiwi lemon", "en")
+    _write(spark, [("a_only", T0, None, "mango", "en"), shared], src_a)
+    a_files = set(_glob.glob(f"{src_a}/*.parquet"))
+    _write(spark, [shared], src_b)
+
+    iset = IngestorSet(spark, str(tmp_path / "ridx"),
+                       n_term_buckets=8, n_doc_buckets=4)
+    iset.add(src_a)
+    iset.add(src_b)
+    iset.drain()
+    assert iset.index().search_bool("mango").count() == 1
+    assert iset.index().search_bool("kiwi").count() == 1
+
+    # drop source A's file: a_only AND both_url vanish from A's listing
+    for f in a_files:
+        _os.remove(f)
+    # A must still list SOMETHING for the schema read; write empty marker
+    _write(spark, [("a_new", T0, None, "nectarine", "en")], src_a)
+    iset.drain(src_a)
+    iset.reconcile(src_a)
+    idx = iset.index()
+    assert idx.search_bool("mango").count() == 0       # gone with A
+    assert idx.search_bool("kiwi").count() == 1        # B still has it
+    assert idx.search_bool("nectarine").count() == 1   # new A doc intact

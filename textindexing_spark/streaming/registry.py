@@ -121,6 +121,39 @@ class IngestorSet:
         if tombstones.limit(1).count():
             ing.store.commit_merge(tombstones)
 
+    def reconcile(self, source_dir: str) -> None:
+        """Registry-aware delete detection: tombstone documents whose url
+        vanished from THIS source's current listing — unless another
+        live source still provides the url (provenance anti-join). The
+        multi-source completion of the watcher's Deleted events
+        (FileSystemDocumentSource.cs:120-140)."""
+        from textindexing_spark.sources.pages import PAGES_SCHEMA
+
+        key = self._key(source_dir)
+        ing = self._sources[key]
+        try:
+            prov = (self.spark.read.schema("url string")
+                    .parquet(ing.prov_path).distinct())
+        except Exception:
+            return  # never drained: nothing indexed from this source
+        live = (self.spark.read.schema(PAGES_SCHEMA)
+                .parquet(ing.source_dir).select("url").distinct())
+        gone = prov.join(live, "url", "left_anti")
+        for other in self._sources.values():
+            if other is ing:
+                continue
+            try:
+                o = (self.spark.read.schema("url string")
+                     .parquet(other.prov_path))
+            except Exception:
+                continue
+            gone = gone.join(o, "url", "left_anti")
+        tombstones = (ing.url_ids.assign(gone)
+                      .where(F.col("doc_id").isNotNull())
+                      .select("doc_id", F.lit("").alias("text")))
+        if tombstones.limit(1).count():
+            ing.store.commit_merge(tombstones)
+
     def index(self):
         """The shared index (latest committed version)."""
         if self._sources:
