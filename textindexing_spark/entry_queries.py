@@ -656,6 +656,51 @@ FROM tok WHERE len(ts) > 0
 """
 
 
+def _q_training_pipeline(spark, sf_dir):
+    """Composed training-data pipeline — the flagship composition a
+    100 TB pretraining run executes end-to-end: exact dedup (keep the
+    min doc_id of each content-identical class) -> quality filter ->
+    language filter -> inverted-index build over the survivors,
+    reporting per-term stats. Every stage is the engine's own operator;
+    the oracle restates the whole pipeline in SQL."""
+    from textindexing_spark.functions.analysis import lang_id, quality_score
+    from textindexing_spark.operators.dedup import exact_duplicates
+
+    docs = _docs(spark, sf_dir)
+    keepers = (exact_duplicates(docs)
+               .select(F.col("keeper").alias("doc_id")))
+    good = (quality_score(docs).where(F.col("quality") >= 0.68)
+            .select("doc_id"))
+    en = lang_id(docs).where("pred_lang = 'en'").select("doc_id")
+    survivors = (docs.join(keepers, "doc_id", "left_semi")
+                 .join(good, "doc_id", "left_semi")
+                 .join(en, "doc_id", "left_semi")
+                 .select("doc_id", "text"))
+    idx = build_index(spark, survivors, IndexConfig())
+    return idx.postings.select("term", "df", "total_tf")
+
+
+_SQL_TRAINING_PIPELINE = f"""
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
+              GROUP BY md5(text)),
+tok AS ({_TOKL}),
+good AS (SELECT doc_id FROM tok WHERE len(ts) > 0 AND
+         round((len(list_distinct(ts)) / len(ts)) * 0.5
+               + (1.0 - len(list_filter(ts, t -> t IN ({_STOP_IN})))
+                 / len(ts)) * 0.5, 6) >= 0.68),
+en AS (SELECT doc_id FROM tok WHERE len(ts) > 0 AND
+       len(list_filter(ts, t -> t IN ({_STOP_IN}))) / len(ts) > 0.03),
+surv AS (SELECT d.doc_id, d.text FROM documents d
+         JOIN keep USING (doc_id) JOIN good USING (doc_id)
+         JOIN en USING (doc_id)),
+toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         '[\\p{{L}}\\p{{Nd}}]+')) AS term FROM surv),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf
+FROM tf GROUP BY term
+"""
+
+
 def _q_token_counts(spark, sf_dir):
     from textindexing_spark.functions.analysis import token_counts
 
@@ -1087,6 +1132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_audio_stats": _q_audio_stats,
     "lang_id": _q_lang_id,
     "quality_score": _q_quality,
+    "training_pipeline": _q_training_pipeline,
     "token_counts": _q_token_counts,
     "doc_fingerprint": _q_fingerprint,
     "rolling_fingerprint": _q_rolling_fingerprint,
@@ -1138,6 +1184,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_audio_stats": _SQL_AUDIO_STATS,
     "lang_id": _SQL_LANG_ID,
     "quality_score": _SQL_QUALITY,
+    "training_pipeline": _SQL_TRAINING_PIPELINE,
     "token_counts": _SQL_TOKEN_COUNTS,
     "doc_fingerprint": _SQL_FINGERPRINT,
     "rolling_fingerprint": _SQL_ROLLING_FINGERPRINT,
