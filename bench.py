@@ -171,10 +171,16 @@ def main() -> None:
           lambda: seg.search_bm25_many(wand_texts, 10).collect())
     shutil.rmtree(seg_dir, ignore_errors=True)
 
-    # q5: head-term skew salting proof (SURVEY 7.4: Zipfian synthetic) —
-    # same Zipf corpus built with the salted two-phase aggregation
-    # (every head term splits across ceil(df/bucket) reducers) and
-    # unsalted; both materialized, the salted path must not lose ground
+    # q5: head-term skew salting (SURVEY 7.4: Zipfian synthetic) — same
+    # Zipf corpus built with the salted two-phase aggregation (every
+    # head term splits across ceil(df/bucket) reducers) and unsalted.
+    # At this corpus size the salted path PAYS its df pre-pass + second
+    # shuffle without a payoff (head lists are only ~20k postings); the
+    # row exists to show that overhead is bounded (~2-3x, not
+    # catastrophic) — the payoff case is a reducer that would otherwise
+    # materialize a GB-scale stopword list alone, which no laptop-scale
+    # corpus can exhibit. Correct-by-construction is the gate:
+    # tests/test_index.py asserts salted == unsalted results.
     from textindexing_spark.sources.pages import generate_pages
 
     zipf = (generate_pages(spark, n_docs=20_000, vocab_size=5000,

@@ -308,3 +308,26 @@ def test_query_group_coalescing_is_rank_identical(seg):
     for q in ("word1 word7", "word0"):
         assert by_q[q] == [(r.doc_id, round(r.score, 9)) for r in
                            seg.search_bm25(q, 5).collect()], q
+
+
+def test_segment_store_expire(spark, corpus, tmp_path):
+    """expire() drops old self-contained segment versions; the kept
+    latest stays fully queryable."""
+    from textindexing_spark.operators.bm25 import build_segments_from_docs
+    from textindexing_spark.sources.catalog import VersionedSegmentStore
+
+    cfg = IndexConfig(block_size=16)
+    store = VersionedSegmentStore(spark, str(tmp_path / "exp"), cfg)
+    docs = spark.createDataFrame(corpus[:60], "doc_id bigint, text string")
+    seg = build_segments_from_docs(spark, docs, cfg, n_shards=4)
+    v1 = store.commit(seg)
+    v2 = store.commit(store.load(v1).upsert(spark.createDataFrame(
+        [(900, "brand new words")], "doc_id bigint, text string")))
+    v3 = store.commit(store.load(v2).upsert(spark.createDataFrame(
+        [(901, "more words")], "doc_id bigint, text string")))
+    assert store.versions() == [v1, v2, v3]
+    expired = store.expire(keep_last=1)
+    assert expired == [v1, v2]
+    assert store.versions() == [v3]
+    latest = store.load()
+    assert latest.search_bm25("brand new", 5).count() >= 1

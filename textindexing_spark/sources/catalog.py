@@ -76,6 +76,18 @@ class VersionedSegmentStore:
         os.replace(tmp, f"{self.root}/LATEST")
         return v
 
+    def expire(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions (segment
+        versions are self-contained directories, so expiry is a plain
+        delete — ≙ Iceberg expire_snapshots). Returns expired versions."""
+        import shutil
+
+        versions = self.versions()
+        expired = versions[:-keep_last] if keep_last else versions
+        for v in expired:
+            shutil.rmtree(f"{self.root}/v{v}", ignore_errors=True)
+        return expired
+
 
 class VersionedIndexStore:
     def __init__(self, spark, root: str, cfg: IndexConfig | None = None):
