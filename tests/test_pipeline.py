@@ -618,3 +618,39 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     # session 2 = the lone 03:00 event, closed by the 08:00 gap; the
     # 08:00 session stays open (watermark 06:00 < its 08:30 horizon)
     assert got == [(us(0), us(20), 3), (us(180), us(180), 1)]
+
+
+def test_lsm_commit_crash_before_manifest_is_replayable(spark, tmp_path):
+    """A crash AFTER delta data lands but BEFORE the manifest/LATEST
+    commit must leave the store at the previous version; replaying the
+    same batch (what the streaming checkpoint does) converges to the
+    correct state with no duplicates."""
+    import os
+
+    from textindexing_spark.sources.bucketed import BucketedIndexStore
+
+    store = BucketedIndexStore(spark, str(tmp_path / "crash"),
+                               n_term_buckets=8, n_doc_buckets=4)
+    base = [(i, f"w{i} w{i + 1}") for i in range(20)]
+    store.commit_merge(spark.createDataFrame(
+        base, "doc_id bigint, text string"), mode="rewrite")
+    v1 = store.latest_version()
+
+    batch = spark.createDataFrame([(100, "crashy words"), (3, "")],
+                                  "doc_id bigint, text string")
+    v2 = store.commit_merge(batch)
+    # simulate the crash: v2's manifest and pointer never landed
+    os.unlink(f"{store.root}/v{v2}.json")
+    with open(f"{store.root}/LATEST.tmp", "w") as fh:
+        fh.write(str(v1))
+    os.replace(f"{store.root}/LATEST.tmp", f"{store.root}/LATEST")
+    assert store.latest_version() == v1
+    assert store.load().search_bool("crashy").count() == 0  # rolled back
+
+    # checkpoint replay: same batch again -> same version, correct state
+    v2b = store.commit_merge(batch)
+    assert v2b == v2
+    idx = store.load()
+    assert idx.search_bool("crashy").count() == 1
+    assert idx.search_bool("w3").count() == 1   # only doc 2's w3 remains
+    assert idx.documents.count() == 20          # 20 - 1 deleted + 1 new
