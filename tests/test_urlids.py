@@ -61,3 +61,10 @@ def test_extra_columns_and_nulls_pass_through(spark, tmp_path):
     assert rows["u1"][1] == "hello" and rows["u2"][1] == "world"
     assert rows[None][0] is None  # null urls get no id (quarantined upstream)
     assert {rows["u1"][0], rows["u2"][0]} == {0, 1}
+
+
+def test_assign_rejects_existing_doc_id_column(spark, tmp_path):
+    t = UrlIdTable(spark, str(tmp_path / "ids"))
+    df = spark.createDataFrame([("u1", 5)], "url string, doc_id bigint")
+    with pytest.raises(ValueError, match="already has a doc_id"):
+        t.assign(df)

@@ -70,6 +70,10 @@ class UrlIdTable:
     def assign(self, df: DataFrame, url_col: str = "url") -> DataFrame:
         """Return ``df`` with a ``doc_id`` column; unseen urls get fresh
         dense ids appended to the table first (atomic commit)."""
+        if "doc_id" in df.columns:
+            raise ValueError(
+                "input already has a doc_id column — drop it before "
+                "assign() (ids come from this dimension, not the input)")
         existing = self.mapping()
         new_urls = (df.select(F.col(url_col).alias("url"))
                     .where(F.col("url").isNotNull()).distinct()
