@@ -855,10 +855,10 @@ def _fused_encoder(cfg: IndexConfig, id_col: str, text_col: str,
     tokenizer, fold = cfg.tokenizer, cfg.case_insensitive
 
     def encode_partition(batches):
-        from itertools import chain
-
         import pandas as pd
         from pyspark import TaskContext
+
+        from textindexing_spark.operators.build import _count_pairs
 
         shard = TaskContext.get().partitionId()
         vocab: dict[str, int] = {}
@@ -870,8 +870,13 @@ def _fused_encoder(cfg: IndexConfig, id_col: str, text_col: str,
         for pdf in batches:
             tok_lists = tokenize_series(pdf[text_col], tokenizer, fold)
             ids_a = pdf[id_col].to_numpy(np.int64)
-            lens = np.fromiter((len(t) for t in tok_lists),
-                               dtype=np.int64, count=len(tok_lists))
+            # vectorized tf counting (see build._count_pairs): dense
+            # bincount over combined (doc, term-code) keys, sort
+            # fallback for huge vocabularies; the batch's (small)
+            # unique TERM set maps into the shard vocabulary AFTER
+            # counting, so the global-code lookup touches unique pairs
+            # only — no per-doc/per-token Python dict loop
+            lens, total, kv, tf_u, uniq = _count_pairs(tok_lists, np, pd)
             if include_empty_docs:
                 # empty doc: never indexed (SURVEY 1.4.2); the delta form
                 # keeps a dl=0 tombstone so upsert deletes it
@@ -880,28 +885,15 @@ def _fused_encoder(cfg: IndexConfig, id_col: str, text_col: str,
             else:
                 d_id_parts.append(ids_a[lens > 0])
                 d_len_parts.append(lens[lens > 0])
-            total = int(lens.sum())
             if total == 0:
                 continue
-            # vectorized tf counting: factorize the batch's flat token
-            # stream once, map its (small) unique set into the shard
-            # vocabulary, then find (doc, term) runs with one lexsort —
-            # no per-doc/per-token Python dict loop
-            flat = np.fromiter(chain.from_iterable(tok_lists),
-                               dtype=object, count=total)
-            codes_l, uniq = pd.factorize(flat)
             g_uniq = np.fromiter(
                 (vocab.setdefault(t, len(vocab)) for t in uniq),
                 dtype=np.int64, count=len(uniq))
-            gcode = g_uniq[codes_l]
-            doc_rep = np.repeat(ids_a, lens)
-            order = np.lexsort((gcode, doc_rep))
-            dr, gc = doc_rep[order], gcode[order]
-            starts = np.flatnonzero(
-                np.r_[True, (dr[1:] != dr[:-1]) | (gc[1:] != gc[:-1])])
-            p_doc.append(dr[starts])
-            p_code.append(gc[starts])
-            p_tf.append(np.diff(np.append(starts, dr.size)))
+            V = len(uniq)
+            p_doc.append(ids_a[kv // V])
+            p_code.append(g_uniq[kv % V])
+            p_tf.append(tf_u)
         d_ids_a = (np.concatenate(d_id_parts) if d_id_parts
                    else np.empty(0, dtype=np.int64))
         if d_ids_a.size == 0:
