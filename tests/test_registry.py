@@ -166,3 +166,9 @@ def test_registry_reconcile_respects_other_sources(spark, tmp_path):
     assert idx.search_bool("mango").count() == 0       # gone with A
     assert idx.search_bool("kiwi").count() == 1        # B still has it
     assert idx.search_bool("nectarine").count() == 1   # new A doc intact
+
+
+def test_drain_unknown_source_raises(spark, tmp_path):
+    iset = IngestorSet(spark, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="unknown source"):
+        iset.drain("/nope")

@@ -664,15 +664,13 @@ def _q_training_pipeline(spark, sf_dir):
     reporting per-term stats. Every stage is the engine's own operator;
     the oracle restates the whole pipeline in SQL."""
     from textindexing_spark.functions.analysis import lang_id, quality_score
-    from textindexing_spark.operators.dedup import exact_duplicates
+    from textindexing_spark.operators.dedup import deduplicate
 
     docs = _docs(spark, sf_dir)
-    keepers = (exact_duplicates(docs)
-               .select(F.col("keeper").alias("doc_id")))
     good = (quality_score(docs).where(F.col("quality") >= 0.68)
             .select("doc_id"))
     en = lang_id(docs).where("pred_lang = 'en'").select("doc_id")
-    survivors = (docs.join(keepers, "doc_id", "left_semi")
+    survivors = (deduplicate(docs)
                  .join(good, "doc_id", "left_semi")
                  .join(en, "doc_id", "left_semi")
                  .select("doc_id", "text"))

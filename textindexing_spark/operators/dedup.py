@@ -39,6 +39,19 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                  F.count("*").alias("n_dups")))
 
 
+def deduplicate(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact-dedup a documents table IN PLACE of the pipeline: keep the
+    min-id representative of each content-identical class, preserving
+    all columns — the user-facing form of ``exact_duplicates`` (which
+    reports the classes). One hash shuffle; survivors join back
+    broadcast-or-shuffled by id."""
+    keepers = (docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+               .agg(F.min(id_col).alias(id_col))
+               .select(id_col))
+    return docs.join(keepers, id_col, "left_semi")
+
+
 def shingle_arrays(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """(doc_id, shs ARRAY<STRING>) — the DISTINCT word n-gram shingles of

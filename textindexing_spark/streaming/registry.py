@@ -91,6 +91,8 @@ class IngestorSet:
         (per-source streaming checkpoints)."""
         keys = [self._key(source_dir)] if source_dir else list(self._sources)
         for k in keys:
+            if k not in self._sources:
+                raise ValueError(f"unknown source: {k} (add() it first)")
             ing = self._sources[k]
             ing.ingest_available(ing.source_dir, ing.checkpoint_dir)
 
