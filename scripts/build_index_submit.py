@@ -64,19 +64,24 @@ def main(argv: list[str] | None = None) -> None:
     t0 = time.perf_counter()
     pages = spark.read.parquet(args.input)
 
-    # input fingerprint: content-sensitive digest — xor of a per-row hash
-    # over (url, warc_ts, text length, html length) plus the row count, so
-    # ANY row-level change (edited text, replaced rows, recrawls) flips it
-    # and invalidates the stage manifests; xor is order-independent and
-    # map-side combinable (one narrow agg over the scan).
+    # input fingerprint: content-sensitive digest — per-row hash over
+    # (url, warc_ts, text length, html length) folded with THREE
+    # order-independent, map-side-combinable aggregates: count, bit_xor,
+    # and sum. xor alone self-cancels duplicate row PAIRS (h ^ h = 0), so
+    # swapping one duplicated pair for a different duplicated pair would
+    # keep count+xor unchanged; the sum is duplicate-sensitive (2h != 2g)
+    # and closes that collision. Sum runs over decimal(38,0) so it cannot
+    # overflow under ANSI mode at any realistic row count (~1e19 rows).
     row_h = F.xxhash64(
         "url", "warc_ts",
         F.coalesce(F.length("text"), F.lit(-1)),
         F.coalesce(F.length("html"), F.lit(-1)))
     fp_row = (pages.select(row_h.alias("h"))
               .agg(F.count("*").alias("n"),
-                   F.expr("bit_xor(h)").alias("x")).collect()[0])
-    fingerprint = f"{args.input}:{fp_row['n']}:{fp_row['x']}"
+                   F.expr("bit_xor(h)").alias("x"),
+                   F.sum(F.col("h").cast("decimal(38,0)")).alias("s"))
+              .collect()[0])
+    fingerprint = f"{args.input}:{fp_row['n']}:{fp_row['x']}:{fp_row['s']}"
     pipe = StagePipeline(spark, args.output,
                          fingerprint if args.resume else
                          f"{fingerprint}:{time.time_ns()}")

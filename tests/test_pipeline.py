@@ -429,11 +429,11 @@ def test_streaming_windowed_counts_equal_batch(spark, tmp_path):
 
 
 def test_stateful_sessionize_matches_batch(spark, tmp_path):
-    """applyInPandasWithState sessionizer: with all events in one
-    micro-batch, every session except each user's trailing open one is
-    provably closed and emitted — counts must equal the batch window
-    sessionization minus that one open session per user; boundaries must
-    respect the 30-min gap rule."""
+    """applyInPandasWithState sessionizer: a session is emitted as
+    closed exactly when the final watermark (global max event time - 2h)
+    passed its 30-min gap horizon — the append-mode finalization rule.
+    Per-user counts must equal the batch sessionization restricted to
+    those finalized sessions; boundaries must respect the gap rule."""
     import shutil
 
     from pyspark.sql import Window as W
@@ -452,28 +452,27 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
                        got.groupBy("user_id")
                        .agg(F.count("*").alias("n")).collect()}
 
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    batch = (events
-             .withColumn("us", F.unix_micros(F.col("ts")
-                                             .cast("timestamp_ltz")))
-             .withColumn("prev", F.lag("us").over(w))
-             .withColumn("new_s", F.when(
-                 F.col("prev").isNull() |
-                 (F.col("us") - F.col("prev") > 1800 * 1_000_000),
-                 1).otherwise(0))
-             .groupBy("user_id").agg(F.sum("new_s").alias("n_sessions"),
-                                     F.max("us").alias("last_us")))
-    # a user's trailing open session is flushed iff the final watermark
-    # (global max event time - 2h) passed its 30-min gap horizon
     global_max = events.agg(F.max(F.unix_micros(
         F.col("ts").cast("timestamp_ltz")))).collect()[0][0]
     wm_us = global_max - 7200 * 1_000_000
-    want = {}
-    for r in batch.collect():
-        n = r.n_sessions if wm_us > r.last_us + 1800 * 1_000_000 \
-            else r.n_sessions - 1
-        if n > 0:
-            want[r.user_id] = n
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess_ends = (events
+                 .withColumn("us", F.unix_micros(F.col("ts")
+                                                 .cast("timestamp_ltz")))
+                 .withColumn("prev", F.lag("us").over(w))
+                 .withColumn("new_s", F.when(
+                     F.col("prev").isNull() |
+                     (F.col("us") - F.col("prev") > 1800 * 1_000_000),
+                     1).otherwise(0))
+                 .withColumn("sid", F.sum("new_s").over(
+                     w.rowsBetween(W.unboundedPreceding, 0)))
+                 .groupBy("user_id", "sid")
+                 .agg(F.max("us").alias("end_us")))
+    want = {r.user_id: r.n for r in
+            (sess_ends
+             .where(F.col("end_us") + 1800 * 1_000_000 < F.lit(wm_us))
+             .groupBy("user_id").agg(F.count("*").alias("n"))
+             .collect())}
     assert closed_per_user == want and want
 
     # every emitted session respects the gap rule internally and ends
@@ -519,6 +518,10 @@ def test_bucketed_vacuum_keeps_live_versions_readable(spark, tmp_path):
     # the v1 base bucket files survive (still referenced via inheritance)
     m = store.manifest()
     assert all(os.path.isdir(p) for p in m["postings"].values())
+    # keep_last=0 clamps to 1: the LATEST manifest and its data survive
+    store.vacuum(keep_last=0)
+    assert store.versions() == versions[-1:]
+    assert {r.term for r in store.load().postings.collect()} == before
 
 
 @pytest.mark.parametrize("seed", [5, 17])
@@ -618,6 +621,56 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     # session 2 = the lone 03:00 event, closed by the 08:00 gap; the
     # 08:00 session stays open (watermark 06:00 < its 08:30 horizon)
     assert got == [(us(0), us(20), 3), (us(180), us(180), 1)]
+
+
+def test_stateful_sessionize_out_of_order_across_batches(spark, tmp_path):
+    """An event arriving in a LATER micro-batch but with an EARLIER
+    timestamp (allowed: still above the watermark) must merge into the
+    run it belongs to: it may never move a session's end backwards
+    (user 1: late 00:10 lands inside the carried 00:00-00:20 session)
+    and must bridge two carried runs into one session when it closes
+    both gaps (user 2: 00:30 joins the 00:00 and 01:00 runs)."""
+    import datetime as dt
+
+    from textindexing_spark.streaming.stateful import sessionize_stream
+
+    ev_ddl = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, session_hint int")
+
+    def ev(eid, minute, user):
+        return (eid, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute),
+                user, "view", 1.0, 0)
+
+    src = str(tmp_path / "ooo")
+    _f1 = spark.createDataFrame(
+        [ev(1, 0, 1), ev(2, 20, 1), ev(3, 0, 2), ev(4, 60, 2)], ev_ddl)
+    _f1.coalesce(1).write.mode("append").parquet(src)
+    _f2 = spark.createDataFrame(
+        [ev(5, 10, 1), ev(6, 30, 2), ev(7, 240, 3)], ev_ddl)
+    _f2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(ev_ddl)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "ooo_out")
+    q = (sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+         .writeStream.outputMode("append").format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ooo_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    base = dt.datetime(2024, 1, 1)
+
+    def us(minute):
+        return int((base + dt.timedelta(minutes=minute))
+                   .replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    got = sorted((r.user_id, r.start_us, r.end_us, r.n_events)
+                 for r in spark.read.parquet(out).collect())
+    # final watermark = 04:00 - 2h = 02:00: closes user 1's merged
+    # session (end 00:20 + 30 min < 02:00 — NOT end 00:10!) and user 2's
+    # bridged single session; user 3's 04:00 run stays open
+    assert got == [(1, us(0), us(20), 3), (2, us(0), us(60), 3)]
 
 
 def test_lsm_commit_crash_before_manifest_is_replayable(spark, tmp_path):

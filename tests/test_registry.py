@@ -73,6 +73,28 @@ def test_ingestor_set_add_remove_purges_source(spark, tmp_path):
     assert iset.index().search_bool("grape").count() == 0
 
 
+def test_remove_never_mints_ids_for_unmapped_provenance(spark, tmp_path):
+    """A provenance row can exist for a url that never reached the id
+    table (provenance append landed, merge crashed before committing).
+    remove() must NOT mint a fresh doc_id for it — tombstoning a
+    document that never existed would pollute the id space."""
+    src = str(tmp_path / "src")
+    _write(spark, [("u1", T0, None, "alpha beta", "en")], src)
+    iset = IngestorSet(spark, str(tmp_path / "idx"),
+                       n_term_buckets=8, n_doc_buckets=4)
+    ing = iset.add(src)
+    iset.drain()
+    n_ids = ing.url_ids.mapping().count()
+
+    # simulate the crash: a provenance url with no id-table entry
+    spark.createDataFrame([("ghost_url",)], "url string") \
+        .coalesce(1).write.mode("append").parquet(ing.prov_path)
+
+    iset.remove(src)
+    assert ing.url_ids.mapping().count() == n_ids  # no new ids minted
+    assert iset.index().search_bool("alpha").count() == 0  # purge worked
+
+
 def test_per_source_parser_config(spark, tmp_path):
     """Each source can carry its own parser (≙ per-Indexer ITextParser,
     IndexerSet.cs:118-133): a punctuation-split source and the default

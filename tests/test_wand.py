@@ -331,3 +331,7 @@ def test_segment_store_expire(spark, corpus, tmp_path):
     assert store.versions() == [v3]
     latest = store.load()
     assert latest.search_bm25("brand new", 5).count() >= 1
+    # keep_last=0 clamps to 1: the version LATEST points at must survive
+    assert store.expire(keep_last=0) == []
+    assert store.versions() == [v3]
+    assert store.load().search_bm25("brand new", 5).count() >= 1

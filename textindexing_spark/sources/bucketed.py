@@ -326,9 +326,12 @@ class BucketedIndexStore:
         the UNION of kept manifests' paths — a data dir is deleted only
         when no kept version references anything inside it. Older
         manifests are dropped too (their versions become unreadable).
-        Returns the deleted paths."""
+        Returns the deleted paths. ``keep_last`` is clamped to >= 1 so
+        the LATEST manifest (and the data it references) can never be
+        vacuumed away."""
         import shutil
 
+        keep_last = max(int(keep_last), 1)
         versions = self.versions()
         if len(versions) <= keep_last:
             return []

@@ -79,11 +79,15 @@ class VersionedSegmentStore:
     def expire(self, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` versions (segment
         versions are self-contained directories, so expiry is a plain
-        delete — ≙ Iceberg expire_snapshots). Returns expired versions."""
+        delete — ≙ Iceberg expire_snapshots). ``keep_last`` is clamped
+        to >= 1: expiring everything would delete the version LATEST
+        points at and leave the store unloadable. Returns expired
+        versions."""
         import shutil
 
+        keep_last = max(int(keep_last), 1)
         versions = self.versions()
-        expired = versions[:-keep_last] if keep_last else versions
+        expired = versions[:-keep_last]
         for v in expired:
             shutil.rmtree(f"{self.root}/v{v}", ignore_errors=True)
         return expired

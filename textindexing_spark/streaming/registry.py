@@ -117,8 +117,11 @@ class IngestorSet:
             except Exception:
                 continue  # source registered but never drained
             prov = prov.join(o, "url", "left_anti")
-        tombstones = (ing.url_ids.assign(prov)
-                      .where(F.col("doc_id").isNotNull())
+        # read-only id lookup: assign() would MINT fresh ids for urls that
+        # have a provenance row but never reached the id table (possible
+        # when a provenance append landed but the merge crashed before
+        # committing) — the inner join drops such unmapped urls instead
+        tombstones = (prov.join(ing.url_ids.mapping(), "url")
                       .select("doc_id", F.lit("").alias("text")))
         if tombstones.limit(1).count():
             ing.store.commit_merge(tombstones)
@@ -150,8 +153,8 @@ class IngestorSet:
             except Exception:
                 continue
             gone = gone.join(o, "url", "left_anti")
-        tombstones = (ing.url_ids.assign(gone)
-                      .where(F.col("doc_id").isNotNull())
+        # read-only lookup (see remove()): never mint ids for vanished urls
+        tombstones = (gone.join(ing.url_ids.mapping(), "url")
                       .select("doc_id", F.lit("").alias("text")))
         if tombstones.limit(1).count():
             ing.store.commit_merge(tombstones)

@@ -4,16 +4,24 @@ operators Structured Streaming has no built-in for.
 
 Semantics match the batch ``sessionize`` driver query: events of one
 user belong to one session while consecutive gaps are <= 30 minutes
-(strictly greater starts a new session). Within a micro-batch the
-operator closes every session it can prove finished and emits it; the
-trailing open session lives in the state store and is flushed by an
-EVENT-TIME TIMEOUT once the watermark passes its gap horizon — so state
-per user is O(1) and bounded by the watermark, never by stream length.
+(strictly greater starts a new session). A session is emitted as CLOSED
+only once the event-time watermark has passed its gap horizon
+(session_end + gap < watermark) — the same finalization rule Spark's
+built-in ``session_window`` uses in append mode. Intra-batch gap
+evidence alone is NOT enough to close a session: an out-of-order event
+may still arrive in a later micro-batch (allowed while it is above the
+watermark) and must merge into the run it belongs to, extending or
+bridging sessions, never moving a session's end backwards. The state
+store therefore carries ALL still-finalizable runs of a user (a small
+sorted set of (start, last, n) triples), and an event-time timeout
+flushes runs once the watermark passes them.
 
 Scale: one shuffle on user_id (the state key); state-store entries are
-(3 longs) per ACTIVE user in the horizon; skewed users cost one group's
-pandas call per batch, not a growing buffer (events inside a batch are
-reduced immediately)."""
+O(watermark_horizon / gap) triples per ACTIVE user (runs are > gap
+apart, so a 2 h horizon over a 30 min gap keeps <= ~5 runs), never
+proportional to stream length; skewed users cost one vectorized pandas
+call per batch (events are reduced to runs immediately, nothing
+buffers)."""
 
 from __future__ import annotations
 
@@ -27,9 +35,9 @@ SESSION_OUT = T.StructType([
     T.StructField("n_events", T.IntegerType()),
 ])
 _STATE = T.StructType([
-    T.StructField("start", T.LongType()),
-    T.StructField("last", T.LongType()),
-    T.StructField("n", T.IntegerType()),
+    T.StructField("starts", T.ArrayType(T.LongType())),
+    T.StructField("lasts", T.ArrayType(T.LongType())),
+    T.StructField("ns", T.ArrayType(T.LongType())),
 ])
 
 
@@ -40,63 +48,70 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60_000
 
     def fn(key, pdfs, state):
         import pandas as pd
 
         user = int(key[0])
         out = {"user_id": [], "start_us": [], "end_us": [], "n_events": []}
+        wm_ms = int(state.getCurrentWatermarkMs())
+        wm_us = wm_ms * 1000
 
-        def emit(s, e, n):
-            out["user_id"].append(user)
-            out["start_us"].append(int(s))
-            out["end_us"].append(int(e))
-            out["n_events"].append(int(n))
-
-        if state.hasTimedOut:
-            s0, l0, n0 = state.get
-            emit(s0, l0, n0)
-            state.remove()
+        if state.exists:
+            st = state.get
+            starts = np.asarray(st[0], dtype=np.int64)
+            lasts = np.asarray(st[1], dtype=np.int64)
+            ns = np.asarray(st[2], dtype=np.int64)
         else:
+            starts = lasts = ns = np.empty(0, dtype=np.int64)
+
+        if not state.hasTimedOut:
             ts_parts = [
                 (pd.to_datetime(pdf["ts"]).astype("int64") // 1000)
                 .to_numpy()
                 for pdf in pdfs]
-            ts = np.sort(np.concatenate(ts_parts)) if ts_parts else \
+            ts = np.concatenate(ts_parts) if ts_parts else \
                 np.empty(0, dtype=np.int64)
-            if state.exists:
-                s0, l0, n0 = state.get
-            else:
-                s0 = l0 = None
-                n0 = 0
             if ts.size:
-                # vectorized session split: a session boundary sits
-                # wherever the gap to the previous event (including the
-                # carried-over state's last event) exceeds the horizon
-                prev = np.r_[l0 if l0 is not None else ts[0] - gap_us - 1,
-                             ts[:-1]]
-                starts = np.flatnonzero(ts - prev > gap_us)
-                if s0 is not None:
-                    # prefix before the first boundary continues the
-                    # carried session; a boundary then closes it
-                    k = int(starts[0]) if starts.size else ts.size
-                    if k > 0:
-                        l0 = int(ts[k - 1])
-                        n0 = int(n0 + k)
-                    if starts.size:
-                        emit(s0, l0, n0)
-                        s0 = None
-                bounds = np.append(starts, ts.size)
-                for i in range(max(starts.size - 1, 0)):
-                    a, b = int(bounds[i]), int(bounds[i + 1])
-                    emit(ts[a], ts[b - 1], b - a)
-                if starts.size:  # last run becomes the open session
-                    a = int(starts[-1])
-                    s0, l0, n0 = int(ts[a]), int(ts[-1]), int(ts.size - a)
-            if s0 is not None:
-                state.update((int(s0), int(l0), int(n0)))
-                # flush the open session when event time passes its gap
-                state.setTimeoutTimestamp(l0 // 1000 + gap_minutes * 60_000)
+                # merge carried runs and new events as one sorted item
+                # list (an event is a width-0 run); a session boundary
+                # sits wherever an item's start exceeds the running max
+                # of previous items' ends by more than the gap — late
+                # events bridge/extend runs instead of splitting them,
+                # and an event nested inside a carried run can never
+                # move its end backwards (reduceat max below)
+                s_all = np.concatenate([starts, ts])
+                l_all = np.concatenate([lasts, ts])
+                n_all = np.concatenate([ns, np.ones(ts.size, np.int64)])
+                order = np.argsort(s_all, kind="mergesort")
+                s_all, l_all, n_all = s_all[order], l_all[order], \
+                    n_all[order]
+                cummax_last = np.maximum.accumulate(l_all)
+                bounds = np.r_[0, np.flatnonzero(
+                    s_all[1:] - cummax_last[:-1] > gap_us) + 1]
+                starts = s_all[bounds]
+                lasts = np.maximum.reduceat(l_all, bounds)
+                ns = np.add.reduceat(n_all, bounds)
+
+        # a run is provably finished only when the watermark passed its
+        # gap horizon: no event that could still arrive may extend it
+        closed = lasts + gap_us < wm_us
+        for s, e, n in zip(starts[closed], lasts[closed], ns[closed]):
+            out["user_id"].append(user)
+            out["start_us"].append(int(s))
+            out["end_us"].append(int(e))
+            out["n_events"].append(int(n))
+        keep = ~closed
+        if keep.any():
+            state.update((starts[keep].tolist(), lasts[keep].tolist(),
+                          ns[keep].tolist()))
+            # flush the earliest kept run when event time passes its gap
+            # (timeout timestamps must sit strictly above the watermark)
+            state.setTimeoutTimestamp(
+                max(int(lasts[keep].min()) // 1000 + gap_ms, wm_ms + 1))
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(out)
 
     return (events

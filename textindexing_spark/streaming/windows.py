@@ -41,12 +41,41 @@ def run_windowed_counts(spark, source_dir: str, out_dir: str,
                         watermark: str = "2 hours") -> None:
     """Drain the currently-available event files through the watermarked
     window aggregation into a parquet sink (availableNow: the bulk pass
-    of the same query that then keeps running on the live stream)."""
+    of the same query that then keeps running on the live stream).
+
+    Output mode is UPDATE with a keyed foreachBatch upsert — NOT complete
+    mode, which would retain every window's state forever and ignore the
+    watermark. In update mode the state store only holds windows inside
+    the watermark horizon (late rows past it are dropped), and each
+    micro-batch emits just the windows it changed; the sink merges those
+    by (hour_ts, event_type), last write wins, so the sink converges to
+    the batch answer while state stays bounded."""
+    import os
+    import shutil
+
     stream = (spark.readStream.schema(EVENTS_DDL).parquet(source_dir))
     agg = windowed_counts(stream, window, watermark)
-    q = (agg.writeStream.outputMode("complete")
-         .foreachBatch(lambda df, _e:
-                       df.write.mode("overwrite").parquet(out_dir))
+
+    def merge_batch(df, _epoch) -> None:
+        updates = df
+        if os.path.isdir(out_dir):
+            existing = df.sparkSession.read.parquet(out_dir)
+            kept = existing.join(
+                updates.select("hour_ts", "event_type"),
+                ["hour_ts", "event_type"], "left_anti")
+            merged = kept.unionByName(updates)
+        else:
+            merged = updates
+        # write-then-swap: the tmp write materializes the lazy read of the
+        # old sink before we delete it
+        tmp = out_dir.rstrip("/") + "._tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.replace(tmp, out_dir)
+
+    q = (agg.writeStream.outputMode("update")
+         .foreachBatch(merge_batch)
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
