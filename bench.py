@@ -56,9 +56,11 @@ def main() -> None:
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.sql import functions as F
+
     from textindexing_spark import IndexConfig, build_index
     from textindexing_spark.operators.dedup import (
-        lsh_candidate_pairs, near_duplicates, simhash)
+        lsh_candidate_pairs, near_duplicates, simhash, simhash64)
     from textindexing_spark.operators.similarity import cosine_topk, lsh_topk
     from textindexing_spark.functions.analysis import quality_score
 
@@ -82,6 +84,7 @@ def main() -> None:
     lsh_candidate_pairs(docs.limit(50)).count()
     near_duplicates(docs.limit(50)).count()
     simhash(docs.limit(50)).count()
+    simhash64(docs.limit(50)).count()
     cosine_topk(emb.limit(50), 0, 3).collect()
     lsh_topk(emb.limit(50), 0, 3).collect()
 
@@ -192,17 +195,58 @@ def main() -> None:
                              salt_target_bucket=500)
 
     def build_and_count(cfg_):
+        # cache-then-count: a bare postings.count() lets Catalyst PRUNE
+        # the sort_array(collect_list(...)) column and count term groups
+        # without ever building the arrays — rounds 1-2 under-measured
+        # these rows that way (0.8-1.4 s); the cache forces full
+        # materialization, which is what a real build pays
         ix = build_index(spark, zipf, cfg_)
+        ix.postings = ix.postings.cache()
         n = ix.postings.count()
         ix.unpersist()
         return n
 
     timed("zipf_build_salted", lambda: build_and_count(salted_cfg),
           repeat=1)
-    timed("zipf_build_unsalted",
-          lambda: build_and_count(IndexConfig(salt_df_threshold=0)),
-          repeat=1)
+    zheld: dict = {}
+
+    def build_keep():
+        # same cache-then-count materialization as build_and_count; the
+        # cached postings then feed the q5b boolean rows below
+        ix = build_index(spark, zipf, IndexConfig(salt_df_threshold=0))
+        ix.postings = ix.postings.cache()
+        n = ix.postings.count()
+        zheld["ix"] = ix
+        return n
+
+    timed("zipf_build_unsalted", build_keep, repeat=1)
     zipf.unpersist()
+
+    # q5b: rarest-first boolean pruning on the SAME Zipf corpus — the
+    # `stopword AND rare` shape. Pruned: the rare term's doc set is
+    # broadcast-semi-joined into the head term's scan, so the
+    # intersection agg shuffles O(df_rare) rows; unpruned
+    # (bool_seed_broadcast_max=0): the head term's FULL postings shuffle.
+    from textindexing_spark.operators.query import Index as _Index
+
+    zidx = zheld["ix"]
+    head = (zidx.postings.orderBy(F.col("df").desc())
+            .select("term", "df").first())
+    rare = (zidx.postings.where(F.col("df") >= 2)
+            .orderBy("df", "term").select("term", "df").first())
+    zq = f"{head['term']} {rare['term']}"
+    timed("bool_zipf_pruned", lambda: zidx.search_bool(zq).collect())
+    unpruned_idx = _Index(spark, zidx.postings, zidx.documents,
+                          IndexConfig(salt_df_threshold=0,
+                                      bool_seed_broadcast_max=0))
+    timed("bool_zipf_unpruned",
+          lambda: unpruned_idx.search_bool(zq).collect())
+    n_hits = zidx.search_bool(zq).count()
+    # agg-input (shuffled) rows: pruned = df_rare + |intersection|;
+    # unpruned = df_head + df_rare
+    bool_rows = {"bool_zipf_agg_rows_pruned": int(rare["df"] + n_hits),
+                 "bool_zipf_agg_rows_unpruned": int(head["df"] + rare["df"])}
+    zidx.unpersist()
 
     # q6+: training-pipeline operators
     timed("dedup_lsh_candidates",
@@ -213,6 +257,7 @@ def main() -> None:
     timed("dedup_near_duplicates",
           lambda: near_duplicates(docs, threshold=0.5).count())
     timed("dedup_simhash", lambda: simhash(docs).count())
+    timed("dedup_simhash64", lambda: simhash64(docs).count())
     timed("ann_cosine_topk", lambda: cosine_topk(emb, 0, 10).collect())
     timed("ann_lsh_topk", lambda: lsh_topk(emb, 0, 10).collect())
     timed("quality_score", lambda: quality_score(docs).count())
@@ -237,6 +282,7 @@ def main() -> None:
                 len(wand_texts) / timings["wand_batch"], 2),
             "bm25_n_queries": len(lat),
             "cpus": cpus,
+            **bool_rows,
         },
     }))
     spark.stop()

@@ -109,6 +109,34 @@ def main(argv=None):
         result["paths"][path_name] = {**per_size,
                                       "ratio_4x_corpus": round(ratio, 3)}
 
+    # url-id dimension: per-batch assign cost must stay FLAT as the
+    # chunk stream grows (compaction folds chunks into a base every
+    # compact_every commits, so mapping() never unions one path per
+    # historical batch). Medians of the first vs last quarter of a
+    # 48-batch stream + the final live path count.
+    from textindexing_spark.sources.urlids import UrlIdTable
+
+    t = UrlIdTable(spark, f"{tmp_root}/urlids")
+    n_b, per = 48, 500
+    times = []
+    for b in range(n_b):
+        batch = spark.createDataFrame(
+            [(f"https://bench/{b:03d}/{i}",) for i in range(per)],
+            "url string")
+        t0 = time.perf_counter()
+        t.assign(batch).count()
+        times.append(time.perf_counter() - t0)
+    q = n_b // 4
+    early = statistics.median(times[:q])
+    late = statistics.median(times[-q:])
+    result["urlid_assign"] = {
+        "batches": n_b, "urls_per_batch": per,
+        "early_median_s": round(early, 3),
+        "late_median_s": round(late, 3),
+        "late_over_early": round(late / early, 3),
+        "live_paths_final": len(t._live_paths()),
+    }
+
     spark.stop()
     shutil.rmtree(tmp_root, ignore_errors=True)
     print(json.dumps(result))

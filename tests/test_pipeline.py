@@ -673,6 +673,47 @@ def test_stateful_sessionize_out_of_order_across_batches(spark, tmp_path):
     assert got == [(1, us(0), us(20), 3), (2, us(0), us(60), 3)]
 
 
+def test_concurrent_writers_second_commit_fails_loudly(spark, tmp_path):
+    """Two writers racing on one store: the writer whose LATEST read went
+    stale must raise ConcurrentWriterError (not silently last-write-win),
+    and the store must stay consistent with the winner's commit."""
+    from textindexing_spark.sources.bucketed import (
+        BucketedIndexStore, ConcurrentWriterError)
+
+    root = str(tmp_path / "race")
+    a = BucketedIndexStore(spark, root, n_term_buckets=8, n_doc_buckets=4)
+    b = BucketedIndexStore(spark, root, n_term_buckets=8, n_doc_buckets=4)
+    a.commit_merge(spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id bigint, text string"))
+
+    # interleave: while A's commit is mid-flight (delta written, manifest
+    # not yet swapped), B lands a full commit
+    orig = a._write_delta
+    fired = []
+
+    def delta_then_b_commits(*args, **kw):
+        n = orig(*args, **kw)
+        if not fired:  # interleave B exactly once (tier merges re-enter)
+            fired.append(1)
+            b.commit_merge(spark.createDataFrame(
+                [(2, "gamma")], "doc_id bigint, text string"))
+        return n
+
+    a._write_delta = delta_then_b_commits
+    with pytest.raises(ConcurrentWriterError):
+        a.commit_merge(spark.createDataFrame(
+            [(3, "epsilon")], "doc_id bigint, text string"))
+    a._write_delta = orig
+
+    idx = a.load()
+    assert idx.search_bool("gamma").count() == 1     # B's commit won
+    assert idx.search_bool("epsilon").count() == 0   # A's never landed
+    # A replays on the new version and succeeds
+    a.commit_merge(spark.createDataFrame(
+        [(3, "epsilon")], "doc_id bigint, text string"))
+    assert a.load().search_bool("epsilon").count() == 1
+
+
 def test_lsm_commit_crash_before_manifest_is_replayable(spark, tmp_path):
     """A crash AFTER delta data lands but BEFORE the manifest/LATEST
     commit must leave the store at the previous version; replaying the

