@@ -50,6 +50,45 @@ def test_foreign_payload_raises():
         mm.decode_rgb(b"\xff\xd8\xff\xe0 not actually decodable jpeg")
 
 
+def _tiny_png() -> bytes:
+    """Hand-built valid 1x1 red PNG (no image lib needed to create it)."""
+    import binascii
+    import struct as st
+    import zlib
+
+    def chunk(typ, data):
+        c = typ + data
+        return (st.pack(">I", len(data)) + c
+                + st.pack(">I", binascii.crc32(c) & 0xFFFFFFFF))
+
+    ihdr = st.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"\x00\xff\x00\x00")
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def test_real_decoder_seam_contract():
+    """The decode seam: a REAL (non-TIXM) image payload decodes through
+    Pillow when the lib is present, and raises NotImplementedError
+    naming the boundary when it is not — either way the operators above
+    the seam are untouched (README documents this contract)."""
+    png = _tiny_png()
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        img = mm.decode_rgb(png)
+        assert img.shape == (1, 1, 3)
+        assert tuple(int(v) for v in img[0, 0]) == (255, 0, 0)
+    else:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm.decode_rgb(png)
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            mm.decode_pcm(b"RIFF....WAVEfmt not a real wav")
+
+
 def test_metadata_validation(spark, images, docs):
     n = docs.count()
     meta = mm.media_metadata(images)

@@ -673,6 +673,42 @@ def test_stateful_sessionize_out_of_order_across_batches(spark, tmp_path):
     assert got == [(1, us(0), us(20), 3), (2, us(0), us(60), 3)]
 
 
+def test_vacuum_retention_contract_for_pinned_readers(spark, tmp_path):
+    """The retention contract: vacuum(keep_last=K) guarantees the newest
+    K versions stay fully readable; a reader pinned to an OLDER version
+    whose data compaction left unreferenced fails CLEANLY — manifest
+    lookup raises FileNotFoundError, and an already-loaded view errors
+    at scan time instead of silently returning partial data. (A pinned
+    version whose files happen to be shared by kept manifests keeps
+    working — copy-on-write sharing, also correct.)"""
+    from textindexing_spark.sources.bucketed import BucketedIndexStore
+
+    store = BucketedIndexStore(spark, str(tmp_path / "ret"),
+                               n_term_buckets=8, n_doc_buckets=4)
+    store.commit_merge(spark.createDataFrame(
+        [(i, f"w{i} base") for i in range(20)],
+        "doc_id bigint, text string"), mode="rewrite")
+    store.commit_merge(spark.createDataFrame(
+        [(100, "pinme words")], "doc_id bigint, text string"))     # v2
+    pinned = store.load(2)
+    assert pinned.search_bool("pinme").count() == 1   # readable pre-vacuum
+    store.commit_merge(spark.createDataFrame(
+        [(101, "more words")], "doc_id bigint, text string"))      # v3
+    store.compact()                                                # v4
+    store.commit_merge(spark.createDataFrame(
+        [(102, "newest words")], "doc_id bigint, text string"))    # v5
+
+    store.vacuum(keep_last=2)
+    assert store.versions() == [4, 5]                 # keep_last honored
+    assert store.load().search_bool("pinme").count() == 1  # folded, live
+    with pytest.raises(FileNotFoundError):
+        store.manifest(2)                             # expired manifest
+    with pytest.raises(Exception):                    # deleted delta dir
+        store.load(2)
+    with pytest.raises(Exception):
+        pinned.search_bool("pinme").collect()         # errors, not partial
+
+
 def test_concurrent_writers_second_commit_fails_loudly(spark, tmp_path):
     """Two writers racing on one store: the writer whose LATEST read went
     stale must raise ConcurrentWriterError (not silently last-write-win),

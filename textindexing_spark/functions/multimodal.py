@@ -71,31 +71,63 @@ def unpack_header(payload: bytes) -> dict | None:
 
 
 def decode_rgb(payload: bytes) -> "np.ndarray":
-    """STUB image decode -> (h, w, 3) uint8. Real impl: Pillow/turbojpeg.
+    """Image decode -> (h, w, 3) uint8.
 
-    Deterministic fake: body bytes tile the pixel grid. Raises on foreign
-    payloads exactly like a real decoder would.
-    """
+    TIXM payloads (the deterministic in-container fake: body bytes tile
+    the pixel grid) decode natively. FOREIGN payloads (real JPEG/PNG
+    bytes) decode through Pillow WHEN it is importable — the seam is
+    this one function; every operator above it is unchanged. In this
+    container no image lib ships, so foreign bytes raise
+    NotImplementedError naming the boundary (the documented contract:
+    either feed TIXM containers or install Pillow)."""
     hdr = unpack_header(payload)
-    if hdr is None or hdr["codec"] not in ("rgb8", "jpg", "png"):
+    if hdr is not None and hdr["codec"] in ("rgb8", "jpg", "png"):
+        w, h = hdr["width"], hdr["height"]
+        body = np.frombuffer(hdr["body"], dtype=np.uint8)
+        need = w * h * 3
+        reps = int(np.ceil(need / max(body.size, 1)))
+        return np.tile(body, reps)[:need].reshape(h, w, 3)
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
         raise NotImplementedError(
-            "real image decoding needs an image lib (Pillow); the "
-            "deterministic TIXM fake is the only in-container codec")
-    w, h = hdr["width"], hdr["height"]
-    body = np.frombuffer(hdr["body"], dtype=np.uint8)
-    need = w * h * 3
-    reps = int(np.ceil(need / max(body.size, 1)))
-    return np.tile(body, reps)[:need].reshape(h, w, 3)
+            "real image decoding needs an image lib (Pillow, not in this "
+            "container); the deterministic TIXM fake is the only "
+            "in-container codec") from None
+    if payload is None:
+        raise NotImplementedError("empty payload")
+    try:
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+    except Exception as e:  # corrupt/unsupported: quarantine upstream
+        raise NotImplementedError(f"undecodable payload: {e}") from None
+    return np.asarray(img, dtype=np.uint8)
 
 
 def decode_pcm(payload: bytes) -> "np.ndarray":
-    """STUB audio decode -> int16 PCM samples. Real impl: soundfile/ffmpeg."""
+    """Audio decode -> int16 PCM samples. TIXM payloads decode natively;
+    foreign payloads (real WAV/FLAC bytes) go through soundfile when
+    importable — same seam contract as decode_rgb."""
     hdr = unpack_header(payload)
-    if hdr is None or hdr["codec"] not in ("pcm", "wav", "flac"):
+    if hdr is not None and hdr["codec"] in ("pcm", "wav", "flac"):
+        return np.frombuffer(hdr["body"], dtype="<i2")
+    try:
+        import io
+
+        import soundfile as sf
+    except ImportError:
         raise NotImplementedError(
-            "real audio decoding needs an audio lib (soundfile); the "
-            "deterministic TIXM fake is the only in-container codec")
-    return np.frombuffer(hdr["body"], dtype="<i2")
+            "real audio decoding needs an audio lib (soundfile, not in "
+            "this container); the deterministic TIXM fake is the only "
+            "in-container codec") from None
+    if payload is None:
+        raise NotImplementedError("empty payload")
+    try:
+        data, _sr = sf.read(io.BytesIO(payload), dtype="int16")
+    except Exception as e:
+        raise NotImplementedError(f"undecodable payload: {e}") from None
+    return np.asarray(data, dtype="<i2").reshape(-1)
 
 
 # --- synthesis (deterministic; no external data) ----------------------------

@@ -356,14 +356,27 @@ class Index:
         re-merged docs REPLACE their postings (old-only terms disappear);
         a doc whose new token set is empty is DELETED everywhere.
 
-        Execution: old postings minus the merge batch (anti-join on doc_id)
-        unioned with the batch's fresh tokens, re-aggregated. With a table
-        format underneath this is MERGE INTO; here it is a full logical
-        rebuild whose physical cost a real catalog would prune to affected
-        term partitions (noted optimization, round 2).
+        Execution: old postings minus the merge batch (anti-join on
+        doc_id) unioned with the batch's fresh tokens, re-aggregated — a
+        full LOGICAL rebuild whose physical cost is O(corpus). This is
+        the demo-scale/equivalence-reference path ONLY; the O(batch)
+        production merges are ``BucketedIndexStore.commit_merge`` (LSM
+        delta commits + bucket-level copy-on-write compaction,
+        sources/bucketed.py — what StreamingIngestor uses) and
+        ``SegmentIndex.upsert`` (shard-local, operators/bm25.py). A
+        warning is emitted so no caller adopts this path at scale
+        unknowingly.
         """
+        import warnings
+
         from textindexing_spark.operators.build import (
             document_lengths, postings_from_tokens, tokenize_documents)
+
+        warnings.warn(
+            "Index.merge is a full logical rebuild (O(corpus) per batch) "
+            "kept as the demo-scale equivalence reference; use "
+            "BucketedIndexStore.commit_merge or SegmentIndex.upsert for "
+            "O(batch) incremental merges", stacklevel=2)
 
         new_tokens = tokenize_documents(docs, self.cfg, id_col=id_col,
                                         text_col=text_col)
