@@ -155,32 +155,67 @@ class SegmentIndex:
         Call once on a long-lived query session (the CLI/server mode);
         batch/one-shot jobs don't need it."""
         self._query_groups = query_groups
-        key = (F.pmod(F.col("shard"), F.lit(query_groups)).cast("int")
-               if query_groups else F.col("shard"))
-        n = query_groups or self.n_shards or 64
-        self.segments = self.segments.repartition(n, key).cache()
-        self.shard_docs = self.shard_docs.repartition(n, key).cache()
+        if query_groups:
+            # materialize the grouping key as a COLUMN before caching
+            # and repartition on that column: the per-query cogroup
+            # groups by the very attribute the cache is partitioned on,
+            # so the zero-shuffle property holds BY CONSTRUCTION.
+            # (Measured: Catalyst's alias-aware output-partitioning
+            # match elided the exchange for the old re-derived-pmod
+            # form too — 0 ENSURE_REQUIREMENTS exchanges either way —
+            # but that elision depends on expression canonicalization;
+            # keying the cache on a real column makes the contract
+            # robust to plan changes rather than optimizer-dependent.)
+            key = F.pmod(F.col("shard"), F.lit(query_groups)).cast("int")
+            self._serve_seg = (self.segments.withColumn("_qg", key)
+                               .repartition(query_groups, F.col("_qg"))
+                               .cache())
+            self._serve_docs = (self.shard_docs.withColumn("_qg", key)
+                                .repartition(query_groups, F.col("_qg"))
+                                .cache())
+            # plain views share the serving cache (projection over the
+            # InMemoryRelation), so save()/upsert() etc. stay cache-backed
+            self.segments = self._serve_seg.drop("_qg")
+            self.shard_docs = self._serve_docs.drop("_qg")
+            self._serve_seg.count()
+            self._serve_docs.count()
+        else:
+            # per-shard grouping: repartition by the shard attribute
+            # itself — the cogroup's groupby("shard") matches it
+            # directly, so this layout is already exchange-free
+            n = self.n_shards or 64
+            self.segments = (self.segments
+                             .repartition(n, F.col("shard")).cache())
+            self.shard_docs = (self.shard_docs
+                               .repartition(n, F.col("shard")).cache())
+            self.segments.count()
+            self.shard_docs.count()
         self.term_stats = self.term_stats.cache()
-        self.segments.count()
-        self.shard_docs.count()
         return self
+
+    _serve_seg = None
+    _serve_docs = None
+
+    def _serving_frames(self) -> tuple[DataFrame, DataFrame]:
+        """(segments, shard_docs) for the WAND cogroup: the
+        ``_qg``-keyed cached frames in a serving session, else the plain
+        tables."""
+        if self._query_groups and self._serve_seg is not None:
+            return self._serve_seg, self._serve_docs
+        return self.segments, self.shard_docs
 
     def _cogroup_by_query_key(self, seg_q: DataFrame,
                               docs_side: DataFrame):
-        """Group both WAND sides by the query key: per shard, or a
-        coarse pmod(shard, G) when a serving session coalesced tasks."""
-        g = self._query_groups
-        if g:
-            seg_q = seg_q.withColumn(
-                "_qg", F.pmod(F.col("shard"), F.lit(g)).cast("int"))
-            docs_side = docs_side.withColumn(
-                "_qg", F.pmod(F.col("shard"), F.lit(g)).cast("int"))
+        """Group both WAND sides by the query key: per shard, or the
+        pre-partitioned ``_qg`` column when a serving session coalesced
+        tasks (zero-shuffle — see prepare_for_queries)."""
+        if self._query_groups:
             return seg_q.groupby("_qg").cogroup(docs_side.groupby("_qg"))
         return seg_q.groupby("shard").cogroup(docs_side.groupby("shard"))
 
     def unpersist(self) -> None:
         for df in (self.segments, self.shard_docs, self.term_stats,
-                   self._fused):
+                   self._serve_seg, self._serve_docs, self._fused):
             if df is not None:
                 try:
                     df.unpersist()
@@ -395,12 +430,13 @@ class SegmentIndex:
                 {"doc_id": pd.Series(ids_out, dtype="int64"),
                  "score": pd.Series(scores_out, dtype="float64")})
 
-        seg_q = self.segments.where(F.col("term").isin(list(idfs)))
+        seg_base, docs_base = self._serving_frames()
+        seg_q = seg_base.where(F.col("term").isin(list(idfs)))
         # rebind the docs side with fresh expression ids (Alias) — both
         # sides can derive from one fused frame, and cogrouping a frame
         # with itself trips the ambiguous-self-join check
-        docs_side = self.shard_docs.select(
-            *[F.col(c).alias(c) for c in self.shard_docs.columns])
+        docs_side = docs_base.select(
+            *[F.col(c).alias(c) for c in docs_base.columns])
         per_shard = (self._cogroup_by_query_key(seg_q, docs_side)
                      .applyInPandas(group_topk, out_schema))
         return (per_shard
@@ -474,9 +510,10 @@ class SegmentIndex:
                  "doc_id": pd.Series(out["doc_id"], dtype="int64"),
                  "score": pd.Series(out["score"], dtype="float64")})
 
-        seg_q = self.segments.where(F.col("term").isin(all_terms))
-        docs_side = self.shard_docs.select(
-            *[F.col(c).alias(c) for c in self.shard_docs.columns])
+        seg_base, docs_base = self._serving_frames()
+        seg_q = seg_base.where(F.col("term").isin(all_terms))
+        docs_side = docs_base.select(
+            *[F.col(c).alias(c) for c in docs_base.columns])
         per_shard = (self._cogroup_by_query_key(seg_q, docs_side)
                      .applyInPandas(group_topk_many, out_schema))
         w = W.partitionBy("query_id").orderBy(

@@ -262,21 +262,30 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — bitwise majority over the md5 digests of the
-    doc's DISTINCT tokens; ``bits`` from the top hex nibbles. Portable
-    nibble extraction (strpos over the hex alphabet) so any SQL engine
-    reproduces it bit-for-bit."""
+    doc's DISTINCT tokens; ``bits`` from the top hex nibbles, folded to
+    an integer with ONE base-16 conv per token (16 per-bit string probes
+    cost measurably more on the exploded token stream; the bit values
+    are unchanged, so any SQL engine still reproduces the fingerprint
+    bit-for-bit)."""
+    if not 1 <= bits <= 60:
+        raise ValueError("simhash bits must be in [1, 60] (the folded "
+                         "digest must fit a signed BIGINT); use "
+                         "simhash64 for the full-width fingerprint")
+    nnib = (bits + 3) // 4
     tok = (docs.select(F.col(id_col).alias("doc_id"),
                        tokens_col(text_col).alias("ts"))
            .where(F.size("ts") > 0)
            .select("doc_id", F.explode(F.array_distinct("ts")).alias("term"))
-           .withColumn("h", F.md5("term")))
+           .withColumn("hv", F.conv(F.substring(F.md5("term"), 1, nnib),
+                                    16, 10).cast("bigint")))
     cols = []
     for j in range(bits):
         nib = j // 4
         bit = j % 4
-        nib_val = (F.instr(F.lit("0123456789abcdef"),
-                           F.substring(F.col("h"), nib + 1, 1)) - 1)
-        bit_val = F.shiftright(nib_val, bit).bitwiseAND(F.lit(1))
+        # hex digit `nib` counts from the FRONT of the digest = the
+        # high end of the conv'd integer
+        shift = 4 * (nnib - 1 - nib) + bit
+        bit_val = F.shiftright(F.col("hv"), shift).bitwiseAND(F.lit(1))
         cols.append(F.sum(bit_val * 2 - 1).alias(f"s{j}"))
     summed = tok.groupBy("doc_id").agg(*cols)
     acc = F.lit(0)
