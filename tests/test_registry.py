@@ -194,3 +194,76 @@ def test_drain_unknown_source_raises(spark, tmp_path):
     iset = IngestorSet(spark, str(tmp_path / "x"))
     with pytest.raises(ValueError, match="unknown source"):
         iset.drain("/nope")
+
+
+def test_per_source_identity_same_url_is_two_documents(spark, tmp_path):
+    """identity='per_source' — exact reference parity: documents are
+    keyed by (source, url) (DocumentInfo.cs:60-65; per-Indexer sources,
+    IndexerSet.cs:118-133), so the SAME url fed by two sources indexes
+    as TWO documents, and remove(source) purges exactly that source's
+    copy."""
+    from textindexing_spark.streaming.registry import split_identity
+
+    src_a = str(tmp_path / "pa")
+    src_b = str(tmp_path / "pb")
+    shared = ("dup_url", T0, None, "orange papaya", "en")
+    _write(spark, [shared, ("a_solo", T0, None, "quince", "en")], src_a)
+    _write(spark, [shared], src_b)
+
+    iset = IngestorSet(spark, str(tmp_path / "pidx"),
+                       n_term_buckets=8, n_doc_buckets=4,
+                       identity="per_source")
+    iset.add(src_a)
+    iset.add(src_b)
+    iset.drain()
+
+    idx = iset.index()
+    assert idx.documents.count() == 3          # dup_url twice + a_solo
+    assert idx.search_bool("orange").count() == 2  # one per source
+
+    # split_identity recovers (source, url) for display
+    ing = iset._sources[iset._key(src_a)]
+    rows = split_identity(ing.url_ids.mapping()).collect()
+    assert {(r["source"], r["url"]) for r in rows} == {
+        (src_a, "dup_url"), (src_a, "a_solo"), (src_b, "dup_url")}
+
+    # removing A drops A's copy of dup_url AND a_solo; B's copy survives
+    iset.remove(src_a)
+    idx = iset.index()
+    assert idx.search_bool("orange").count() == 1
+    assert idx.search_bool("quince").count() == 0
+    assert idx.documents.count() == 1
+    iset.remove(src_b)
+    assert iset.index().documents.count() == 0
+
+
+def test_per_source_identity_reconcile_is_source_local(spark, tmp_path):
+    """identity='per_source' reconcile: a url vanishing from source A's
+    listing tombstones A's document even though B still provides the
+    same url — identities are namespaced, so B's copy is untouched."""
+    import glob as _glob
+    import os as _os
+
+    src_a = str(tmp_path / "qa")
+    src_b = str(tmp_path / "qb")
+    shared = ("both_url", T0, None, "raisin squash", "en")
+    _write(spark, [shared], src_a)
+    a_files = set(_glob.glob(f"{src_a}/*.parquet"))
+    _write(spark, [shared], src_b)
+
+    iset = IngestorSet(spark, str(tmp_path / "qidx"),
+                       n_term_buckets=8, n_doc_buckets=4,
+                       identity="per_source")
+    iset.add(src_a)
+    iset.add(src_b)
+    iset.drain()
+    assert iset.index().search_bool("raisin").count() == 2
+
+    for f in a_files:
+        _os.remove(f)
+    _write(spark, [("a_new", T0, None, "tamarind", "en")], src_a)
+    iset.drain(src_a)
+    iset.reconcile(src_a)
+    idx = iset.index()
+    assert idx.search_bool("raisin").count() == 1    # A's copy gone
+    assert idx.search_bool("tamarind").count() == 1  # new A doc intact

@@ -141,35 +141,35 @@ def postings_from_tokens(tokens: DataFrame,
                 .select("term", "df", "total_tf", "postings"))
 
     # skew pre-pass: tokens is consumed twice (df sketch + the build); the
-    # caller (build_index) persists it so tokenization runs once.
-    dfreq = tokens.groupBy("term").agg(F.count("*").alias("_df"))
+    # caller (build_index) persists it so tokenization runs once. The SAME
+    # aggregation also carries each head term's doc_id bounds, so range
+    # salting needs no separate stats job (an eager min/max collect here
+    # cost a full extra pass over tokens — removed round 3).
+    dfreq = tokens.groupBy("term").agg(F.count("*").alias("_df"),
+                                       F.min("doc_id").alias("_lo"),
+                                       F.max("doc_id").alias("_hi"))
     head = (dfreq.where(F.col("_df") > cfg.salt_df_threshold)
                  .select("term",
                          F.ceil(F.col("_df") / cfg.salt_target_bucket)
-                          .cast("int").alias("_fanout")))
+                          .cast("int").alias("_fanout"),
+                         "_lo", "_hi"))
 
     # RANGE salting on doc_id (not pmod): salt bucket k of a head term
-    # covers a CONTIGUOUS doc_id range, so phase 2 merges sublists by
-    # concatenating them in salt order — no re-sort of the full list and
-    # no second O(df) sort buffer in the merge reducer (with pmod
-    # interleaving, the merge task re-sorted the whole head list and was
-    # the one to blow a bounded heap — measured in scripts/bench_skew.py).
-    # The bucket map is computed in double space so a full-int64 id span
-    # (hash-derived ids) cannot overflow; floor of a monotone map keeps
-    # bucket order aligned with doc_id order even under fp rounding, and
-    # balance only needs ids ~uniform over their span (dense engine ids
-    # and hash ids both are).
-    stats = tokens.agg(F.min("doc_id").alias("lo"),
-                       F.max("doc_id").alias("hi")).collect()[0]
-    if stats["lo"] is None:  # empty input: nothing to salt
-        return (tokens.groupBy("term")
-                .agg(F.sort_array(F.collect_list(posting)).alias("postings"),
-                     F.count("*").alias("df"),
-                     F.sum("tf").alias("total_tf"))
-                .select("term", "df", "total_tf", "postings"))
-    lo_d = float(int(stats["lo"]))
-    span_d = float(int(stats["hi"]) - int(stats["lo"]) + 1)
-    pos = (F.col("doc_id").cast("double") - F.lit(lo_d)) / F.lit(span_d)
+    # covers a CONTIGUOUS doc_id range OF THAT TERM, so phase 2 merges
+    # sublists by concatenating them in salt order — no re-sort of the
+    # full list and no second O(df) sort buffer in the merge reducer
+    # (with pmod interleaving, the merge task re-sorted the whole head
+    # list and was the one to blow a bounded heap — measured in
+    # scripts/bench_skew.py). Bounds are per-term (from the pre-pass), so
+    # each head term balances over its own id span. The bucket map is
+    # computed in double space so a full-int64 id span (hash-derived ids)
+    # cannot overflow; floor of a monotone map keeps bucket order aligned
+    # with doc_id order even under fp rounding, and balance only needs
+    # ids ~uniform over their span (dense engine ids and hash ids both
+    # are).
+    pos = ((F.col("doc_id").cast("double") - F.col("_lo").cast("double"))
+           / (F.col("_hi").cast("double") - F.col("_lo").cast("double")
+              + F.lit(1.0)))
     raw_salt = F.floor(pos * F.col("_fanout"))
     salted = (tokens.join(F.broadcast(head), "term", "left")
                     .withColumn("salt",
@@ -180,7 +180,7 @@ def postings_from_tokens(tokens: DataFrame,
                                                 F.col("_fanout") - 1))
                                     .cast("int"),
                                     F.lit(0)))
-                    .drop("_fanout"))
+                    .drop("_fanout", "_lo", "_hi"))
 
     shuffle_n = cfg.num_partitions
     if shuffle_n:

@@ -18,9 +18,23 @@ BucketedIndexStore (LSM delta merges) and one UrlIdTable at
 ``index_root`` — state is shared through the store, so sources can
 drain independently. Each micro-batch additionally appends its url set
 to the source's PROVENANCE table; ``remove`` purges the source's urls
-minus any url still provided by another live source (url is global
-document identity here — a deliberate deviation from the reference's
-per-source document identity, documented in COVERAGE.md)."""
+minus any url still provided by another live source.
+
+Document identity is configurable (``identity=``):
+
+- ``"url"`` (default): the url is GLOBAL document identity — a url fed
+  by two sources is ONE document (sensible for a crawl corpus; the
+  provenance anti-joins keep removal correct). This is a deliberate,
+  documented deviation from the reference.
+- ``"per_source"``: exact reference parity — a document is keyed by
+  (source, url) (≙ per-Indexer sources + DocumentInfo(source, id),
+  IndexerSet.cs:118-133, Documents/DocumentInfo.cs:60-65). The same
+  url fed by two sources indexes as TWO documents; ``remove(source)``
+  purges exactly that source's documents with a prefix predicate (no
+  cross-source provenance reasoning needed, ≙ Indexer.RemoveFromIndex
+  dropping one Indexer's documents). Identity keys are
+  ``source_key + "\\x1f" + url``; ``split_identity`` recovers
+  (source, url) columns for display."""
 
 from __future__ import annotations
 
@@ -31,16 +45,44 @@ from pyspark.sql import functions as F
 from textindexing_spark.config import IndexConfig
 from textindexing_spark.streaming.ingest import StreamingIngestor
 
+#: separator between source key and url in ``identity="per_source"``
+#: composite keys (US, "unit separator": cannot appear in a valid url)
+IDENTITY_SEP = "\x1f"
+
+
+def split_identity(df, url_col: str = "url"):
+    """Split per-source composite identity keys back into (source, url)
+    columns for display/export. Rows without a separator (global-identity
+    keys) get source=NULL and the url passed through unchanged."""
+    has_sep = F.col(url_col).contains(IDENTITY_SEP)
+    return df.withColumn(
+        "source",
+        F.when(has_sep, F.substring_index(url_col, IDENTITY_SEP, 1))
+    ).withColumn(
+        url_col,
+        F.when(has_sep, F.substring_index(url_col, IDENTITY_SEP, -1))
+         .otherwise(F.col(url_col)))
+
 
 class _SourceIngestor(StreamingIngestor):
     """StreamingIngestor that records each batch's urls in the source's
-    provenance table before merging (append-only, url column)."""
+    provenance table before merging (append-only, url column), and — in
+    per-source identity mode — rewrites urls to composite
+    (source, url) keys before they reach the id dimension."""
 
-    def __init__(self, spark, index_root, cfg, prov_path, **kw):
+    def __init__(self, spark, index_root, cfg, prov_path,
+                 identity_prefix: str | None = None, **kw):
         super().__init__(spark, index_root, cfg, **kw)
         self.prov_path = prov_path
+        self.identity_prefix = identity_prefix  # None = global-url mode
 
     def process_batch(self, batch, epoch_id: int = 0) -> int:
+        if self.identity_prefix is not None:
+            batch = batch.withColumn(
+                "url",
+                F.when(F.col("url").isNotNull(),
+                       F.concat(F.lit(self.identity_prefix), F.col("url")))
+            )
         (batch.select("url").where(F.col("url").isNotNull()).distinct()
          .coalesce(1).write.mode("append").parquet(self.prov_path))
         return super().process_batch(batch, epoch_id)
@@ -51,11 +93,15 @@ class IngestorSet:
 
     def __init__(self, spark, index_root: str,
                  cfg: IndexConfig | None = None,
-                 n_term_buckets: int = 64, n_doc_buckets: int = 64):
+                 n_term_buckets: int = 64, n_doc_buckets: int = 64,
+                 identity: str = "url"):
+        if identity not in ("url", "per_source"):
+            raise ValueError("identity must be 'url' or 'per_source'")
         self.spark = spark
         self.index_root = index_root
         self.cfg = cfg or IndexConfig()  # ≙ DefaultTextParser
         self._buckets = (n_term_buckets, n_doc_buckets)
+        self.identity = identity
         self._sources: dict[str, _SourceIngestor] = {}
 
     def _key(self, source_dir: str) -> str:
@@ -75,9 +121,12 @@ class IngestorSet:
             raise ValueError(
                 "Source is already included in this IndexerSet: " + key)
         digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+        prefix = (key + IDENTITY_SEP if self.identity == "per_source"
+                  else None)
         ing = _SourceIngestor(
             self.spark, self.index_root, cfg or self.cfg,
             prov_path=f"{self.index_root}/_prov/{digest}",
+            identity_prefix=prefix,
             n_term_buckets=self._buckets[0],
             n_doc_buckets=self._buckets[1])
         ing.source_dir = key
@@ -99,10 +148,23 @@ class IngestorSet:
     def remove(self, source_dir: str) -> None:
         """Drop a source: its documents vanish from the shared index
         (purge via tombstone merge ≙ RemoveFromIndex/A3). Removing an
-        unknown source does nothing (IndexerSet.cs:152-155)."""
+        unknown source does nothing (IndexerSet.cs:152-155).
+
+        In per-source identity mode the purge is a pure prefix predicate
+        over the id dimension — no other source can own this source's
+        composite keys, exactly the reference's "drop one Indexer's
+        documents" semantics."""
         key = self._key(source_dir)
         ing = self._sources.pop(key, None)
         if ing is None:
+            return
+        if self.identity == "per_source":
+            tombstones = (ing.url_ids.mapping()
+                          .where(F.col("url").startswith(
+                              key + IDENTITY_SEP))
+                          .select("doc_id", F.lit("").alias("text")))
+            if tombstones.limit(1).count():
+                ing.store.commit_merge(tombstones)
             return
         try:
             prov = (self.spark.read.schema("url string")
@@ -143,6 +205,18 @@ class IngestorSet:
             return  # never drained: nothing indexed from this source
         live = (self.spark.read.schema(PAGES_SCHEMA)
                 .parquet(ing.source_dir).select("url").distinct())
+        if self.identity == "per_source":
+            # identities are namespaced per source: compare this source's
+            # composite keys against its own live listing (composited the
+            # same way); other sources cannot interfere by construction
+            live = live.select(F.concat(F.lit(key + IDENTITY_SEP),
+                                        F.col("url")).alias("url"))
+            gone = prov.join(live, "url", "left_anti")
+            tombstones = (gone.join(ing.url_ids.mapping(), "url")
+                          .select("doc_id", F.lit("").alias("text")))
+            if tombstones.limit(1).count():
+                ing.store.commit_merge(tombstones)
+            return
         gone = prov.join(live, "url", "left_anti")
         for other in self._sources.values():
             if other is ing:
