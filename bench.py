@@ -127,6 +127,19 @@ def main() -> None:
     timed("bool_batch",
           lambda: idx.search_bool_many(bool_texts).collect())
 
+    # q2b: positional index + exact phrase search (operators/phrase.py)
+    from textindexing_spark.operators.phrase import PositionalIndex
+
+    pidx = timed("positional_build", lambda: (
+        lambda p: (p.positional.count(), p)[1]
+    )(PositionalIndex.build(spark, docs).cache()), repeat=1)
+
+    def run_phrases():
+        for ph in ("row scan", "the data table", "merge batch"):
+            pidx.search_phrase(ph).collect()
+    timed("phrase_queries", run_phrases)
+    pidx.unpersist()
+
     # q3: BM25 top-10 latency per query (p50 reported in extras)
     lat: list[float] = []
 

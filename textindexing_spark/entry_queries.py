@@ -137,6 +137,24 @@ _SQL_BOOL_WILDCARD = (
     f"INTERSECT SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term LIKE '%ow'")
 
 
+def _q_phrase_search(spark, sf_dir):
+    # Positional-index exact phrase search (operators/phrase.py): docs
+    # where 'row' is IMMEDIATELY followed by 'scan' — order-sensitive,
+    # unlike bool AND. Rarest-first join over term-pruned positional
+    # scans; adjacency via exists/array_contains, all JVM-side.
+    from textindexing_spark.operators.phrase import PositionalIndex
+
+    return (PositionalIndex.build(spark, _docs(spark, sf_dir))
+            .search_phrase("row scan"))
+
+
+_SQL_PHRASE_SEARCH = f"""
+WITH tok AS ({_TOKL})
+SELECT DISTINCT doc_id FROM tok,
+  unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
+WHERE ts[i] = 'row' AND ts[i+1] = 'scan'"""
+
+
 def _q_corpus_stats(spark, sf_dir):
     # A2 allDocuments maintenance -> BM25 N / avgdl
     return _index(spark, sf_dir).documents.agg(
@@ -1126,6 +1144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suffix_scan": _q_suffix,
     "bool_and": _q_bool_and,
     "bool_and_wildcard": _q_bool_wildcard,
+    "phrase_search": _q_phrase_search,
     "corpus_stats": _q_corpus_stats,
     "bm25_topk": _q_bm25,
     "delete_predicate": _q_delete_predicate,
@@ -1179,6 +1198,7 @@ ORACLE_SQL: dict[str, str] = {
     "suffix_scan": _SQL_SUFFIX,
     "bool_and": _SQL_BOOL_AND,
     "bool_and_wildcard": _SQL_BOOL_WILDCARD,
+    "phrase_search": _SQL_PHRASE_SEARCH,
     "corpus_stats": _SQL_CORPUS_STATS,
     "bm25_topk": _SQL_BM25,
     "delete_predicate": _SQL_DELETE_PREDICATE,

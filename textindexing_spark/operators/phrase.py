@@ -1,0 +1,182 @@
+"""Positional index + exact phrase search — the fulltext extension the
+boolean/BM25 surface cannot express.
+
+The reference's query language is boolean AND/OR over single terms
+(examples/Primitive.Text.Indexing.UI/IndexerViewModel.cs:73-108); a
+phrase query ("exact token sequence") is the standard fulltext
+extension over the same inverted-index machinery, built here the
+classic way: postings that carry each term's in-document token
+positions.
+
+Layout::
+
+    positional(term STRING, doc_id BIGINT, positions ARRAY<INT>)
+
+one row per (term, doc) with ascending 0-based token positions,
+hash-partitioned by term like the main postings table.
+
+Scale shape (the part that must survive 100 TB):
+
+- The table is built in ONE Arrow-batched mapInPandas pass — each doc
+  is whole inside its batch, so (term, doc, positions) rows come out
+  complete with NO shuffle; only the optional layout repartition by
+  term shuffles.
+- A phrase query touches exactly ``len(phrase)`` term-pruned scans
+  (pushed ``EqualTo`` on term, same as Q1), joined on doc_id
+  RAREST-FIRST: join order is ascending document frequency, so the
+  first join shrinks the stream to O(df_rarest) rows and AQE
+  broadcasts the small build sides. A phrase containing an absent
+  term short-circuits to empty without running any join.
+- Adjacency is verified JVM-side with ``exists``/``array_contains``
+  over the position arrays — no Python in the query path, no explode
+  of positions.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from textindexing_spark.config import IndexConfig
+from textindexing_spark.functions.tokenize import tokenize_series
+
+POSITIONAL_SCHEMA = "doc_id bigint, term string, positions array<int>"
+
+
+def _positional_rows(ids, tok_lists, np, pd):
+    """Vectorized (doc, term) -> positions grouping for one Arrow batch:
+    factorize the flat token stream, stable-sort one combined
+    (doc-position * V + term-code) key, and slice the in-doc position
+    vector at group boundaries — no per-token Python loop."""
+    from itertools import chain
+
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    total = int(lens.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, object), [])
+    flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object,
+                       count=total)
+    codes, uniq = pd.factorize(flat)
+    codes = codes.astype(np.int64, copy=False)
+    V = len(uniq)
+    docpos = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    offsets = np.repeat(np.cumsum(lens) - lens, lens)
+    pos_in_doc = (np.arange(total, dtype=np.int64) - offsets).astype(
+        np.int32)
+    key = docpos * V + codes
+    order = np.argsort(key, kind="stable")  # stable: positions ascend
+    ksort = key[order]
+    psort = pos_in_doc[order]
+    starts = np.flatnonzero(np.r_[True, ksort[1:] != ksort[:-1]])
+    positions = np.split(psort, starts[1:])
+    gkey = ksort[starts]
+    return (ids[gkey // V], np.asarray(uniq, dtype=object)[gkey % V],
+            [p.tolist() for p in positions])
+
+
+def positional_postings(docs: DataFrame, cfg: IndexConfig | None = None,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """docs(doc_id, text, ...) -> positional(doc_id, term, positions)."""
+    from textindexing_spark._pkg import ensure_shipped
+
+    ensure_shipped(docs.sparkSession)
+    cfg = cfg or IndexConfig()
+    tokenizer = cfg.tokenizer
+    fold = cfg.case_insensitive
+
+    def _tok(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            tok_lists = tokenize_series(pdf[text_col], tokenizer, fold)
+            doc_id, term, positions = _positional_rows(
+                pdf[id_col].to_numpy(np.int64), tok_lists, np, pd)
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(doc_id, dtype="int64"),
+                 "term": pd.Series(term, dtype="object"),
+                 "positions": pd.Series(positions, dtype="object")})
+
+    return docs.select(F.col(id_col).alias(id_col),
+                       F.col(text_col).alias(text_col)) \
+               .mapInPandas(_tok, schema=POSITIONAL_SCHEMA)
+
+
+class PositionalIndex:
+    """A queryable positional index (phrase-search surface)."""
+
+    def __init__(self, spark, positional: DataFrame,
+                 cfg: IndexConfig | None = None):
+        self.spark = spark
+        self.positional = positional
+        self.cfg = cfg or IndexConfig()
+
+    @classmethod
+    def build(cls, spark, docs: DataFrame, cfg: IndexConfig | None = None,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> "PositionalIndex":
+        cfg = cfg or IndexConfig()
+        pos = positional_postings(docs, cfg, id_col, text_col)
+        if cfg.num_partitions:
+            pos = pos.repartition(cfg.num_partitions, "term")
+        return cls(spark, pos, cfg)
+
+    def cache(self) -> "PositionalIndex":
+        self.positional = self.positional.cache()
+        return self
+
+    def unpersist(self) -> None:
+        try:
+            self.positional.unpersist()
+        except Exception:
+            pass
+
+    def _tokens(self, phrase: str) -> list[str]:
+        import pandas as pd
+
+        return list(tokenize_series(pd.Series([phrase]),
+                                    self.cfg.tokenizer,
+                                    self.cfg.case_insensitive)[0])
+
+    def search_phrase(self, phrase: str) -> DataFrame:
+        """doc_ids containing the phrase's tokens CONSECUTIVELY (in
+        tokenizer order — intervening punctuation/whitespace folds away
+        exactly as it does at index time). Empty/absent-term phrases
+        return an empty frame, never an error (Q1 semantics)."""
+        toks = self._tokens(phrase)
+        empty = self.spark.createDataFrame([], "doc_id bigint")
+        if not toks:
+            return empty
+        # rarest-first: one tiny pruned agg resolves each token's df
+        # (absent token -> short-circuit to empty, no join runs)
+        dfs = {r["term"]: r["c"] for r in
+               (self.positional
+                .where(F.col("term").isin(*set(toks)))
+                .groupBy("term").agg(F.count("*").alias("c"))
+                .collect())}
+        if any(t not in dfs for t in toks):
+            return empty
+        if len(toks) == 1:
+            return (self.positional
+                    .where(F.col("term") == toks[0])
+                    .select("doc_id"))
+        order = sorted(range(len(toks)), key=lambda i: (dfs[toks[i]], i))
+        scans = {
+            i: (self.positional
+                .where(F.col("term") == toks[i])
+                .select("doc_id", F.col("positions").alias(f"p{i}")))
+            for i in range(len(toks))}
+        joined = scans[order[0]]
+        for i in order[1:]:
+            joined = joined.join(scans[i], "doc_id")
+        # adjacency: some start p in p0 has p+i present in every pi
+        cond = F.exists(
+            F.col("p0"),
+            lambda p: reduce(
+                lambda a, b: a & b,
+                [F.array_contains(F.col(f"p{i}"), p + F.lit(i))
+                 for i in range(1, len(toks))]))
+        return joined.where(cond).select("doc_id")
