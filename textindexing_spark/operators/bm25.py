@@ -141,7 +141,8 @@ class SegmentIndex:
     _query_groups: int | None = None
 
     def prepare_for_queries(self,
-                            query_groups: int | None = None
+                            query_groups: int | None = None,
+                            prefetch_stats: int | None = 100_000
                             ) -> "SegmentIndex":
         """Pin the query-SERVING layout: both cogroup sides repartitioned
         on the query grouping key and cached (materialized now), so every
@@ -153,7 +154,14 @@ class SegmentIndex:
         dominates latency, so an interactive session wants G ≈ cores,
         while shard count stays sized for build/upsert parallelism.
         Call once on a long-lived query session (the CLI/server mode);
-        batch/one-shot jobs don't need it."""
+        batch/one-shot jobs don't need it.
+
+        ``prefetch_stats`` warms the driver-side term-df cache with the
+        top-N terms by df (the hot dictionary — a few MB at N=100k):
+        a first-time query over prefetched terms skips its stats-lookup
+        job, going straight to the WAND cogroup. When the WHOLE
+        dictionary fits the budget, the stats job disappears for every
+        query, including absent-term ones (a miss then proves df=0)."""
         self._query_groups = query_groups
         if query_groups:
             # materialize the grouping key as a COLUMN before caching
@@ -191,10 +199,21 @@ class SegmentIndex:
             self.segments.count()
             self.shard_docs.count()
         self.term_stats = self.term_stats.cache()
+        if prefetch_stats:
+            if self._df_cache is None:
+                self._df_cache = {}
+            rows = (self.term_stats.orderBy(F.col("df").desc())
+                    .limit(int(prefetch_stats)).collect())
+            self._df_cache.update(
+                {r["term"]: int(r["df"]) for r in rows})
+            # fewer rows than the budget => the ENTIRE dictionary is
+            # cached; any future miss is a term not in the index
+            self._stats_complete = len(rows) < int(prefetch_stats)
         return self
 
     _serve_seg = None
     _serve_docs = None
+    _stats_complete = False
 
     def _serving_frames(self) -> tuple[DataFrame, DataFrame]:
         """(segments, shard_docs) for the WAND cogroup: the
@@ -374,7 +393,11 @@ class SegmentIndex:
         if self._df_cache is None:
             self._df_cache = {}
         missing = [t for t in terms if t not in self._df_cache]
-        if missing:
+        if missing and self._stats_complete:
+            # whole dictionary prefetched: a miss IS df=0, no job needed
+            for t in missing:
+                self._df_cache[t] = 0
+        elif missing:
             rows = (self.term_stats.where(F.col("term").isin(missing))
                     .collect())
             got = {r["term"]: int(r["df"]) for r in rows}
