@@ -63,6 +63,14 @@ def test_case_folding_and_punctuation(pidx):
     assert _ids(pidx.search_phrase("QUICK, Brown!")) == [1, 2, 4, 5]
 
 
+def test_save_load_roundtrip(spark, tmp_path, pidx):
+    path = str(tmp_path / "pos_idx")
+    pidx.save(path)
+    loaded = PositionalIndex.load(spark, path)
+    assert _ids(loaded.search_phrase("quick brown fox")) == [1, 4]
+    assert _ids(loaded.search_phrase("big big big")) == [7]
+
+
 def test_phrase_matches_python_oracle(spark):
     """Property: search_phrase == sliding-window scan over the oracle
     tokenizer, on a generated corpus."""

@@ -73,6 +73,25 @@ def test_bm25_broadcasts_documents_and_takeordered(snap):
     assert "TakeOrderedAndProject" in p  # top-k, never a global sort
 
 
+def test_phrase_scans_pruned_and_broadcast_joined(spark, tmp_path):
+    """Phrase search: each query term must be a term-pruned parquet scan
+    (pushed EqualTo), the doc_id joins must broadcast (never shuffle
+    postings), and no shuffle exchange may appear in the plan."""
+    from textindexing_spark.operators.phrase import PositionalIndex
+
+    rows = [(i, t) for i, (_, _, _, t, _) in
+            enumerate(generate_pages_rows(n_docs=120, seed=7))]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "posidx")
+    PositionalIndex.build(spark, docs).save(path)
+    pidx = PositionalIndex.load(spark, path)
+    p = _plan(pidx.search_phrase("word1 word2 word3"))
+    for t in ("word1", "word2", "word3"):
+        assert f"EqualTo(term,{t})" in p
+    assert "BroadcastHashJoin" in p
+    assert "Exchange hashpartitioning" not in p
+
+
 def test_lsm_view_pushes_term_filter_to_all_scans(spark, tmp_path):
     """The LSM resolved view (base buckets + deltas) must keep lookup
     predicates pushed into EVERY parquet scan: term filters travel

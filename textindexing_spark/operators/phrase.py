@@ -124,6 +124,20 @@ class PositionalIndex:
             pos = pos.repartition(cfg.num_partitions, "term")
         return cls(spark, pos, cfg)
 
+    def save(self, path: str) -> None:
+        """Persist as a term-clustered parquet table (one file group per
+        term hash-bucket, so a phrase query's per-term pruned scans read
+        contiguous row groups; parquet min/max stats on the sorted term
+        column give row-group pruning for the pushed EqualTo)."""
+        (self.positional.repartition(F.col("term"))
+         .sortWithinPartitions("term", "doc_id")
+         .write.mode("overwrite").parquet(path))
+
+    @classmethod
+    def load(cls, spark, path: str,
+             cfg: IndexConfig | None = None) -> "PositionalIndex":
+        return cls(spark, spark.read.parquet(path), cfg)
+
     def cache(self) -> "PositionalIndex":
         self.positional = self.positional.cache()
         return self
