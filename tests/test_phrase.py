@@ -92,3 +92,58 @@ def test_phrase_matches_python_oracle(spark):
 def _contains(toks, sub):
     n = len(sub)
     return any(toks[i:i + n] == sub for i in range(len(toks) - n + 1))
+
+
+def test_pos_segment_codec_roundtrip():
+    """Encode/decode a shard's positional rows: doc ids, counts, and
+    absolute positions all survive the delta+varbyte round trip."""
+    import numpy as np
+    import pandas as pd
+
+    from textindexing_spark.operators.phrase import (_decode_pos_term,
+                                                     _encode_pos_shard)
+
+    pdf = pd.DataFrame({
+        "doc_id": [3, 11, 900, 5],
+        "term": ["a", "a", "a", "b"],
+        "positions": [[0, 4, 5], [2], [0, 1000], [7]],
+    })
+    cols = _encode_pos_shard(0, pdf, np)
+    rows = pd.DataFrame(cols).set_index("term")
+    doc_ids, plens, starts, flat = _decode_pos_term(rows.loc["a"], np)
+    assert doc_ids.tolist() == [3, 11, 900]
+    assert plens.tolist() == [3, 1, 2]
+    assert [flat[s:s + l].tolist() for s, l in zip(starts, plens)] == \
+        [[0, 4, 5], [2], [0, 1000]]
+    doc_ids, plens, starts, flat = _decode_pos_term(rows.loc["b"], np)
+    assert doc_ids.tolist() == [5] and flat.tolist() == [7]
+
+
+def test_segment_phrase_equals_array_phrase(spark, tmp_path):
+    """The compressed shard-parallel tier returns exactly what the
+    array-layout tier returns, including after save/load."""
+    from textindexing_spark.operators.phrase import PositionalSegmentIndex
+    from textindexing_spark.sources.pages import generate_pages
+
+    pages = (generate_pages(spark, n_docs=400, vocab_size=40,
+                            recrawl_fraction=0.0)
+             .selectExpr("xxhash64(url) AS doc_id", "text"))
+    array_idx = PositionalIndex.build(spark, pages).cache()
+    path = str(tmp_path / "pseg")
+    PositionalSegmentIndex.build(spark, pages, n_shards=8).save(path)
+    seg_idx = PositionalSegmentIndex.load(spark, path).cache()
+    for phrase in ["the data", "data table query", "index",
+                   "zebra missing", ""]:
+        assert _ids(seg_idx.search_phrase(phrase)) == \
+            _ids(array_idx.search_phrase(phrase)), phrase
+
+
+def test_segment_phrase_small_corpus(spark):
+    from textindexing_spark.operators.phrase import PositionalSegmentIndex
+
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    seg = PositionalSegmentIndex.build(spark, docs, n_shards=4)
+    assert _ids(seg.search_phrase("quick brown fox")) == [1, 4]
+    assert _ids(seg.search_phrase("big big big")) == [7]
+    assert _ids(seg.search_phrase("big big big big")) == []
+    assert _ids(seg.search_phrase("fox")) == [1, 3, 4]

@@ -30,6 +30,11 @@ Scale shape (the part that must survive 100 TB):
 - Adjacency is verified JVM-side with ``exists``/``array_contains``
   over the position arrays — no Python in the query path, no explode
   of positions.
+
+Two tiers, mirroring the boolean/BM25 side of the engine:
+``PositionalIndex`` (array layout, Catalyst query plan) and
+``PositionalSegmentIndex`` (delta+varbyte compressed doc-sharded
+segments, shard-parallel evaluation) — equivalence is pytest-gated.
 """
 
 from __future__ import annotations
@@ -42,6 +47,10 @@ from textindexing_spark.config import IndexConfig
 from textindexing_spark.functions.tokenize import tokenize_series
 
 POSITIONAL_SCHEMA = "doc_id bigint, term string, positions array<int>"
+
+POS_SEGMENT_SCHEMA = ("shard int, term string, n_docs bigint, "
+                      "gaps_blob binary, plens_blob binary, "
+                      "pos_blob binary")
 
 
 def _positional_rows(ids, tok_lists, np, pd):
@@ -194,3 +203,199 @@ class PositionalIndex:
                 [F.array_contains(F.col(f"p{i}"), p + F.lit(i))
                  for i in range(1, len(toks))]))
         return joined.where(cond).select("doc_id")
+
+
+# --- compressed tier: positional segments (the 100 TB phrase path) ----------
+
+def _encode_pos_shard(shard: int, pdf, np):
+    """One doc shard's positional rows -> compressed per-term segments.
+
+    Per term (docs sorted ascending): doc-id gaps varbyte'd (first value
+    absolute), per-doc position counts varbyte'd, and in-document
+    position deltas varbyte'd (first position of each doc absolute) —
+    the classic Lucene-style proximity layout, numpy-vectorized."""
+    from textindexing_spark.operators.codec import varbyte_encode
+
+    out = {"shard": [], "term": [], "n_docs": [], "gaps_blob": [],
+           "plens_blob": [], "pos_blob": []}
+    if pdf.empty:
+        return out
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    for term, sub in pdf.groupby("term", sort=False):
+        doc_ids = sub["doc_id"].to_numpy(np.int64)
+        gaps = np.empty_like(doc_ids)
+        gaps[0] = doc_ids[0]
+        gaps[1:] = np.diff(doc_ids)
+        pos_lists = [np.asarray(p, dtype=np.int64)
+                     for p in sub["positions"]]
+        plens = np.fromiter((len(p) for p in pos_lists), np.int64,
+                            count=len(pos_lists))
+        flat = (np.concatenate(pos_lists) if pos_lists
+                else np.empty(0, np.int64))
+        delta = np.empty_like(flat)
+        if flat.size:
+            delta[0] = flat[0]
+            delta[1:] = np.diff(flat)
+            starts = np.cumsum(plens) - plens
+            delta[starts] = flat[starts]  # first of each doc: absolute
+        out["shard"].append(shard)
+        out["term"].append(term)
+        out["n_docs"].append(len(doc_ids))
+        out["gaps_blob"].append(varbyte_encode(gaps).tobytes())
+        out["plens_blob"].append(varbyte_encode(plens).tobytes())
+        out["pos_blob"].append(varbyte_encode(delta).tobytes())
+    return out
+
+
+def _decode_pos_term(row, np):
+    """One (shard, term) segment row -> (doc_ids, plens, per-doc absolute
+    position arrays as one flat array + start offsets)."""
+    from textindexing_spark.operators.codec import varbyte_decode
+
+    n = int(row["n_docs"])
+    doc_ids = np.cumsum(varbyte_decode(
+        np.frombuffer(row["gaps_blob"], dtype=np.uint8), n))
+    plens = varbyte_decode(
+        np.frombuffer(row["plens_blob"], dtype=np.uint8), n)
+    delta = varbyte_decode(
+        np.frombuffer(row["pos_blob"], dtype=np.uint8), int(plens.sum()))
+    starts = np.cumsum(plens) - plens
+    if delta.size:
+        cs = np.cumsum(delta)
+        base = np.zeros(n, dtype=np.int64)
+        base[1:] = cs[starts[1:] - 1]
+        flat = cs - np.repeat(base, plens)
+    else:
+        flat = delta
+    return doc_ids, plens, starts, flat
+
+
+class PositionalSegmentIndex:
+    """Compressed positional index: delta+varbyte position postings in
+    doc-sharded segments — the scale-tier twin of ``PositionalIndex``
+    exactly as ``SegmentIndex`` (operators/bm25.py) is the scale tier of
+    the array-layout boolean/BM25 ``Index``.
+
+    Build is ONE shuffle (docs to their shard) + one encode task per
+    shard; a phrase query is ONE job — a term-pruned segment scan
+    grouped per shard, each task decoding only the query terms'
+    segments, intersecting doc ids rarest-first, and verifying
+    adjacency on the decoded position arrays. Shards evaluate
+    independently, so query work scales with executors and no
+    positions ever cross the network."""
+
+    def __init__(self, spark, segments: DataFrame,
+                 cfg: IndexConfig | None = None,
+                 n_shards: int | None = None):
+        self.spark = spark
+        self.segments = segments
+        self.cfg = cfg or IndexConfig()
+        self.n_shards = n_shards
+
+    @classmethod
+    def build(cls, spark, docs: DataFrame, cfg: IndexConfig | None = None,
+              n_shards: int = 64, id_col: str = "doc_id",
+              text_col: str = "text") -> "PositionalSegmentIndex":
+        from textindexing_spark._pkg import ensure_shipped
+
+        ensure_shipped(spark)
+        cfg = cfg or IndexConfig()
+        pos = positional_postings(docs, cfg, id_col, text_col)
+        pos = pos.withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+
+        def encode(key, pdf):
+            import numpy as np
+            import pandas as pd
+
+            return pd.DataFrame(
+                _encode_pos_shard(int(key[0]), pdf, np))
+
+        seg = (pos.groupBy("shard")
+               .applyInPandas(encode, POS_SEGMENT_SCHEMA))
+        return cls(spark, seg, cfg, n_shards=n_shards)
+
+    def save(self, path: str) -> None:
+        (self.segments.repartition("shard")
+         .sortWithinPartitions("shard", "term")
+         .write.mode("overwrite").parquet(path))
+
+    @classmethod
+    def load(cls, spark, path: str,
+             cfg: IndexConfig | None = None) -> "PositionalSegmentIndex":
+        return cls(spark, spark.read.parquet(path), cfg)
+
+    def cache(self) -> "PositionalSegmentIndex":
+        self.segments = self.segments.cache()
+        return self
+
+    def unpersist(self) -> None:
+        try:
+            self.segments.unpersist()
+        except Exception:
+            pass
+
+    def _tokens(self, phrase: str) -> list[str]:
+        import pandas as pd
+
+        return list(tokenize_series(pd.Series([phrase]),
+                                    self.cfg.tokenizer,
+                                    self.cfg.case_insensitive)[0])
+
+    def search_phrase(self, phrase: str) -> DataFrame:
+        """doc_ids containing the phrase tokens consecutively; same
+        semantics as ``PositionalIndex.search_phrase`` (equivalence is
+        pytest-gated), evaluated shard-locally on compressed segments."""
+        toks = self._tokens(phrase)
+        empty = self.spark.createDataFrame([], "doc_id bigint")
+        if not toks:
+            return empty
+
+        def eval_shard(pdf):
+            import numpy as np
+            import pandas as pd
+
+            out_ids: list[int] = []
+            if not pdf.empty:
+                for _, sub in pdf.groupby("shard", sort=False):
+                    by_term = {}
+                    for _, row in sub.iterrows():
+                        by_term[row["term"]] = _decode_pos_term(row, np)
+                    if any(t not in by_term for t in toks):
+                        continue
+                    # rarest-first doc-id intersection
+                    uniq = sorted(set(toks),
+                                  key=lambda t: by_term[t][0].size)
+                    cand = by_term[uniq[0]][0]
+                    for t in uniq[1:]:
+                        if cand.size == 0:
+                            break
+                        cand = cand[np.isin(cand, by_term[t][0],
+                                            assume_unique=True)]
+                    if cand.size == 0:
+                        continue
+                    # adjacency verify per candidate doc
+                    sliced = {}
+                    for t in set(toks):
+                        doc_ids, plens, starts, flat = by_term[t]
+                        idx = np.searchsorted(doc_ids, cand)
+                        sliced[t] = (starts[idx], plens[idx], flat)
+                    for j, d in enumerate(cand):
+                        s0, l0, f0 = sliced[toks[0]]
+                        p = f0[s0[j]:s0[j] + l0[j]]
+                        for i in range(1, len(toks)):
+                            si, li, fi = sliced[toks[i]]
+                            nxt = fi[si[j]:si[j] + li[j]]
+                            p = p[np.isin(p + i, nxt,
+                                          assume_unique=True)]
+                            if p.size == 0:
+                                break
+                        if p.size:
+                            out_ids.append(int(d))
+            return pd.DataFrame(
+                {"doc_id": pd.Series(out_ids, dtype="int64")})
+
+        pruned = self.segments.where(F.col("term").isin(*set(toks)))
+        return (pruned.groupBy("shard")
+                .applyInPandas(lambda k, pdf: eval_shard(pdf),
+                               "doc_id bigint"))
