@@ -147,3 +147,20 @@ def test_segment_phrase_small_corpus(spark):
     assert _ids(seg.search_phrase("big big big")) == [7]
     assert _ids(seg.search_phrase("big big big big")) == []
     assert _ids(seg.search_phrase("fox")) == [1, 3, 4]
+
+
+def test_batched_phrases_match_per_query(spark):
+    """search_phrase_many == per-query search_phrase, whole set in one
+    job; empty/absent/no-match queries contribute no rows."""
+    from textindexing_spark.operators.phrase import PositionalSegmentIndex
+
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    seg = PositionalSegmentIndex.build(spark, docs, n_shards=4).cache()
+    phrases = ["quick brown", "big big big", "fox quick", "zebra", "...",
+               "the lazy dog"]
+    batched = seg.search_phrase_many(phrases).collect()
+    got = {}
+    for r in batched:
+        got.setdefault(r["query_id"], []).append(r["doc_id"])
+    for qid, ph in enumerate(phrases):
+        assert sorted(got.get(qid, [])) == _ids(seg.search_phrase(ph)), ph

@@ -361,37 +361,7 @@ class PositionalSegmentIndex:
                     by_term = {}
                     for _, row in sub.iterrows():
                         by_term[row["term"]] = _decode_pos_term(row, np)
-                    if any(t not in by_term for t in toks):
-                        continue
-                    # rarest-first doc-id intersection
-                    uniq = sorted(set(toks),
-                                  key=lambda t: by_term[t][0].size)
-                    cand = by_term[uniq[0]][0]
-                    for t in uniq[1:]:
-                        if cand.size == 0:
-                            break
-                        cand = cand[np.isin(cand, by_term[t][0],
-                                            assume_unique=True)]
-                    if cand.size == 0:
-                        continue
-                    # adjacency verify per candidate doc
-                    sliced = {}
-                    for t in set(toks):
-                        doc_ids, plens, starts, flat = by_term[t]
-                        idx = np.searchsorted(doc_ids, cand)
-                        sliced[t] = (starts[idx], plens[idx], flat)
-                    for j, d in enumerate(cand):
-                        s0, l0, f0 = sliced[toks[0]]
-                        p = f0[s0[j]:s0[j] + l0[j]]
-                        for i in range(1, len(toks)):
-                            si, li, fi = sliced[toks[i]]
-                            nxt = fi[si[j]:si[j] + li[j]]
-                            p = p[np.isin(p + i, nxt,
-                                          assume_unique=True)]
-                            if p.size == 0:
-                                break
-                        if p.size:
-                            out_ids.append(int(d))
+                    out_ids.extend(_eval_phrase(by_term, toks, np))
             return pd.DataFrame(
                 {"doc_id": pd.Series(out_ids, dtype="int64")})
 
@@ -399,3 +369,75 @@ class PositionalSegmentIndex:
         return (pruned.groupBy("shard")
                 .applyInPandas(lambda k, pdf: eval_shard(pdf),
                                "doc_id bigint"))
+
+    def search_phrase_many(self, phrases) -> DataFrame:
+        """Batched serving mode: evaluate a whole PHRASE SET in ONE job
+        (≙ ``search_bm25_many``/``search_bool_many``). Each shard task
+        decodes every referenced term ONCE and evaluates all queries
+        against the decoded dictionary — per-query jobs pay the full
+        shard-task scheduling cost |Q| times; this pays it once.
+        Returns (query_id, doc_id); query_id indexes ``phrases``;
+        no-match (or empty/absent-term) queries contribute no rows."""
+        tok_sets = [self._tokens(p) for p in phrases]
+        all_terms = sorted({t for ts in tok_sets for t in ts})
+        out_schema = "query_id int, doc_id bigint"
+        if not all_terms:
+            return self.spark.createDataFrame([], out_schema)
+
+        def eval_shard(pdf):
+            import numpy as np
+            import pandas as pd
+
+            qids: list[int] = []
+            out_ids: list[int] = []
+            if not pdf.empty:
+                for _, sub in pdf.groupby("shard", sort=False):
+                    by_term = {}
+                    for _, row in sub.iterrows():
+                        by_term[row["term"]] = _decode_pos_term(row, np)
+                    for qid, toks in enumerate(tok_sets):
+                        hits = _eval_phrase(by_term, toks, np)
+                        qids.extend([qid] * len(hits))
+                        out_ids.extend(hits)
+            return pd.DataFrame(
+                {"query_id": pd.Series(qids, dtype="int32"),
+                 "doc_id": pd.Series(out_ids, dtype="int64")})
+
+        pruned = self.segments.where(F.col("term").isin(*all_terms))
+        return (pruned.groupBy("shard")
+                .applyInPandas(lambda k, pdf: eval_shard(pdf),
+                               out_schema))
+
+
+def _eval_phrase(by_term: dict, toks: list, np) -> list:
+    """Evaluate one tokenized phrase against one shard's decoded term
+    dict: rarest-first doc-id intersection, then per-candidate adjacency
+    verification on the absolute position arrays."""
+    if not toks or any(t not in by_term for t in toks):
+        return []
+    uniq = sorted(set(toks), key=lambda t: by_term[t][0].size)
+    cand = by_term[uniq[0]][0]
+    for t in uniq[1:]:
+        if cand.size == 0:
+            break
+        cand = cand[np.isin(cand, by_term[t][0], assume_unique=True)]
+    if cand.size == 0:
+        return []
+    sliced = {}
+    for t in set(toks):
+        doc_ids, plens, starts, flat = by_term[t]
+        idx = np.searchsorted(doc_ids, cand)
+        sliced[t] = (starts[idx], plens[idx], flat)
+    out: list[int] = []
+    for j, d in enumerate(cand):
+        s0, l0, f0 = sliced[toks[0]]
+        p = f0[s0[j]:s0[j] + l0[j]]
+        for i in range(1, len(toks)):
+            si, li, fi = sliced[toks[i]]
+            nxt = fi[si[j]:si[j] + li[j]]
+            p = p[np.isin(p + i, nxt, assume_unique=True)]
+            if p.size == 0:
+                break
+        if p.size:
+            out.append(int(d))
+    return out
