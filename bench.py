@@ -140,6 +140,18 @@ def main() -> None:
     timed("phrase_queries", run_phrases)
     pidx.unpersist()
 
+    # compressed tier: delta+varbyte positional segments, shard-parallel
+    # eval; batched row = the whole phrase set in ONE job
+    from textindexing_spark.operators.phrase import PositionalSegmentIndex
+
+    pseg = timed("phrase_segment_build", lambda: (
+        lambda s: (s.segments.count(), s)[1]
+    )(PositionalSegmentIndex.build(spark, docs, n_shards=16).cache()),
+        repeat=1)
+    timed("phrase_batch", lambda: pseg.search_phrase_many(
+        ["row scan", "the data table", "merge batch"]).collect())
+    pseg.unpersist()
+
     # q3: BM25 top-10 latency per query (p50 reported in extras)
     lat: list[float] = []
 

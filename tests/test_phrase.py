@@ -149,6 +149,84 @@ def test_segment_phrase_small_corpus(spark):
     assert _ids(seg.search_phrase("fox")) == [1, 3, 4]
 
 
+def _decode_all(seg_idx):
+    """Materialize a PositionalSegmentIndex back to
+    {(doc_id, term): positions} for equivalence checks."""
+    import numpy as np
+
+    from textindexing_spark.operators.phrase import _decode_pos_term
+
+    out = {}
+    for row in seg_idx.segments.collect():
+        doc_ids, plens, starts, flat = _decode_pos_term(row, np)
+        for j, d in enumerate(doc_ids):
+            out[(int(d), row["term"])] = \
+                flat[starts[j]:starts[j] + plens[j]].tolist()
+    return out
+
+
+def test_segment_upsert_equals_rebuild(spark):
+    """upsert(batch) == rebuild over the updated corpus: re-crawled docs
+    replace their positions, empty text deletes, new docs appear."""
+    from textindexing_spark.operators.phrase import PositionalSegmentIndex
+
+    base_docs = [(i, f"alpha beta doc{i} gamma") for i in range(40)]
+    batch = [(3, "beta alpha now different"),   # re-crawl: replace
+             (7, ""),                           # delete
+             (100, "brand new alpha text")]     # insert
+    final = {d: t for d, t in base_docs}
+    final.update({d: t for d, t in batch})
+    final = [(d, t) for d, t in final.items() if t]
+
+    ddl = "doc_id bigint, text string"
+    base = PositionalSegmentIndex.build(
+        spark, spark.createDataFrame(base_docs, ddl), n_shards=8)
+    upserted = base.upsert(spark.createDataFrame(batch, ddl))
+    rebuilt = PositionalSegmentIndex.build(
+        spark, spark.createDataFrame(final, ddl), n_shards=8)
+    assert _decode_all(upserted) == _decode_all(rebuilt)
+    # base snapshot is frozen: still sees doc 3's ORIGINAL phrase
+    assert _ids(base.search_phrase("doc3 gamma")) == [3]
+    assert _ids(upserted.search_phrase("doc3 gamma")) == []
+    assert _ids(upserted.search_phrase("beta alpha")) == [3]
+
+
+def test_segment_upsert_untouched_rows_byte_identical(spark):
+    """A (shard, term) row whose docs miss the delta must survive the
+    upsert byte-identical (passthrough, not re-encode)."""
+    from textindexing_spark.operators.phrase import PositionalSegmentIndex
+
+    ddl = "doc_id bigint, text string"
+    base = PositionalSegmentIndex.build(
+        spark, spark.createDataFrame(
+            [(i, f"word{i} shared") for i in range(16)], ddl),
+        n_shards=4)
+    # delta touches ONLY doc 0 (shard 0); docs 1-15 keep their rows
+    up = base.upsert(spark.createDataFrame([(0, "word0 changed")], ddl))
+    before = {(r["shard"], r["term"]): r["pos_blob"]
+              for r in base.segments.collect()}
+    after = {(r["shard"], r["term"]): r["pos_blob"]
+             for r in up.segments.collect()}
+    for key in before:
+        sh, term = key
+        if term.startswith("word") and term != "word0":
+            assert after[key] == before[key], key
+
+
+def test_segment_save_load_upsert_roundtrip(spark, tmp_path):
+    from textindexing_spark.operators.phrase import PositionalSegmentIndex
+
+    ddl = "doc_id bigint, text string"
+    path = str(tmp_path / "pseg_meta")
+    PositionalSegmentIndex.build(
+        spark, spark.createDataFrame([(1, "hello world")], ddl),
+        n_shards=4).save(path)
+    loaded = PositionalSegmentIndex.load(spark, path)
+    assert loaded.n_shards == 4  # meta survives the round trip
+    up = loaded.upsert(spark.createDataFrame([(2, "hello again")], ddl))
+    assert _ids(up.search_phrase("hello")) == [1, 2]
+
+
 def test_batched_phrases_match_per_query(spark):
     """search_phrase_many == per-query search_phrase, whole set in one
     job; empty/absent/no-match queries contribute no rows."""

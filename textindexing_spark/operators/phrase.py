@@ -316,14 +316,69 @@ class PositionalSegmentIndex:
         return cls(spark, seg, cfg, n_shards=n_shards)
 
     def save(self, path: str) -> None:
+        import json
+        import os
+
         (self.segments.repartition("shard")
          .sortWithinPartitions("shard", "term")
          .write.mode("overwrite").parquet(path))
+        # underscore-prefixed: invisible to parquet readers (like _SUCCESS)
+        with open(os.path.join(path, "_pos_meta.json"), "w") as fh:
+            json.dump({"n_shards": self.n_shards}, fh)
 
     @classmethod
     def load(cls, spark, path: str,
              cfg: IndexConfig | None = None) -> "PositionalSegmentIndex":
-        return cls(spark, spark.read.parquet(path), cfg)
+        import json
+        import os
+
+        n_shards = None
+        try:
+            with open(os.path.join(path, "_pos_meta.json")) as fh:
+                n_shards = json.load(fh).get("n_shards")
+        except FileNotFoundError:
+            pass
+        return cls(spark, spark.read.parquet(path), cfg,
+                   n_shards=n_shards)
+
+    def upsert(self, docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> "PositionalSegmentIndex":
+        """Merge a batch into a NEW PositionalSegmentIndex (self stays a
+        frozen snapshot), same semantics as ``SegmentIndex.upsert``:
+        re-crawled docs replace their positional postings, empty token
+        sets delete. Doc-sharding makes replacement shard-local; a
+        shard-keyed cogroup rewrites only shards that received delta
+        docs — untouched shards pass through without decoding, and
+        within a touched shard, terms whose doc ids miss the delta pass
+        through byte-identical (membership checked on the gaps blob
+        alone)."""
+        if not self.n_shards:
+            raise ValueError(
+                "upsert needs n_shards (index built by build() or loaded "
+                "from a save() with _pos_meta.json)")
+        new_pos = positional_postings(docs, self.cfg, id_col, text_col)
+        # markers carry doc identity for EMPTY docs (no tokens -> no
+        # positional rows), so deletes still reach their shard
+        markers = docs.select(
+            F.col(id_col).cast("bigint").alias("doc_id"),
+            F.lit(None).cast("string").alias("term"),
+            F.lit(None).cast("array<int>").alias("positions"))
+        delta = (new_pos.unionByName(markers)
+                 .withColumn("shard",
+                             F.pmod(F.col("doc_id"),
+                                    F.lit(self.n_shards)).cast("int")))
+
+        def merge(key, seg_pdf, delta_pdf):
+            import numpy as np
+            import pandas as pd
+
+            return _merge_pos_shard(key, seg_pdf, delta_pdf, np, pd)
+
+        merged = (self.segments.groupby("shard")
+                  .cogroup(delta.groupby("shard"))
+                  .applyInPandas(merge, POS_SEGMENT_SCHEMA))
+        return PositionalSegmentIndex(self.spark, merged, self.cfg,
+                                      n_shards=self.n_shards)
 
     def cache(self) -> "PositionalSegmentIndex":
         self.segments = self.segments.cache()
@@ -440,4 +495,48 @@ def _eval_phrase(by_term: dict, toks: list, np) -> list:
                 break
         if p.size:
             out.append(int(d))
+    return out
+
+
+def _merge_pos_shard(key, seg_pdf, delta_pdf, np, pd):
+    """Cogroup task for PositionalSegmentIndex.upsert: one doc shard's
+    resident segment rows + its delta rows -> new segment rows.
+
+    Untouched shards (empty delta) pass through without decoding.
+    Within a touched shard, a resident term whose doc ids don't
+    intersect the upserted set passes through byte-identical (only its
+    gaps blob is decoded for the membership check — the positions blob,
+    the dominant payload, stays encoded)."""
+    from textindexing_spark.operators.codec import varbyte_decode
+
+    if delta_pdf.empty:
+        return seg_pdf
+    shard = int(key[0])
+    upserted = np.unique(delta_pdf["doc_id"].to_numpy(np.int64))
+    passthrough = []
+    re_doc, re_term, re_pos = [], [], []
+    for _, row in seg_pdf.iterrows():
+        n = int(row["n_docs"])
+        doc_ids = np.cumsum(varbyte_decode(
+            np.frombuffer(row["gaps_blob"], dtype=np.uint8), n))
+        hit = np.isin(doc_ids, upserted, assume_unique=True)
+        if not hit.any():
+            passthrough.append(row)
+            continue
+        _, plens, starts, flat = _decode_pos_term(row, np)
+        for j in np.flatnonzero(~hit):
+            re_doc.append(int(doc_ids[j]))
+            re_term.append(row["term"])
+            re_pos.append(flat[starts[j]:starts[j] + plens[j]].tolist())
+    fresh = delta_pdf[delta_pdf["term"].notna()]
+    re_doc.extend(int(d) for d in fresh["doc_id"])
+    re_term.extend(fresh["term"])
+    re_pos.extend(list(p) for p in fresh["positions"])
+    out = pd.DataFrame(_encode_pos_shard(shard, pd.DataFrame(
+        {"doc_id": pd.Series(re_doc, dtype="int64"),
+         "term": pd.Series(re_term, dtype="object"),
+         "positions": pd.Series(re_pos, dtype="object")}), np))
+    if passthrough:
+        out = pd.concat([pd.DataFrame(passthrough), out],
+                        ignore_index=True)
     return out
