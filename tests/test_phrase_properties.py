@@ -1,0 +1,129 @@
+"""Property tests for the positional codec and upsert semantics
+(hypothesis) — the reference's equivalence-heavy test strategy
+(SURVEY.md §5) applied to the round-3 phrase tier. Pure numpy/pandas,
+no Spark session: fast enough for randomized exploration."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from textindexing_spark.operators.phrase import (_decode_pos_term,
+                                                 _encode_pos_shard,
+                                                 _eval_phrase,
+                                                 _merge_pos_shard)
+
+# a (doc_id, term, positions) table: few terms, unique docs per term,
+# ascending unique positions per doc
+_doc_ids = st.integers(min_value=0, max_value=2**40)
+_positions = st.lists(st.integers(min_value=0, max_value=100_000),
+                      min_size=1, max_size=20, unique=True).map(sorted)
+_terms = st.sampled_from(["a", "b", "c", "dd", "eee"])
+
+
+@st.composite
+def _pos_tables(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    rows = {}
+    for _ in range(n):
+        key = (draw(_doc_ids), draw(_terms))
+        rows[key] = draw(_positions)
+    return pd.DataFrame(
+        {"doc_id": [k[0] for k in rows],
+         "term": [k[1] for k in rows],
+         "positions": list(rows.values())})
+
+
+@settings(max_examples=60, deadline=None)
+@given(_pos_tables())
+def test_codec_roundtrip_property(pdf):
+    cols = _encode_pos_shard(0, pdf, np)
+    decoded = {}
+    for row in pd.DataFrame(cols).to_dict("records"):
+        doc_ids, plens, starts, flat = _decode_pos_term(row, np)
+        # doc ids sorted ascending per term (layout invariant)
+        assert np.all(np.diff(doc_ids) > 0)
+        for j, d in enumerate(doc_ids):
+            decoded[(int(d), row["term"])] = \
+                flat[starts[j]:starts[j] + plens[j]].tolist()
+    want = {(int(r.doc_id), r.term): list(r.positions)
+            for r in pdf.itertuples()}
+    assert decoded == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(_pos_tables(), _pos_tables())
+def test_upsert_merge_equals_rebuild_property(base, delta):
+    """_merge_pos_shard(base, delta) decodes to exactly what encoding
+    the combined (delta-wins) table would produce."""
+    base_cols = pd.DataFrame(_encode_pos_shard(0, base, np))
+    delta_docs = sorted(set(delta["doc_id"]))
+    # delta frame as upsert builds it: positional rows + marker per doc
+    markers = pd.DataFrame({"doc_id": delta_docs,
+                            "term": [None] * len(delta_docs),
+                            "positions": [None] * len(delta_docs)})
+    merged = _merge_pos_shard((0,), base_cols,
+                              pd.concat([delta, markers],
+                                        ignore_index=True), np, pd)
+    got = {}
+    for row in merged.to_dict("records"):
+        doc_ids, plens, starts, flat = _decode_pos_term(row, np)
+        for j, d in enumerate(doc_ids):
+            got[(int(d), row["term"])] = \
+                flat[starts[j]:starts[j] + plens[j]].tolist()
+    want = {(int(r.doc_id), r.term): list(r.positions)
+            for r in base.itertuples()
+            if int(r.doc_id) not in set(delta_docs)}
+    want.update({(int(r.doc_id), r.term): list(r.positions)
+                 for r in delta.itertuples()})
+    assert got == want
+
+
+def test_merge_delete_only_batch_empties_shard():
+    """A tombstone-only delta (markers, no positional rows) removes the
+    docs and can empty the shard entirely."""
+    base = pd.DataFrame({"doc_id": [1, 2], "term": ["x", "x"],
+                         "positions": [[0], [1, 2]]})
+    base_cols = pd.DataFrame(_encode_pos_shard(0, base, np))
+    markers = pd.DataFrame({"doc_id": [1, 2], "term": [None, None],
+                            "positions": [None, None]})
+    merged = _merge_pos_shard((0,), base_cols, markers, np, pd)
+    assert len(merged) == 0
+
+
+@st.composite
+def _token_corpora(draw):
+    """Consistent documents: each doc is a token SEQUENCE; the positional
+    table derives from it exactly as tokenization would."""
+    n_docs = draw(st.integers(min_value=1, max_value=10))
+    ids = draw(st.lists(_doc_ids, min_size=n_docs, max_size=n_docs,
+                        unique=True))
+    docs = {d: draw(st.lists(_terms, min_size=0, max_size=12))
+            for d in ids}
+    rows = {"doc_id": [], "term": [], "positions": []}
+    for d, toks in docs.items():
+        by_term = {}
+        for p, t in enumerate(toks):
+            by_term.setdefault(t, []).append(p)
+        for t, ps in by_term.items():
+            rows["doc_id"].append(d)
+            rows["term"].append(t)
+            rows["positions"].append(ps)
+    return docs, pd.DataFrame(rows)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_token_corpora(), st.lists(_terms, min_size=1, max_size=4))
+def test_eval_phrase_matches_naive(corpus, phrase):
+    """_eval_phrase == naive sliding-window scan over the raw token
+    sequences the positional table was derived from."""
+    docs, pdf = corpus
+    cols = pd.DataFrame(_encode_pos_shard(0, pdf, np))
+    by_term = {row["term"]: _decode_pos_term(row, np)
+               for row in cols.to_dict("records")}
+    got = sorted(_eval_phrase(by_term, phrase, np))
+    n = len(phrase)
+    want = sorted(
+        d for d, toks in docs.items()
+        if any(toks[i:i + n] == phrase
+               for i in range(len(toks) - n + 1)))
+    assert got == want
