@@ -5,11 +5,14 @@
         scripts/query_index_submit.py --index <root> \\
         --query "hash merge fast" [--mode bm25|bool] [--k 10]
 
---index points at either a SegmentIndex root (has _meta.json; queried
-via block-max WAND) or a boolean Index snapshot (postings/ + documents/;
-bm25 runs the Catalyst path, bool runs AND-with-wildcards). Prints one
-JSON line per query with results and latency. Accepts multiple --query
-flags; repeated queries amortize the index open (the serving pattern).
+--index points at a SegmentIndex root (has _meta.json; queried via
+block-max WAND), a boolean Index snapshot (postings/ + documents/;
+bm25 runs the Catalyst path, bool runs AND-with-wildcards), or a
+PositionalSegmentIndex save (has _pos_meta.json; --mode phrase runs
+exact-phrase search, batched into ONE job when --query repeats).
+Prints one JSON line per query with results and latency. Accepts
+multiple --query flags; repeated queries amortize the index open (the
+serving pattern).
 """
 
 from __future__ import annotations
@@ -26,7 +29,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", action="append", required=True,
                     help="repeatable")
-    ap.add_argument("--mode", choices=("bm25", "bool"), default="bm25")
+    ap.add_argument("--mode", choices=("bm25", "bool", "phrase"),
+                    default="bm25")
     ap.add_argument("--k", type=int, default=10)
     args = ap.parse_args(argv)
 
@@ -37,6 +41,30 @@ def main(argv: list[str] | None = None) -> None:
 
     from textindexing_spark import Index
     from textindexing_spark.operators.bm25 import SegmentIndex
+
+    if args.mode == "phrase" or os.path.exists(
+            f"{args.index}/_pos_meta.json"):
+        from textindexing_spark.operators.phrase import (
+            PositionalSegmentIndex)
+
+        if args.mode != "phrase":
+            raise SystemExit("a positional index answers --mode phrase")
+        pidx = PositionalSegmentIndex.load(spark, args.index).cache()
+        t0 = time.perf_counter()
+        hits = pidx.search_phrase_many(args.query).collect()
+        wall_ms = round((time.perf_counter() - t0) * 1000, 1)
+        by_q: dict[int, list[int]] = {}
+        for r in hits:
+            by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+        for qid, q in enumerate(args.query):
+            rows = sorted(by_q.get(qid, []))
+            print(json.dumps({
+                "query": q, "mode": "phrase", "index_kind": "positional",
+                "n_results": len(rows), "results": rows[:args.k],
+                "batch_wall_ms": wall_ms,
+            }))
+        spark.stop()
+        return
 
     if os.path.exists(f"{args.index}/_meta.json"):
         # serving layout: in-memory cogroup sides, 8 tasks per query
