@@ -267,3 +267,12 @@ def test_per_source_identity_reconcile_is_source_local(spark, tmp_path):
     idx = iset.index()
     assert idx.search_bool("raisin").count() == 1    # A's copy gone
     assert idx.search_bool("tamarind").count() == 1  # new A doc intact
+
+    # calling the ingestor-level reconcile DIRECTLY must stay
+    # source-local too (the raw base-class anti-join would have called
+    # every composite key vanished and purged B's documents)
+    ing_b = iset._sources[iset._key(src_b)]
+    ing_b.reconcile_deletes(src_b)
+    idx = iset.index()
+    assert idx.search_bool("raisin").count() == 1    # B's copy survives
+    assert idx.search_bool("tamarind").count() == 1

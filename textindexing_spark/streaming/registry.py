@@ -87,6 +87,32 @@ class _SourceIngestor(StreamingIngestor):
          .coalesce(1).write.mode("append").parquet(self.prov_path))
         return super().process_batch(batch, epoch_id)
 
+    def reconcile_deletes(self, source_dir: str) -> int:
+        """Per-source identity guard: the base implementation compares
+        RAW listing urls against the indexed identity keys — with
+        composite keys that anti-join would call every document in the
+        whole store vanished and tombstone other sources' documents.
+        Compose the listing into this source's namespace and restrict
+        the indexed side to it instead."""
+        if self.identity_prefix is None:
+            return super().reconcile_deletes(source_dir)
+        from textindexing_spark.sources.pages import PAGES_SCHEMA
+
+        live = (self.spark.read.schema(PAGES_SCHEMA).parquet(source_dir)
+                .select(F.concat(F.lit(self.identity_prefix),
+                                 F.col("url")).alias("url")).distinct())
+        indexed = (self.url_ids.mapping()
+                   .where(F.col("url").startswith(self.identity_prefix)))
+        gone = (indexed.join(live, "url", "left_anti")
+                .select("doc_id", F.lit("").alias("text")))
+        if gone.limit(1).count():
+            v = self._merge_docs(gone)
+            self.metrics.versions.append(v)
+            return v
+        return (self.store.latest_version() or 0
+                if hasattr(self.store, "latest_version")
+                else self.store._latest() or 0)
+
 
 class IngestorSet:
     """Multiple document sources, one shared index (≙ IndexerSet)."""
@@ -206,16 +232,10 @@ class IngestorSet:
         live = (self.spark.read.schema(PAGES_SCHEMA)
                 .parquet(ing.source_dir).select("url").distinct())
         if self.identity == "per_source":
-            # identities are namespaced per source: compare this source's
-            # composite keys against its own live listing (composited the
-            # same way); other sources cannot interfere by construction
-            live = live.select(F.concat(F.lit(key + IDENTITY_SEP),
-                                        F.col("url")).alias("url"))
-            gone = prov.join(live, "url", "left_anti")
-            tombstones = (gone.join(ing.url_ids.mapping(), "url")
-                          .select("doc_id", F.lit("").alias("text")))
-            if tombstones.limit(1).count():
-                ing.store.commit_merge(tombstones)
+            # identities are namespaced per source, so the source-local
+            # override is already registry-correct: other sources cannot
+            # interfere by construction
+            ing.reconcile_deletes(ing.source_dir)
             return
         gone = prov.join(live, "url", "left_anti")
         for other in self._sources.values():
