@@ -227,6 +227,66 @@ def test_segment_save_load_upsert_roundtrip(spark, tmp_path):
     assert _ids(up.search_phrase("hello")) == [1, 2]
 
 
+def test_streaming_positional_ingest(spark, tmp_path):
+    """Continuously-maintained positional index: bulk drain, change
+    stream (re-crawl replaces the phrase), and watch-loop delete
+    reconcile — same lifecycle as the other ingestors."""
+    import datetime as dt
+    import glob
+    import os
+
+    from textindexing_spark.sources.pages import PAGES_SCHEMA
+    from textindexing_spark.streaming.ingest import (
+        StreamingPositionalIngestor)
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    src = str(tmp_path / "psrc")
+    ck = str(tmp_path / "pck")
+
+    def write(rows):
+        spark.createDataFrame(rows, PAGES_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    write([("u1", t0, None, "alpha beta gamma", "en"),
+           ("u2", t0, None, "delta epsilon", "en")])
+    ing = StreamingPositionalIngestor(spark, str(tmp_path / "pidx"),
+                                      n_shards=4)
+    ing.ingest_available(src, ck)
+    idx = ing.index()
+    assert idx.search_phrase("alpha beta").count() == 1
+    assert idx.search_phrase("beta alpha").count() == 0
+
+    first_files = set(glob.glob(f"{src}/*.parquet"))
+    # change stream: u1 re-crawled with the phrase REVERSED, u3 new
+    write([("u1", t1, None, "beta alpha gamma", "en"),
+           ("u3", t1, None, "zeta eta", "en")])
+    ing.ingest_available(src, ck)
+    idx = ing.index()
+    assert idx.search_phrase("alpha beta").count() == 0   # replaced
+    assert idx.search_phrase("beta alpha").count() == 1
+    assert idx.search_phrase("zeta eta").count() == 1
+    assert idx.search_phrase("delta epsilon").count() == 1
+
+    # old snapshot version still answers with the ORIGINAL phrase
+    old = ing.store.load(version=1)
+    assert old.search_phrase("alpha beta").count() == 1
+
+    # watch-loop delete: drop the first file -> u2's listing entry gone
+    # (u1 survives: its re-crawl lives in the second file)
+    for f in first_files:
+        os.remove(f)
+    ing.reconcile_deletes(src)
+    idx = ing.index()
+    assert idx.search_phrase("delta epsilon").count() == 0
+    assert idx.search_phrase("beta alpha").count() == 1
+    assert sorted(r["doc_id"] for r in idx.documents_df().collect()) == \
+        sorted(r["doc_id"] for r in
+               idx.search_phrase("gamma").collect()
+               ) + sorted(r["doc_id"] for r in
+                          idx.search_phrase("zeta").collect())
+
+
 def test_batched_phrases_match_per_query(spark):
     """search_phrase_many == per-query search_phrase, whole set in one
     job; empty/absent/no-match queries contribute no rows."""

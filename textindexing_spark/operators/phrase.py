@@ -397,6 +397,29 @@ class PositionalSegmentIndex:
                                     self.cfg.tokenizer,
                                     self.cfg.case_insensitive)[0])
 
+    def documents_df(self) -> DataFrame:
+        """DataFrame(doc_id) of every indexed document — decoded from
+        the gaps blobs shard-locally (positions stay encoded), distinct
+        within the shard task so only unique ids cross the wire. Used by
+        maintenance ops (reconcile_deletes); not a query path."""
+        def decode_ids(pdf_iter):
+            import numpy as np
+            import pandas as pd
+
+            from textindexing_spark.operators.codec import varbyte_decode
+
+            for pdf in pdf_iter:
+                ids: set[int] = set()
+                for _, row in pdf.iterrows():
+                    ids.update(np.cumsum(varbyte_decode(
+                        np.frombuffer(row["gaps_blob"], dtype=np.uint8),
+                        int(row["n_docs"]))).tolist())
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series(sorted(ids), dtype="int64")})
+
+        return (self.segments.select("n_docs", "gaps_blob")
+                .mapInPandas(decode_ids, "doc_id bigint").distinct())
+
     def search_phrase(self, phrase: str) -> DataFrame:
         """doc_ids containing the phrase tokens consecutively; same
         semantics as ``PositionalIndex.search_phrase`` (equivalence is

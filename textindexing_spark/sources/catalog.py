@@ -93,6 +93,23 @@ class VersionedSegmentStore:
         return expired
 
 
+class VersionedPositionalStore(VersionedSegmentStore):
+    """Snapshot-versioned store for the compressed positional index
+    (phrase tier) — identical MVCC contract to VersionedSegmentStore;
+    versions are produced by ``PositionalSegmentIndex.upsert`` (shard-
+    local rewrites) and written by its ``save``."""
+
+    def load(self, version: int | None = None):
+        from textindexing_spark.operators.phrase import (
+            PositionalSegmentIndex)
+
+        v = self._latest() if version is None else version
+        if v is None:
+            return None
+        return PositionalSegmentIndex.load(
+            self.spark, f"{self.root}/v{v}", self.cfg)
+
+
 class VersionedIndexStore:
     def __init__(self, spark, root: str, cfg: IndexConfig | None = None):
         self.spark = spark
