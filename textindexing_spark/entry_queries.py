@@ -137,6 +137,24 @@ _SQL_BOOL_WILDCARD = (
     f"INTERSECT SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term LIKE '%ow'")
 
 
+def _q_ngram_counts(spark, sf_dir):
+    # LM-training / contamination-check primitive: corpus-wide word
+    # trigram counts (functions/analysis.py ngram_counts) — pure
+    # Catalyst, one map-side-combinable shuffle.
+    from textindexing_spark.functions.analysis import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), n=3, min_count=2)
+
+
+_SQL_NGRAM_COUNTS = f"""
+WITH tok AS ({_TOKL}),
+grams AS (
+  SELECT array_to_string(ts[i:i+2], ' ') AS ngram
+  FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i))
+SELECT ngram, count(*)::BIGINT AS count FROM grams
+GROUP BY ngram HAVING count(*) >= 2"""
+
+
 def _q_phrase_search(spark, sf_dir):
     # Positional-index exact phrase search (operators/phrase.py): docs
     # where 'row' is IMMEDIATELY followed by 'scan' — order-sensitive,
@@ -1181,6 +1199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": _q_quality,
     "training_pipeline": _q_training_pipeline,
     "token_counts": _q_token_counts,
+    "ngram_counts": _q_ngram_counts,
     "doc_fingerprint": _q_fingerprint,
     "rolling_fingerprint": _q_rolling_fingerprint,
     "change_stream_last_wins": _q_last_wins,
@@ -1235,6 +1254,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_score": _SQL_QUALITY,
     "training_pipeline": _SQL_TRAINING_PIPELINE,
     "token_counts": _SQL_TOKEN_COUNTS,
+    "ngram_counts": _SQL_NGRAM_COUNTS,
     "doc_fingerprint": _SQL_FINGERPRINT,
     "rolling_fingerprint": _SQL_ROLLING_FINGERPRINT,
     "change_stream_last_wins": _SQL_LAST_WINS,

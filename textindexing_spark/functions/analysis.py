@@ -95,3 +95,30 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
             .select("doc_id",
                     F.md5(F.array_join(F.array_sort(F.array_distinct("ts")),
                                        " ")).alias("fingerprint")))
+
+
+def ngram_counts(docs: DataFrame, n: int = 3,
+                 min_count: int = 1) -> DataFrame:
+    """(ngram, count) over the whole corpus — the LM-training /
+    contamination-check primitive (count every word n-gram; join a
+    test-set's n-grams against it to detect leakage).
+
+    Pure Catalyst: token n-grams materialize JVM-side via
+    transform(sequence(...)) over the token array — no Python, no
+    per-token rows until the single explode — and the count aggregation
+    is map-side combinable, so the one shuffle carries only partial
+    (ngram, count) pairs. At 100 TB this is the canonical word-count
+    shape: scale = partitioning, skew bounded by n-gram frequency
+    (far flatter than unigram frequency for n >= 2)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    base = (docs.select(tokens_col("text").alias("ts"))
+            .where(F.size("ts") >= n))
+    grams = base.select(F.explode(F.expr(
+        f"transform(sequence(1, size(ts) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(ts, i, {n})))")).alias("ngram"))
+    out = (grams.groupBy("ngram")
+           .agg(F.count("*").cast("bigint").alias("count")))
+    if min_count > 1:
+        out = out.where(F.col("count") >= min_count)
+    return out
