@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> None:
 
         if args.mode != "phrase":
             raise SystemExit("a positional index answers --mode phrase")
+        if not os.path.exists(f"{args.index}/_pos_meta.json"):
+            raise SystemExit(
+                "--mode phrase needs a PositionalSegmentIndex save "
+                "(_pos_meta.json) — this index root is not positional")
         pidx = PositionalSegmentIndex.load(spark, args.index).cache()
         t0 = time.perf_counter()
         hits = pidx.search_phrase_many(args.query).collect()

@@ -276,3 +276,13 @@ def test_per_source_identity_reconcile_is_source_local(spark, tmp_path):
     idx = iset.index()
     assert idx.search_bool("raisin").count() == 1    # B's copy survives
     assert idx.search_bool("tamarind").count() == 1
+
+    # reconcile CONVERGES: a second tick with nothing newly vanished
+    # must not commit a redundant tombstone version (the id mapping is
+    # append-only — deleted urls stay in it forever, so reconciling
+    # against the mapping instead of the index's documents would
+    # re-detect the same deletion every tick)
+    ing_a = iset._sources[iset._key(src_a)]
+    v_before = ing_a.store.latest_version()
+    iset.reconcile(src_a)
+    assert ing_a.store.latest_version() == v_before

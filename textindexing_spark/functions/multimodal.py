@@ -80,7 +80,9 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
     container no image lib ships, so foreign bytes raise
     NotImplementedError naming the boundary (the documented contract:
     either feed TIXM containers or install Pillow)."""
-    hdr = unpack_header(payload)
+    if payload is None:  # before the lib gate: a null payload is a null
+        raise NotImplementedError("empty payload")  # payload, not a
+    hdr = unpack_header(payload)                    # missing dependency
     if hdr is not None and hdr["codec"] in ("rgb8", "jpg", "png"):
         w, h = hdr["width"], hdr["height"]
         body = np.frombuffer(hdr["body"], dtype=np.uint8)
@@ -96,8 +98,6 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
             "real image decoding needs an image lib (Pillow, not in this "
             "container); the deterministic TIXM fake is the only "
             "in-container codec") from None
-    if payload is None:
-        raise NotImplementedError("empty payload")
     try:
         img = Image.open(io.BytesIO(payload)).convert("RGB")
     except Exception as e:  # corrupt/unsupported: quarantine upstream
@@ -109,6 +109,8 @@ def decode_pcm(payload: bytes) -> "np.ndarray":
     """Audio decode -> int16 PCM samples. TIXM payloads decode natively;
     foreign payloads (real WAV/FLAC bytes) go through soundfile when
     importable — same seam contract as decode_rgb."""
+    if payload is None:  # see decode_rgb: null payload != missing lib
+        raise NotImplementedError("empty payload")
     hdr = unpack_header(payload)
     if hdr is not None and hdr["codec"] in ("pcm", "wav", "flac"):
         return np.frombuffer(hdr["body"], dtype="<i2")
@@ -121,8 +123,6 @@ def decode_pcm(payload: bytes) -> "np.ndarray":
             "real audio decoding needs an audio lib (soundfile, not in "
             "this container); the deterministic TIXM fake is the only "
             "in-container codec") from None
-    if payload is None:
-        raise NotImplementedError("empty payload")
     try:
         data, _sr = sf.read(io.BytesIO(payload), dtype="int16")
     except Exception as e:

@@ -90,7 +90,14 @@ def _decoded_doc_table(token: str, shard: int, ids_blob, lens_blob):
     shard's packed (doc_ids, doc_lens) blobs ONCE instead of per query.
     The token is minted per SegmentIndex instance and instances are
     immutable snapshots (upsert returns a new index), so entries can
-    never go stale."""
+    never go stale.
+
+    The LRU is bounded by BYTES, not entry count: a streaming serving
+    session queries a new index version per micro-batch, so dead
+    versions' entries accrete in long-lived workers — with large
+    shards, an entry-count cap would let the cache grow to many GB
+    before evicting anything. Budget via SPARK_GRAFT_DOC_CACHE_MB
+    (default 512 MB per worker)."""
     key = (token, int(shard))
     hit = _DOC_TABLE_CACHE.get(key)
     if hit is None:
@@ -99,17 +106,24 @@ def _decoded_doc_table(token: str, shard: int, ids_blob, lens_blob):
                codec.varbyte_decode(np.frombuffer(lens_blob,
                                                   dtype=np.uint8)))
         _DOC_TABLE_CACHE[key] = hit
-        if len(_DOC_TABLE_CACHE) > _DOC_TABLE_CACHE_MAX:
-            _DOC_TABLE_CACHE.pop(next(iter(_DOC_TABLE_CACHE)))
+        global _DOC_TABLE_CACHE_BYTES
+        _DOC_TABLE_CACHE_BYTES += hit[0].nbytes + hit[1].nbytes
+        while (_DOC_TABLE_CACHE_BYTES > _DOC_TABLE_CACHE_MAX_BYTES
+               and len(_DOC_TABLE_CACHE) > 1):
+            _, old = _DOC_TABLE_CACHE.popitem(last=False)
+            _DOC_TABLE_CACHE_BYTES -= old[0].nbytes + old[1].nbytes
     else:
         _DOC_TABLE_CACHE.move_to_end(key)
     return hit
 
 
+import os as _os  # noqa: E402
 from collections import OrderedDict  # noqa: E402
 
 _DOC_TABLE_CACHE: OrderedDict = OrderedDict()
-_DOC_TABLE_CACHE_MAX = 4096
+_DOC_TABLE_CACHE_BYTES = 0
+_DOC_TABLE_CACHE_MAX_BYTES = int(_os.environ.get(
+    "SPARK_GRAFT_DOC_CACHE_MB", "512")) * 1024 * 1024
 
 
 class SegmentIndex:

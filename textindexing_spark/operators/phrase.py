@@ -48,6 +48,17 @@ from textindexing_spark.functions.tokenize import tokenize_series
 
 POSITIONAL_SCHEMA = "doc_id bigint, term string, positions array<int>"
 
+
+def phrase_tokens(phrase: str, cfg: IndexConfig) -> list[str]:
+    """Tokenize one query phrase with the index's tokenizer config —
+    the single definition both tiers share (their equivalence contract
+    includes query-side tokenization)."""
+    import pandas as pd
+
+    return list(tokenize_series(pd.Series([phrase]),
+                                cfg.tokenizer, cfg.case_insensitive)[0])
+
+
 POS_SEGMENT_SCHEMA = ("shard int, term string, n_docs bigint, "
                       "gaps_blob binary, plens_blob binary, "
                       "pos_blob binary")
@@ -158,11 +169,7 @@ class PositionalIndex:
             pass
 
     def _tokens(self, phrase: str) -> list[str]:
-        import pandas as pd
-
-        return list(tokenize_series(pd.Series([phrase]),
-                                    self.cfg.tokenizer,
-                                    self.cfg.case_insensitive)[0])
+        return phrase_tokens(phrase, self.cfg)
 
     def search_phrase(self, phrase: str) -> DataFrame:
         """doc_ids containing the phrase's tokens CONSECUTIVELY (in
@@ -391,11 +398,7 @@ class PositionalSegmentIndex:
             pass
 
     def _tokens(self, phrase: str) -> list[str]:
-        import pandas as pd
-
-        return list(tokenize_series(pd.Series([phrase]),
-                                    self.cfg.tokenizer,
-                                    self.cfg.case_insensitive)[0])
+        return phrase_tokens(phrase, self.cfg)
 
     def documents_df(self) -> DataFrame:
         """DataFrame(doc_id) of every indexed document — decoded from

@@ -137,24 +137,32 @@ class BucketedIndexStore:
 
         return f"{self.root}/v{v}_data_{uuid.uuid4().hex[:8]}"
 
+    _NO_EXPECT = object()
+
     def _write_manifest(self, v: int, man: dict,
-                        expect_prev: int | None = None) -> int:
+                        expect_prev=_NO_EXPECT) -> int:
         """Commit manifest v and swap LATEST. When ``expect_prev`` is
-        given (every merge/compaction path passes the version it READ),
-        the swap is a compare-and-set under an fcntl lock: if another
-        writer advanced LATEST in between, this commit raises
-        ConcurrentWriterError instead of silently clobbering the other
-        writer's version — its data directories are orphans for vacuum.
-        (On an object store the CAS would be a conditional put of the
-        pointer object; the lockfile is the local-FS stand-in.)"""
+        given (every merge/compaction path passes the version it READ —
+        including ``None`` for "I read an EMPTY store", which still
+        participates in the CAS: two writers racing the very first
+        commit must not both succeed), the swap is a compare-and-set
+        under an fcntl lock: if another writer advanced LATEST in
+        between, this commit raises ConcurrentWriterError instead of
+        silently clobbering the other writer's version — its data
+        directories are orphans for vacuum. (On an object store the CAS
+        would be a conditional put of the pointer object; the lockfile
+        is the local-FS stand-in.)"""
         import fcntl
 
         with open(f"{self.root}/.commit_lock", "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
             current = self.latest_version()
-            if expect_prev is not None and current != expect_prev:
+            if expect_prev is not self._NO_EXPECT and \
+                    current != expect_prev:
+                prev_desc = ("empty store" if expect_prev is None
+                             else f"v{expect_prev}")
                 raise ConcurrentWriterError(
-                    f"LATEST moved from v{expect_prev} to v{current} "
+                    f"LATEST moved from {prev_desc} to v{current} "
                     f"during this commit; replay the batch on the new "
                     f"version")
             tmp = f"{self.root}/v{v}.json.tmp"

@@ -75,6 +75,27 @@ class UrlIdTable:
             fh.write(content)
         os.replace(tmp, f"{self.path}/{name}")
 
+    def _lock(self):
+        """Exclusive writer lock for the whole assign/compact/vacuum
+        critical section. Id assignment is a read-modify-write over
+        NEXT_ID + LATEST (+ BASE.json), so concurrent unserialized
+        writers would mint the same id range for two different url sets
+        or clobber each other's chunk — the dimension is a serialized
+        id service, exactly like the store-level commit CAS
+        (sources/bucketed.py). Readers never lock: the atomic pointer
+        swaps keep mapping() consistent. (On an object store this
+        becomes a conditional put of the pointer object.)"""
+        import fcntl
+        from contextlib import contextmanager
+
+        @contextmanager
+        def held():
+            with open(f"{self.path}/.lock", "w") as fh:
+                fcntl.flock(fh, fcntl.LOCK_EX)
+                yield
+
+        return held()
+
     def _live_paths(self) -> list[str]:
         v = self._latest()
         if v is None:
@@ -107,11 +128,18 @@ class UrlIdTable:
 
     def assign(self, df: DataFrame, url_col: str = "url") -> DataFrame:
         """Return ``df`` with a ``doc_id`` column; unseen urls get fresh
-        dense ids appended to the table first (atomic commit)."""
+        dense ids appended to the table first (atomic commit, serialized
+        across writers by ``_lock`` — new-url discovery must see any
+        concurrent writer's committed chunk or two batches would mint
+        overlapping id ranges)."""
         if "doc_id" in df.columns:
             raise ValueError(
                 "input already has a doc_id column — drop it before "
                 "assign() (ids come from this dimension, not the input)")
+        with self._lock():
+            return self._assign_locked(df, url_col)
+
+    def _assign_locked(self, df: DataFrame, url_col: str) -> DataFrame:
         existing = self.mapping()
         new_urls = (df.select(F.col(url_col).alias("url"))
                     .where(F.col("url").isNotNull()).distinct()
@@ -149,7 +177,7 @@ class UrlIdTable:
             self._swap("NEXT_ID", str(acc))
             self._swap("LATEST", str(v))
             if v - self._base_meta()["folded_through"] >= self.compact_every:
-                self.compact()
+                self._compact_locked()
         full = self.mapping()
         return df.join(full, df[url_col] == full["url"], "left") \
                  .drop(full["url"])
@@ -159,6 +187,10 @@ class UrlIdTable:
         base generation (crash-safe: the BASE.json swap is last, so an
         interrupted fold leaves the previous base + chunks readable).
         Returns the new base directory."""
+        with self._lock():
+            return self._compact_locked()
+
+    def _compact_locked(self) -> str | None:
         v = self._latest()
         if v is None:
             return None
@@ -181,6 +213,10 @@ class UrlIdTable:
         until now for in-flight readers). Returns deleted paths."""
         import shutil
 
+        with self._lock():
+            return self._vacuum_locked(shutil)
+
+    def _vacuum_locked(self, shutil) -> list[str]:
         live = set(self._live_paths())
         deleted = []
         for name in sorted(os.listdir(self.path)):

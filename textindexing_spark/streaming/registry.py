@@ -101,7 +101,17 @@ class _SourceIngestor(StreamingIngestor):
         live = (self.spark.read.schema(PAGES_SCHEMA).parquet(source_dir)
                 .select(F.concat(F.lit(self.identity_prefix),
                                  F.col("url")).alias("url")).distinct())
-        indexed = (self.url_ids.mapping()
+        idx = self.index()
+        if idx is None:
+            return 0
+        docs_df = (idx.documents if hasattr(idx, "documents")
+                   else idx.documents_df())
+        # join the index's CURRENT documents (not the append-only id
+        # mapping, whose rows outlive deletion — using it here would
+        # re-detect every vanished url forever and commit a redundant
+        # tombstone version on each reconcile tick)
+        indexed = (docs_df.select("doc_id")
+                   .join(self.url_ids.mapping(), "doc_id")
                    .where(F.col("url").startswith(self.identity_prefix)))
         gone = (indexed.join(live, "url", "left_anti")
                 .select("doc_id", F.lit("").alias("text")))
@@ -224,6 +234,12 @@ class IngestorSet:
 
         key = self._key(source_dir)
         ing = self._sources[key]
+        if self.identity == "per_source":
+            # identities are namespaced per source, so the source-local
+            # override is already registry-correct: other sources cannot
+            # interfere by construction
+            ing.reconcile_deletes(ing.source_dir)
+            return
         try:
             prov = (self.spark.read.schema("url string")
                     .parquet(ing.prov_path).distinct())
@@ -231,12 +247,6 @@ class IngestorSet:
             return  # never drained: nothing indexed from this source
         live = (self.spark.read.schema(PAGES_SCHEMA)
                 .parquet(ing.source_dir).select("url").distinct())
-        if self.identity == "per_source":
-            # identities are namespaced per source, so the source-local
-            # override is already registry-correct: other sources cannot
-            # interfere by construction
-            ing.reconcile_deletes(ing.source_dir)
-            return
         gone = prov.join(live, "url", "left_anti")
         for other in self._sources.values():
             if other is ing:
