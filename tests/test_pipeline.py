@@ -784,3 +784,25 @@ def test_lsm_commit_crash_before_manifest_is_replayable(spark, tmp_path):
     assert idx.search_bool("crashy").count() == 1
     assert idx.search_bool("w3").count() == 1   # only doc 2's w3 remains
     assert idx.documents.count() == 20          # 20 - 1 deleted + 1 new
+
+
+def test_first_commit_participates_in_cas(spark, tmp_path):
+    """Two writers racing the FIRST commit on an empty store: the one
+    whose read ('store is empty') went stale must fail loudly, not
+    silently clobber v1 (expect_prev=None means 'I read an empty
+    store', and it participates in the compare-and-set)."""
+    from textindexing_spark.sources.bucketed import (BucketedIndexStore,
+                                                     ConcurrentWriterError)
+
+    root = str(tmp_path / "race1")
+    a = BucketedIndexStore(spark, root, n_term_buckets=4, n_doc_buckets=2)
+    b = BucketedIndexStore(spark, root, n_term_buckets=4, n_doc_buckets=2)
+    docs = spark.createDataFrame([(1, "alpha beta")],
+                                 "doc_id bigint, text string")
+    b.commit_merge(docs)  # writer B wins the first commit
+    # writer A still believes the store is empty; its manifest write
+    # must be rejected by the CAS
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentWriterError, match="empty store"):
+        a._write_manifest(1, b.manifest(), expect_prev=None)

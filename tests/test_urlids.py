@@ -103,3 +103,35 @@ def test_assign_rejects_existing_doc_id_column(spark, tmp_path):
     df = spark.createDataFrame([("u1", 5)], "url string, doc_id bigint")
     with pytest.raises(ValueError, match="already has a doc_id"):
         t.assign(df)
+
+
+def test_concurrent_assigns_mint_disjoint_ids(spark, tmp_path):
+    """Two writers assigning concurrently (the registry's 'sources
+    drain independently' case) must serialize on the dimension's
+    writer lock: every url from both batches lands in the mapping with
+    a unique dense id — no overlapping id ranges, no lost chunk."""
+    import threading
+
+    t = UrlIdTable(spark, str(tmp_path / "cids"))
+    urls_a = [f"https://a/{i}" for i in range(40)]
+    urls_b = [f"https://b/{i}" for i in range(40)]
+    results: dict[str, dict] = {}
+    errors: list[Exception] = []
+
+    def worker(name, urls):
+        try:
+            out = t.assign(_df(spark, urls)).collect()
+            results[name] = {r["url"]: r["doc_id"] for r in out}
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    ta = threading.Thread(target=worker, args=("a", urls_a))
+    tb = threading.Thread(target=worker, args=("b", urls_b))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert not errors
+    mapping = {r["url"]: r["doc_id"] for r in t.mapping().collect()}
+    assert set(mapping) == set(urls_a) | set(urls_b)
+    assert sorted(mapping.values()) == list(range(80))  # dense, disjoint
+    for name in ("a", "b"):
+        for u, d in results[name].items():
+            assert mapping[u] == d
