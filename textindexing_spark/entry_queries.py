@@ -155,6 +155,44 @@ SELECT ngram, count(*)::BIGINT AS count FROM grams
 GROUP BY ngram HAVING count(*) >= 2"""
 
 
+def _q_contamination(spark, sf_dir):
+    # GPT-3-style n-gram decontamination: probes = every ~97th doc with
+    # a novel suffix appended, so contamination is high but < 1 (the
+    # suffix-spanning 5-grams never occur in the corpus).
+    from textindexing_spark.functions.analysis import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    probes = (docs.where("doc_id % 97 = 0")
+              .select("doc_id",
+                      F.concat("text",
+                               F.lit(" novel heldout suffix tokens here"))
+                      .alias("text")))
+    return ngram_contamination(docs, probes, n=5)
+
+
+_SQL_CONTAMINATION = f"""
+WITH corpus AS ({_TOKL}),
+cg AS (SELECT DISTINCT array_to_string(ts[i:i+4], ' ') AS ngram
+       FROM corpus,
+            unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS u(i)),
+probes AS (SELECT doc_id AS probe_id,
+                  regexp_extract_all(
+                      lower(text || ' novel heldout suffix tokens here'),
+                      '[\\p{{L}}\\p{{Nd}}]+') AS ts
+           FROM documents WHERE doc_id % 97 = 0),
+pg AS (SELECT DISTINCT probe_id, array_to_string(ts[i:i+4], ' ') AS ngram
+       FROM probes,
+            unnest(generate_series(1, greatest(len(ts) - 4, 0))) AS u(i)),
+tot AS (SELECT probe_id, count(*)::BIGINT AS n_grams FROM pg GROUP BY 1),
+hit AS (SELECT probe_id, count(*)::BIGINT AS n_contaminated FROM pg
+        WHERE ngram IN (SELECT ngram FROM cg) GROUP BY 1)
+SELECT tot.probe_id, tot.n_grams,
+       coalesce(hit.n_contaminated, 0)::BIGINT AS n_contaminated,
+       round(coalesce(hit.n_contaminated, 0)::DOUBLE / tot.n_grams, 6)
+           AS contamination
+FROM tot LEFT JOIN hit ON tot.probe_id = hit.probe_id"""
+
+
 def _q_phrase_search(spark, sf_dir):
     # Positional-index exact phrase search (operators/phrase.py): docs
     # where 'row' is IMMEDIATELY followed by 'scan' — order-sensitive,
@@ -1200,6 +1238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_pipeline": _q_training_pipeline,
     "token_counts": _q_token_counts,
     "ngram_counts": _q_ngram_counts,
+    "ngram_contamination": _q_contamination,
     "doc_fingerprint": _q_fingerprint,
     "rolling_fingerprint": _q_rolling_fingerprint,
     "change_stream_last_wins": _q_last_wins,
@@ -1255,6 +1294,7 @@ ORACLE_SQL: dict[str, str] = {
     "training_pipeline": _SQL_TRAINING_PIPELINE,
     "token_counts": _SQL_TOKEN_COUNTS,
     "ngram_counts": _SQL_NGRAM_COUNTS,
+    "ngram_contamination": _SQL_CONTAMINATION,
     "doc_fingerprint": _SQL_FINGERPRINT,
     "rolling_fingerprint": _SQL_ROLLING_FINGERPRINT,
     "change_stream_last_wins": _SQL_LAST_WINS,

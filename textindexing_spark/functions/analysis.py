@@ -122,3 +122,45 @@ def ngram_counts(docs: DataFrame, n: int = 3,
     if min_count > 1:
         out = out.where(F.col("count") >= min_count)
     return out
+
+
+def ngram_contamination(corpus: DataFrame, probes: DataFrame,
+                        n: int = 8) -> DataFrame:
+    """(probe_id, n_grams, n_contaminated, contamination) — per probe
+    document, the fraction of its distinct word n-grams that occur
+    ANYWHERE in the corpus: the GPT-3-style n-gram decontamination
+    check run before training (probes = eval/test documents).
+
+    Scale shape: the corpus side reduces to DISTINCT n-grams (map-side
+    combinable), probes explode to (probe_id, ngram) — tiny relative to
+    the corpus — and one left-semi join marks contaminated grams before
+    a per-probe aggregation. No corpus row ever joins more than its
+    n-gram set; skew is bounded by n-gram frequency (flat for n >= 2)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    gram_expr = F.expr(
+        f"transform(sequence(1, size(ts) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(ts, i, {n})))")
+    corpus_grams = (corpus.select(tokens_col("text").alias("ts"))
+                    .where(F.size("ts") >= n)
+                    .select(F.explode(gram_expr).alias("ngram"))
+                    .distinct())
+    probe_grams = (probes
+                   .select(F.col("doc_id").alias("probe_id"),
+                           tokens_col("text").alias("ts"))
+                   .where(F.size("ts") >= n)
+                   .select("probe_id", F.explode(gram_expr).alias("ngram"))
+                   .distinct())
+    hits = (probe_grams
+            .join(corpus_grams, "ngram", "left_semi")
+            .groupBy("probe_id")
+            .agg(F.count("*").alias("n_contaminated")))
+    totals = (probe_grams.groupBy("probe_id")
+              .agg(F.count("*").alias("n_grams")))
+    return (totals.join(hits, "probe_id", "left")
+            .select("probe_id", "n_grams",
+                    F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
+                     .alias("n_contaminated"))
+            .withColumn("contamination",
+                        F.round(F.col("n_contaminated") /
+                                F.col("n_grams"), 6)))
