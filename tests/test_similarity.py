@@ -46,3 +46,28 @@ def test_ivf_recall_and_nprobe_dial(emb):
     assert r1 >= 0.30
     assert r2 >= 0.55
     assert r2 >= r1
+
+
+def test_pq_codes_shape_and_self_snap(emb):
+    """Every vector gets exactly n_blocks codes in [0, K); codeword
+    vectors snap to themselves (their own subvectors ARE codewords)."""
+    from textindexing_spark.operators.similarity import pq_assign
+
+    rows = {r["vec_id"]: r["codes"] for r in pq_assign(emb).collect()}
+    assert len(rows) == emb.count()
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c)
+               for c in rows.values())
+    for cid in range(16):
+        assert rows[cid] == [cid] * 8
+
+
+def test_pq_adc_recall(emb):
+    """ADC over deterministic (untrained) codebooks is coarse but must
+    stay far above the random floor (10/N ~= 0.02) — the regression
+    guard for a broken distance table or code join. k-means-trained
+    codebooks would sharpen this at the cost of cross-engine
+    reproducibility (same decision as the IVF centroids)."""
+    from textindexing_spark.operators.similarity import pq_adc_topk
+
+    r = _recall(emb, lambda q: pq_adc_topk(emb, q, 10))
+    assert r >= 0.15  # measured 0.22 (16 codewords x 8 blocks)

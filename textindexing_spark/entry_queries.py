@@ -618,6 +618,73 @@ FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+_SQL_PQ_COMMON = """cw AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+  FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)),
+cb AS (
+  SELECT code, m,
+         embedding[m*(len(embedding)//8)+1 :
+                   m*(len(embedding)//8)+(len(embedding)//8)] AS cwv
+  FROM cw, unnest(generate_series(0, 7)) AS u(m)),
+blocks AS (
+  SELECT vec_id, m,
+         embedding[m*(len(embedding)//8)+1 :
+                   m*(len(embedding)//8)+(len(embedding)//8)] AS sub
+  FROM embeddings, unnest(generate_series(0, 7)) AS u(m)),
+pq_scored AS (
+  SELECT vec_id, m, code,
+         list_aggregate(list_transform(generate_series(1, len(sub)),
+             i -> (CAST(sub[i] AS DOUBLE) - CAST(cwv[i] AS DOUBLE))
+                  * (CAST(sub[i] AS DOUBLE) - CAST(cwv[i] AS DOUBLE))),
+             'sum') AS d
+  FROM blocks JOIN cb USING (m)),
+best AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY d, code) AS rn
+    FROM pq_scored) WHERE rn = 1)"""
+
+
+def _q_pq_codes(spark, sf_dir):
+    # PQ quantization: each 64-dim float vector -> 4 codebook codes
+    # (the compression half of IVF-PQ; operators/similarity.py)
+    from textindexing_spark.operators.similarity import pq_assign
+
+    return pq_assign(_emb(spark, sf_dir))
+
+
+_SQL_PQ_CODES = f"""
+WITH {_SQL_PQ_COMMON}
+SELECT vec_id, list(code ORDER BY m) AS codes FROM best GROUP BY vec_id"""
+
+
+def _q_pq_adc_topk(spark, sf_dir):
+    # asymmetric-distance top-k over PQ codes: candidates scored from a
+    # per-query (block, code) distance table, never their raw floats
+    from textindexing_spark.operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+_SQL_PQ_ADC_TOPK = f"""
+WITH {_SQL_PQ_COMMON},
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+tq AS (
+  SELECT m, code,
+         list_aggregate(list_transform(generate_series(1, len(cwv)),
+             i -> (CAST(cwv[i] AS DOUBLE)
+                   - CAST(qe[m*(len(qe)//8)+i] AS DOUBLE))
+                  * (CAST(cwv[i] AS DOUBLE)
+                     - CAST(qe[m*(len(qe)//8)+i] AS DOUBLE))),
+             'sum') AS d
+  FROM cb, q)
+SELECT vec_id, round(sum(d), 6) AS adc_dist
+FROM best JOIN tq USING (m, code)
+WHERE vec_id != 0
+GROUP BY vec_id ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"""
+
+
 def _q_emb_cosine_pairs(spark, sf_dir):
     from textindexing_spark.operators.similarity import embedding_cosine_pairs
 
@@ -1221,6 +1288,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk_mp": _q_ann_lsh_topk_mp,
     "ann_ivf_cells": _q_ivf_cells,
     "ann_ivf_topk": _q_ivf_topk,
+    "ann_pq_codes": _q_pq_codes,
+    "ann_pq_adc_topk": _q_pq_adc_topk,
     "dedup_embedding_cosine": _q_emb_cosine_pairs,
     "url_point_scan": _q_point_scan,
     "extract_roundtrip": _q_extract_roundtrip,
@@ -1277,6 +1346,8 @@ ORACLE_SQL: dict[str, str] = {
     "ann_lsh_topk_mp": _SQL_ANN_LSH_TOPK_MP,
     "ann_ivf_cells": _SQL_IVF_CELLS,
     "ann_ivf_topk": _SQL_IVF_TOPK,
+    "ann_pq_codes": _SQL_PQ_CODES,
+    "ann_pq_adc_topk": _SQL_PQ_ADC_TOPK,
     "dedup_embedding_cosine": _SQL_EMB_COSINE_PAIRS,
     "url_point_scan": _SQL_POINT_SCAN,
     "extract_roundtrip": _SQL_EXTRACT_ROUNDTRIP,

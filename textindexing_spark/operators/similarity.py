@@ -160,3 +160,93 @@ def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
             .select("vec_id"))
     pool = embeddings.join(cand, "vec_id", "left_semi")
     return cosine_topk(pool, query_vec_id, k, round_to)
+
+
+# --- product quantization (IVF-PQ's compression half) ------------------------
+
+L2 = ("aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - "
+      "CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def pq_codebooks(embeddings: DataFrame, n_blocks: int = 8,
+                 codeword_ids: tuple[int, ...] = tuple(range(16))
+                 ) -> DataFrame:
+    """(m, code, cw) — the PQ codebook: block m's codewords are the
+    m-th subvectors of K deterministic dataset vectors (k-means-trained
+    codebooks sharpen cells but break cross-engine reproducibility —
+    same decision as ``centroid_sims``; the quantize/ADC math is
+    identical either way). ``code`` is the codeword's rank within
+    ``codeword_ids`` (0..K-1), so codes are stable 3-bit-ish ints."""
+    ids = sorted(codeword_ids)
+    code = (F.expr(f"array_position(array({', '.join(map(str, ids))}), "
+                   f"vec_id)").cast("int") - 1)
+    sub = F.expr(f"slice(embedding, m * (size(embedding) DIV {n_blocks})"
+                 f" + 1, size(embedding) DIV {n_blocks})")
+    return (embeddings.where(F.col("vec_id").isin(ids))
+            .select(F.col("vec_id"),
+                    F.explode(F.expr(f"sequence(0, {n_blocks} - 1)"))
+                     .alias("m"),
+                    "embedding")
+            .select(code.alias("code"), "m", sub.alias("cw")))
+
+
+def pq_assign(embeddings: DataFrame, n_blocks: int = 8,
+              codeword_ids: tuple[int, ...] = tuple(range(16))
+              ) -> DataFrame:
+    """(vec_id, codes ARRAY<INT>) — product quantization: each vector's
+    block subvectors snap to their nearest (L2) codeword. At 64 dims /
+    8 blocks / 16 codewords this is a 256-byte float vector compressed
+    to 8 nibbles (the 100 TB trick: the codes table fits where raw
+    embeddings cannot; IVF prunes candidates, PQ scores them from
+    codes). Broadcast codebook join; one narrow shuffle on vec_id to
+    re-assemble code arrays."""
+    cb = pq_codebooks(embeddings, n_blocks, codeword_ids)
+    sub = F.expr(f"slice(embedding, m * (size(embedding) DIV {n_blocks})"
+                 f" + 1, size(embedding) DIV {n_blocks})")
+    blocks = (embeddings
+              .select("vec_id",
+                      F.explode(F.expr(f"sequence(0, {n_blocks} - 1)"))
+                       .alias("m"),
+                      "embedding")
+              .select("vec_id", "m", sub.alias("sub")))
+    d = F.expr(L2.format(a="sub", b="cw"))
+    scored = (blocks.join(F.broadcast(cb), "m")
+              .select("vec_id", "m", "code", d.alias("d")))
+    best = (scored.groupBy("vec_id", "m")
+            .agg(F.min_by("code", F.struct(F.col("d"), F.col("code")))
+                 .alias("code")))
+    return (best.groupBy("vec_id")
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(m, code))), x -> x.code)").alias("codes")))
+
+
+def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                k: int = 10, n_blocks: int = 8,
+                codeword_ids: tuple[int, ...] = tuple(range(16)),
+                round_to: int = 6) -> DataFrame:
+    """(vec_id, adc_dist) — asymmetric-distance top-k: the query stays a
+    full-precision vector; every candidate is scored from its CODES via
+    a per-query distance table (block m, code c) -> L2(query_sub_m,
+    codeword_{m,c}), so scoring touches K*M table entries + M lookups
+    per candidate, never the candidate's raw floats. Ordered adc_dist
+    asc, vec_id asc. At scale the codes table is precomputed
+    (pq_assign) and this is one broadcast-join + sum over it."""
+    cb = pq_codebooks(embeddings, n_blocks, codeword_ids)
+    qsub = F.expr(f"slice(qe, m * (size(qe) DIV {n_blocks}) + 1, "
+                  f"size(qe) DIV {n_blocks})")
+    q = (embeddings.where(F.col("vec_id") == query_vec_id)
+         .select(F.col("embedding").alias("qe")))
+    table = (cb.crossJoin(F.broadcast(q))
+             .withColumn("q_sub", qsub)
+             .select("m", "code",
+                     F.expr(L2.format(a="cw", b="q_sub")).alias("d")))
+    codes = (pq_assign(embeddings, n_blocks, codeword_ids)
+             .where(F.col("vec_id") != query_vec_id)
+             .select("vec_id",
+                     F.posexplode("codes").alias("m", "code")))
+    return (codes.join(F.broadcast(table), ["m", "code"])
+            .groupBy("vec_id")
+            .agg(F.round(F.sum("d"), round_to).alias("adc_dist"))
+            .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+            .limit(k))
