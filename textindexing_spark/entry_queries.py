@@ -685,6 +685,39 @@ WHERE vec_id != 0
 GROUP BY vec_id ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"""
 
 
+def _q_ivf_pq_topk(spark, sf_dir):
+    # the composed billion-vector shape: IVF prunes to nprobe cells,
+    # ADC scores the survivors from their PQ codes
+    from textindexing_spark.operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(_emb(spark, sf_dir), query_vec_id=0, k=10,
+                       nprobe=2)
+
+
+_SQL_IVF_PQ_TOPK = f"""
+WITH {_SQL_IVF_COMMON.strip()},
+qcells AS (SELECT cid AS qcell FROM scored WHERE vec_id = 0
+           ORDER BY sim DESC, cid LIMIT 2),
+cand AS (SELECT vec_id FROM assign
+         JOIN qcells ON assign.cell = qcells.qcell),
+{_SQL_PQ_COMMON},
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+tq AS (
+  SELECT m, code,
+         list_aggregate(list_transform(generate_series(1, len(cwv)),
+             i -> (CAST(cwv[i] AS DOUBLE)
+                   - CAST(qe[m*(len(qe)//8)+i] AS DOUBLE))
+                  * (CAST(cwv[i] AS DOUBLE)
+                     - CAST(qe[m*(len(qe)//8)+i] AS DOUBLE))),
+             'sum') AS d
+  FROM cb, q)
+SELECT best.vec_id, round(sum(d), 6) AS adc_dist
+FROM best JOIN tq USING (m, code)
+WHERE best.vec_id != 0
+  AND best.vec_id IN (SELECT vec_id FROM cand)
+GROUP BY best.vec_id ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"""
+
+
 def _q_emb_cosine_pairs(spark, sf_dir):
     from textindexing_spark.operators.similarity import embedding_cosine_pairs
 
@@ -1290,6 +1323,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": _q_ivf_topk,
     "ann_pq_codes": _q_pq_codes,
     "ann_pq_adc_topk": _q_pq_adc_topk,
+    "ann_ivf_pq_topk": _q_ivf_pq_topk,
     "dedup_embedding_cosine": _q_emb_cosine_pairs,
     "url_point_scan": _q_point_scan,
     "extract_roundtrip": _q_extract_roundtrip,
@@ -1348,6 +1382,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk": _SQL_IVF_TOPK,
     "ann_pq_codes": _SQL_PQ_CODES,
     "ann_pq_adc_topk": _SQL_PQ_ADC_TOPK,
+    "ann_ivf_pq_topk": _SQL_IVF_PQ_TOPK,
     "dedup_embedding_cosine": _SQL_EMB_COSINE_PAIRS,
     "url_point_scan": _SQL_POINT_SCAN,
     "extract_roundtrip": _SQL_EXTRACT_ROUNDTRIP,

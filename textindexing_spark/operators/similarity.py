@@ -224,7 +224,8 @@ def pq_assign(embeddings: DataFrame, n_blocks: int = 8,
 def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
                 k: int = 10, n_blocks: int = 8,
                 codeword_ids: tuple[int, ...] = tuple(range(16)),
-                round_to: int = 6) -> DataFrame:
+                round_to: int = 6,
+                candidates: DataFrame | None = None) -> DataFrame:
     """(vec_id, adc_dist) — asymmetric-distance top-k: the query stays a
     full-precision vector; every candidate is scored from its CODES via
     a per-query distance table (block m, code c) -> L2(query_sub_m,
@@ -242,11 +243,38 @@ def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
              .select("m", "code",
                      F.expr(L2.format(a="cw", b="q_sub")).alias("d")))
     codes = (pq_assign(embeddings, n_blocks, codeword_ids)
-             .where(F.col("vec_id") != query_vec_id)
-             .select("vec_id",
-                     F.posexplode("codes").alias("m", "code")))
+             .where(F.col("vec_id") != query_vec_id))
+    if candidates is not None:
+        # codebooks/codes always derive from the FULL table; the filter
+        # only restricts which candidates get scored (IVF pruning)
+        codes = codes.join(candidates, "vec_id", "left_semi")
+    codes = codes.select("vec_id",
+                         F.posexplode("codes").alias("m", "code"))
     return (codes.join(F.broadcast(table), ["m", "code"])
             .groupBy("vec_id")
             .agg(F.round(F.sum("d"), round_to).alias("adc_dist"))
             .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
             .limit(k))
+
+
+def ivf_pq_topk(embeddings: DataFrame, query_vec_id: int = 0,
+                k: int = 10, n_blocks: int = 8,
+                codeword_ids: tuple[int, ...] = tuple(range(16)),
+                centroid_ids: tuple[int, ...] = (0, 1, 2, 3),
+                nprobe: int = 2, round_to: int = 6) -> DataFrame:
+    """The composed billion-vector shape — IVF-PQ: the inverted file
+    prunes candidates to the query's ``nprobe`` cells, and ADC scores
+    the survivors from their PQ codes. At scale the codes table is
+    partitioned by cell, so a query reads nprobe partitions of
+    nibble-codes and touches no raw embedding except the query's own."""
+    assign = ivf_assign(embeddings, centroid_ids)
+    qcells = (centroid_sims(embeddings, centroid_ids)
+              .where(F.col("vec_id") == query_vec_id)
+              .orderBy(F.col("sim").desc(), F.col("cid").asc())
+              .limit(nprobe)
+              .select(F.col("cid").alias("qcell")))
+    cand = (assign.join(F.broadcast(qcells),
+                        F.col("cell") == F.col("qcell"))
+            .select("vec_id"))
+    return pq_adc_topk(embeddings, query_vec_id, k, n_blocks,
+                       codeword_ids, round_to, candidates=cand)
