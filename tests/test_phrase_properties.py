@@ -127,3 +127,26 @@ def test_eval_phrase_matches_naive(corpus, phrase):
         if any(toks[i:i + n] == phrase
                for i in range(len(toks) - n + 1)))
     assert got == want
+
+
+def test_contamination_short_probe_rows(spark):
+    """Probes too short to form one n-gram must still appear in the
+    contamination report (n_grams=0, contamination NULL) — 'absent from
+    the report' must never read as 'clean'."""
+    from textindexing_spark.functions.analysis import ngram_contamination
+
+    ddl = "doc_id bigint, text string"
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ddl)
+    probes = spark.createDataFrame(
+        [(10, "alpha beta gamma"),   # long enough, fully contaminated
+         (11, "zeta"),               # too short for n=3: 0 grams
+         (12, None)], ddl)           # null text: 0 grams
+    rows = {r["probe_id"]: r for r in
+            ngram_contamination(corpus, probes, n=3).collect()}
+    assert set(rows) == {10, 11, 12}
+    assert rows[10]["n_grams"] == 1 and rows[10]["contamination"] == 1.0
+    for pid in (11, 12):
+        assert rows[pid]["n_grams"] == 0
+        assert rows[pid]["n_contaminated"] == 0
+        assert rows[pid]["contamination"] is None

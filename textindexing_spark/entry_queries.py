@@ -186,11 +186,15 @@ pg AS (SELECT DISTINCT probe_id, array_to_string(ts[i:i+4], ' ') AS ngram
 tot AS (SELECT probe_id, count(*)::BIGINT AS n_grams FROM pg GROUP BY 1),
 hit AS (SELECT probe_id, count(*)::BIGINT AS n_contaminated FROM pg
         WHERE ngram IN (SELECT ngram FROM cg) GROUP BY 1)
-SELECT tot.probe_id, tot.n_grams,
+SELECT pa.probe_id,
+       coalesce(tot.n_grams, 0)::BIGINT AS n_grams,
        coalesce(hit.n_contaminated, 0)::BIGINT AS n_contaminated,
-       round(coalesce(hit.n_contaminated, 0)::DOUBLE / tot.n_grams, 6)
-           AS contamination
-FROM tot LEFT JOIN hit ON tot.probe_id = hit.probe_id"""
+       CASE WHEN coalesce(tot.n_grams, 0) > 0
+            THEN round(coalesce(hit.n_contaminated, 0)::DOUBLE
+                       / tot.n_grams, 6) END AS contamination
+FROM (SELECT DISTINCT probe_id FROM probes) pa
+LEFT JOIN tot ON pa.probe_id = tot.probe_id
+LEFT JOIN hit ON pa.probe_id = hit.probe_id"""
 
 
 def _q_phrase_search(spark, sf_dir):
@@ -647,7 +651,7 @@ best AS (
 
 
 def _q_pq_codes(spark, sf_dir):
-    # PQ quantization: each 64-dim float vector -> 4 codebook codes
+    # PQ quantization: each 64-dim float vector -> 8 codebook codes
     # (the compression half of IVF-PQ; operators/similarity.py)
     from textindexing_spark.operators.similarity import pq_assign
 

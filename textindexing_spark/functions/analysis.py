@@ -97,6 +97,15 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
                                        " ")).alias("fingerprint")))
 
 
+def _gram_expr(n: int):
+    """ARRAY<STRING> of space-joined word n-grams over the ``ts`` token
+    array — the one definition ngram_counts and ngram_contamination
+    share."""
+    return F.expr(
+        f"transform(sequence(1, size(ts) - {n} + 1), "
+        f"i -> concat_ws(' ', slice(ts, i, {n})))")
+
+
 def ngram_counts(docs: DataFrame, n: int = 3,
                  min_count: int = 1) -> DataFrame:
     """(ngram, count) over the whole corpus — the LM-training /
@@ -114,9 +123,7 @@ def ngram_counts(docs: DataFrame, n: int = 3,
         raise ValueError("n must be >= 1")
     base = (docs.select(tokens_col("text").alias("ts"))
             .where(F.size("ts") >= n))
-    grams = base.select(F.explode(F.expr(
-        f"transform(sequence(1, size(ts) - {n} + 1), "
-        f"i -> concat_ws(' ', slice(ts, i, {n})))")).alias("ngram"))
+    grams = base.select(F.explode(_gram_expr(n)).alias("ngram"))
     out = (grams.groupBy("ngram")
            .agg(F.count("*").cast("bigint").alias("count")))
     if min_count > 1:
@@ -138,18 +145,16 @@ def ngram_contamination(corpus: DataFrame, probes: DataFrame,
     n-gram set; skew is bounded by n-gram frequency (flat for n >= 2)."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    gram_expr = F.expr(
-        f"transform(sequence(1, size(ts) - {n} + 1), "
-        f"i -> concat_ws(' ', slice(ts, i, {n})))")
     corpus_grams = (corpus.select(tokens_col("text").alias("ts"))
                     .where(F.size("ts") >= n)
-                    .select(F.explode(gram_expr).alias("ngram"))
+                    .select(F.explode(_gram_expr(n)).alias("ngram"))
                     .distinct())
     probe_grams = (probes
                    .select(F.col("doc_id").alias("probe_id"),
                            tokens_col("text").alias("ts"))
                    .where(F.size("ts") >= n)
-                   .select("probe_id", F.explode(gram_expr).alias("ngram"))
+                   .select("probe_id",
+                           F.explode(_gram_expr(n)).alias("ngram"))
                    .distinct())
     hits = (probe_grams
             .join(corpus_grams, "ngram", "left_semi")
@@ -157,10 +162,18 @@ def ngram_contamination(corpus: DataFrame, probes: DataFrame,
             .agg(F.count("*").alias("n_contaminated")))
     totals = (probe_grams.groupBy("probe_id")
               .agg(F.count("*").alias("n_grams")))
-    return (totals.join(hits, "probe_id", "left")
-            .select("probe_id", "n_grams",
+    # EVERY probe appears in the report: a probe too short to form one
+    # n-gram gets n_grams=0 / contamination NULL, never a silently
+    # missing row ("absent from the report" must not read as "clean")
+    return (probes.select(F.col("doc_id").alias("probe_id")).distinct()
+            .join(totals, "probe_id", "left")
+            .join(hits, "probe_id", "left")
+            .select("probe_id",
+                    F.coalesce("n_grams", F.lit(0)).cast("bigint")
+                     .alias("n_grams"),
                     F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
                      .alias("n_contaminated"))
             .withColumn("contamination",
-                        F.round(F.col("n_contaminated") /
-                                F.col("n_grams"), 6)))
+                        F.when(F.col("n_grams") > 0,
+                               F.round(F.col("n_contaminated") /
+                                       F.col("n_grams"), 6))))

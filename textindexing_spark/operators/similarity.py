@@ -177,7 +177,7 @@ def pq_codebooks(embeddings: DataFrame, n_blocks: int = 8,
     codebooks sharpen cells but break cross-engine reproducibility —
     same decision as ``centroid_sims``; the quantize/ADC math is
     identical either way). ``code`` is the codeword's rank within
-    ``codeword_ids`` (0..K-1), so codes are stable 3-bit-ish ints."""
+    ``codeword_ids`` (0..K-1) — a nibble at the default K=16."""
     ids = sorted(codeword_ids)
     code = (F.expr(f"array_position(array({', '.join(map(str, ids))}), "
                    f"vec_id)").cast("int") - 1)
@@ -201,6 +201,18 @@ def pq_assign(embeddings: DataFrame, n_blocks: int = 8,
     embeddings cannot; IVF prunes candidates, PQ scores them from
     codes). Broadcast codebook join; one narrow shuffle on vec_id to
     re-assemble code arrays."""
+    best = _pq_best(embeddings, n_blocks, codeword_ids)
+    return (best.groupBy("vec_id")
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(m, code))), x -> x.code)").alias("codes")))
+
+
+def _pq_best(embeddings: DataFrame, n_blocks: int,
+             codeword_ids: tuple[int, ...]) -> DataFrame:
+    """(vec_id, m, code) — each vector block's nearest codeword (the
+    pre-aggregation stage shared by pq_assign's array form and
+    pq_adc_topk's flat scoring form, which would otherwise pay an
+    assemble-then-posexplode round trip)."""
     cb = pq_codebooks(embeddings, n_blocks, codeword_ids)
     sub = F.expr(f"slice(embedding, m * (size(embedding) DIV {n_blocks})"
                  f" + 1, size(embedding) DIV {n_blocks})")
@@ -213,12 +225,9 @@ def pq_assign(embeddings: DataFrame, n_blocks: int = 8,
     d = F.expr(L2.format(a="sub", b="cw"))
     scored = (blocks.join(F.broadcast(cb), "m")
               .select("vec_id", "m", "code", d.alias("d")))
-    best = (scored.groupBy("vec_id", "m")
+    return (scored.groupBy("vec_id", "m")
             .agg(F.min_by("code", F.struct(F.col("d"), F.col("code")))
                  .alias("code")))
-    return (best.groupBy("vec_id")
-            .agg(F.expr("transform(array_sort(collect_list("
-                        "struct(m, code))), x -> x.code)").alias("codes")))
 
 
 def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
@@ -242,14 +251,12 @@ def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
              .withColumn("q_sub", qsub)
              .select("m", "code",
                      F.expr(L2.format(a="cw", b="q_sub")).alias("d")))
-    codes = (pq_assign(embeddings, n_blocks, codeword_ids)
+    codes = (_pq_best(embeddings, n_blocks, codeword_ids)
              .where(F.col("vec_id") != query_vec_id))
     if candidates is not None:
         # codebooks/codes always derive from the FULL table; the filter
         # only restricts which candidates get scored (IVF pruning)
         codes = codes.join(candidates, "vec_id", "left_semi")
-    codes = codes.select("vec_id",
-                         F.posexplode("codes").alias("m", "code"))
     return (codes.join(F.broadcast(table), ["m", "code"])
             .groupBy("vec_id")
             .agg(F.round(F.sum("d"), round_to).alias("adc_dist"))
