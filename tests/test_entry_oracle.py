@@ -24,6 +24,13 @@ def con():
 
 
 def _norm(v):
+    # The driver canonicalizes with pandas sort_values over every column,
+    # which hashes cells — list/dict/array cells crash it (round-3's only
+    # red row, ann_pq_codes). Reject them here so the replica fails the
+    # same way the driver would.
+    assert not isinstance(v, (list, dict, set, bytearray)), (
+        f"non-scalar cell {type(v).__name__}: the driver's canonicalizer "
+        f"cannot hash this — emit a flat scalar column instead")
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

@@ -651,16 +651,19 @@ best AS (
 
 
 def _q_pq_codes(spark, sf_dir):
-    # PQ quantization: each 64-dim float vector -> 8 codebook codes
-    # (the compression half of IVF-PQ; operators/similarity.py)
-    from textindexing_spark.operators.similarity import pq_assign
+    # PQ quantization: each 64-dim float vector -> 8 codebook codes,
+    # emitted FLAT as (vec_id, m, code) — one row per block — so the
+    # result is scalar-only (the driver's canonicalizer hashes cells;
+    # array cells are unhashable). pq_assign still offers the array
+    # form for engine users. (operators/similarity.py)
+    from textindexing_spark.operators.similarity import pq_codes_flat
 
-    return pq_assign(_emb(spark, sf_dir))
+    return pq_codes_flat(_emb(spark, sf_dir))
 
 
 _SQL_PQ_CODES = f"""
 WITH {_SQL_PQ_COMMON}
-SELECT vec_id, list(code ORDER BY m) AS codes FROM best GROUP BY vec_id"""
+SELECT vec_id, m, code FROM best"""
 
 
 def _q_pq_adc_topk(spark, sf_dir):

@@ -207,6 +207,16 @@ def pq_assign(embeddings: DataFrame, n_blocks: int = 8,
                         "struct(m, code))), x -> x.code)").alias("codes")))
 
 
+def pq_codes_flat(embeddings: DataFrame, n_blocks: int = 8,
+                  codeword_ids: tuple[int, ...] = tuple(range(16))
+                  ) -> DataFrame:
+    """(vec_id, m, code) — pq_assign's flat twin: one row per (vector,
+    block) instead of a codes array. Scalar-only output, so any
+    row-hashing comparator (the driver's oracle gate) can canonicalize
+    it; also the natural layout for the ADC join in ``pq_adc_topk``."""
+    return _pq_best(embeddings, n_blocks, codeword_ids)
+
+
 def _pq_best(embeddings: DataFrame, n_blocks: int,
              codeword_ids: tuple[int, ...]) -> DataFrame:
     """(vec_id, m, code) — each vector block's nearest codeword (the
