@@ -110,12 +110,16 @@ def test_pos_segment_codec_roundtrip():
     })
     cols = _encode_pos_shard(0, pdf, np)
     rows = pd.DataFrame(cols).set_index("term")
-    doc_ids, plens, starts, flat = _decode_pos_term(rows.loc["a"], np)
+    r = rows.loc["a"]
+    doc_ids, plens, starts, flat = _decode_pos_term(
+        r["n_docs"], r["gaps_blob"], r["plens_blob"], r["pos_blob"], np)
     assert doc_ids.tolist() == [3, 11, 900]
     assert plens.tolist() == [3, 1, 2]
     assert [flat[s:s + l].tolist() for s, l in zip(starts, plens)] == \
         [[0, 4, 5], [2], [0, 1000]]
-    doc_ids, plens, starts, flat = _decode_pos_term(rows.loc["b"], np)
+    r = rows.loc["b"]
+    doc_ids, plens, starts, flat = _decode_pos_term(
+        r["n_docs"], r["gaps_blob"], r["plens_blob"], r["pos_blob"], np)
     assert doc_ids.tolist() == [5] and flat.tolist() == [7]
 
 
@@ -157,8 +161,17 @@ def _decode_all(seg_idx):
     from textindexing_spark.operators.phrase import _decode_pos_term
 
     out = {}
+    seen_rows = set()
     for row in seg_idx.segments.collect():
-        doc_ids, plens, starts, flat = _decode_pos_term(row, np)
+        # one row per (shard, term): duplicates here mask upsert bugs
+        # from the decode-equivalence check (disjoint docs never collide
+        # at (doc, term) granularity), so fail loudly instead
+        assert (row["shard"], row["term"]) not in seen_rows, \
+            f"duplicate segment row {(row['shard'], row['term'])}"
+        seen_rows.add((row["shard"], row["term"]))
+        doc_ids, plens, starts, flat = _decode_pos_term(
+            row["n_docs"], row["gaps_blob"], row["plens_blob"],
+            row["pos_blob"], np)
         for j, d in enumerate(doc_ids):
             out[(int(d), row["term"])] = \
                 flat[starts[j]:starts[j] + plens[j]].tolist()
@@ -211,6 +224,32 @@ def test_segment_upsert_untouched_rows_byte_identical(spark):
         sh, term = key
         if term.startswith("word") and term != "word0":
             assert after[key] == before[key], key
+
+
+def test_segment_upsert_new_doc_shares_term_with_resident(spark):
+    """Round-3 advisor bug (phrase.py _merge_pos_shard): upserting a NEW
+    doc whose terms already exist in the same shard used to pass the
+    resident row through unchanged AND re-encode a second row for the
+    same (shard, term); the query path's per-term dict then kept only
+    one, silently dropping the resident docs from phrase results."""
+    from textindexing_spark.operators.phrase import PositionalSegmentIndex
+
+    ddl = "doc_id bigint, text string"
+    # docs 0 and 4 both land in shard 0 at n_shards=4 and share the term
+    base = PositionalSegmentIndex.build(
+        spark, spark.createDataFrame(
+            [(0, "hello world"), (4, "hello world")], ddl), n_shards=4)
+    up = base.upsert(
+        spark.createDataFrame([(8, "hello world")], ddl))  # shard 0 too
+    assert _ids(up.search_phrase("hello world")) == [0, 4, 8]
+    rebuilt = PositionalSegmentIndex.build(
+        spark, spark.createDataFrame(
+            [(0, "hello world"), (4, "hello world"),
+             (8, "hello world")], ddl), n_shards=4)
+    assert _decode_all(up) == _decode_all(rebuilt)
+    # batched serving path sees all three docs as well
+    many = up.search_phrase_many(["hello world"]).collect()
+    assert sorted(r["doc_id"] for r in many) == [0, 4, 8]
 
 
 def test_segment_save_load_upsert_roundtrip(spark, tmp_path):

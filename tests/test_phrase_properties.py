@@ -12,6 +12,11 @@ from textindexing_spark.operators.phrase import (_decode_pos_term,
                                                  _eval_phrase,
                                                  _merge_pos_shard)
 
+
+def _dec(row):
+    return _decode_pos_term(row["n_docs"], row["gaps_blob"],
+                            row["plens_blob"], row["pos_blob"], np)
+
 # a (doc_id, term, positions) table: few terms, unique docs per term,
 # ascending unique positions per doc
 _doc_ids = st.integers(min_value=0, max_value=2**40)
@@ -39,7 +44,7 @@ def test_codec_roundtrip_property(pdf):
     cols = _encode_pos_shard(0, pdf, np)
     decoded = {}
     for row in pd.DataFrame(cols).to_dict("records"):
-        doc_ids, plens, starts, flat = _decode_pos_term(row, np)
+        doc_ids, plens, starts, flat = _dec(row)
         # doc ids sorted ascending per term (layout invariant)
         assert np.all(np.diff(doc_ids) > 0)
         for j, d in enumerate(doc_ids):
@@ -64,9 +69,13 @@ def test_upsert_merge_equals_rebuild_property(base, delta):
     merged = _merge_pos_shard((0,), base_cols,
                               pd.concat([delta, markers],
                                         ignore_index=True), np, pd)
+    # exactly one row per (shard, term): a duplicate means a resident
+    # row passed through while the delta re-encoded the same term (the
+    # round-3 advisor bug — the decode-dict check below can't see it)
+    assert not merged.duplicated(subset=["shard", "term"]).any()
     got = {}
     for row in merged.to_dict("records"):
-        doc_ids, plens, starts, flat = _decode_pos_term(row, np)
+        doc_ids, plens, starts, flat = _dec(row)
         for j, d in enumerate(doc_ids):
             got[(int(d), row["term"])] = \
                 flat[starts[j]:starts[j] + plens[j]].tolist()
@@ -118,7 +127,7 @@ def test_eval_phrase_matches_naive(corpus, phrase):
     sequences the positional table was derived from."""
     docs, pdf = corpus
     cols = pd.DataFrame(_encode_pos_shard(0, pdf, np))
-    by_term = {row["term"]: _decode_pos_term(row, np)
+    by_term = {row["term"]: _dec(row)
                for row in cols.to_dict("records")}
     got = sorted(_eval_phrase(by_term, phrase, np))
     n = len(phrase)

@@ -254,18 +254,18 @@ def _encode_pos_shard(shard: int, pdf, np):
     return out
 
 
-def _decode_pos_term(row, np):
+def _decode_pos_term(n, gaps_blob, plens_blob, pos_blob, np):
     """One (shard, term) segment row -> (doc_ids, plens, per-doc absolute
     position arrays as one flat array + start offsets)."""
     from textindexing_spark.operators.codec import varbyte_decode
 
-    n = int(row["n_docs"])
+    n = int(n)
     doc_ids = np.cumsum(varbyte_decode(
-        np.frombuffer(row["gaps_blob"], dtype=np.uint8), n))
+        np.frombuffer(gaps_blob, dtype=np.uint8), n))
     plens = varbyte_decode(
-        np.frombuffer(row["plens_blob"], dtype=np.uint8), n)
+        np.frombuffer(plens_blob, dtype=np.uint8), n)
     delta = varbyte_decode(
-        np.frombuffer(row["pos_blob"], dtype=np.uint8), int(plens.sum()))
+        np.frombuffer(pos_blob, dtype=np.uint8), int(plens.sum()))
     starts = np.cumsum(plens) - plens
     if delta.size:
         cs = np.cumsum(delta)
@@ -275,6 +275,40 @@ def _decode_pos_term(row, np):
     else:
         flat = delta
     return doc_ids, plens, starts, flat
+
+
+def _merge_decoded(a, b, np):
+    """Merge two decoded (doc_ids, plens, starts, flat) tuples for the
+    SAME term into one, doc-id sorted. The two rows are doc-disjoint by
+    upsert construction (a doc's postings live in exactly one row)."""
+    doc_ids = np.concatenate([a[0], b[0]])
+    plens = np.concatenate([a[1], b[1]])
+    chunks = ([a[3][s:s + l] for s, l in zip(a[2], a[1])]
+              + [b[3][s:s + l] for s, l in zip(b[2], b[1])])
+    order = np.argsort(doc_ids, kind="mergesort")
+    doc_ids = doc_ids[order]
+    plens = plens[order]
+    flat = (np.concatenate([chunks[i] for i in order]) if chunks
+            else np.empty(0, np.int64))
+    starts = np.cumsum(plens) - plens
+    return doc_ids, plens, starts, flat
+
+
+def _decode_shard_terms(sub, np):
+    """One shard's segment rows -> {term: decoded postings}. Accumulates
+    MULTIPLE rows per (shard, term) by merging them in doc order —
+    defense in depth for stores written before the upsert passthrough
+    fix (which could emit two rows for one term); dict assignment here
+    used to silently drop all but the last row."""
+    by_term: dict = {}
+    for term, n, gb, plb, pb in zip(
+            sub["term"].to_numpy(), sub["n_docs"].to_numpy(),
+            sub["gaps_blob"], sub["plens_blob"], sub["pos_blob"]):
+        dec = _decode_pos_term(n, gb, plb, pb, np)
+        prev = by_term.get(term)
+        by_term[term] = dec if prev is None else _merge_decoded(
+            prev, dec, np)
+    return by_term
 
 
 class PositionalSegmentIndex:
@@ -413,10 +447,11 @@ class PositionalSegmentIndex:
 
             for pdf in pdf_iter:
                 ids: set[int] = set()
-                for _, row in pdf.iterrows():
+                for n, gb in zip(pdf["n_docs"].to_numpy(),
+                                 pdf["gaps_blob"]):
                     ids.update(np.cumsum(varbyte_decode(
-                        np.frombuffer(row["gaps_blob"], dtype=np.uint8),
-                        int(row["n_docs"]))).tolist())
+                        np.frombuffer(gb, dtype=np.uint8),
+                        int(n))).tolist())
                 yield pd.DataFrame(
                     {"doc_id": pd.Series(sorted(ids), dtype="int64")})
 
@@ -439,9 +474,7 @@ class PositionalSegmentIndex:
             out_ids: list[int] = []
             if not pdf.empty:
                 for _, sub in pdf.groupby("shard", sort=False):
-                    by_term = {}
-                    for _, row in sub.iterrows():
-                        by_term[row["term"]] = _decode_pos_term(row, np)
+                    by_term = _decode_shard_terms(sub, np)
                     out_ids.extend(_eval_phrase(by_term, toks, np))
             return pd.DataFrame(
                 {"doc_id": pd.Series(out_ids, dtype="int64")})
@@ -473,9 +506,7 @@ class PositionalSegmentIndex:
             out_ids: list[int] = []
             if not pdf.empty:
                 for _, sub in pdf.groupby("shard", sort=False):
-                    by_term = {}
-                    for _, row in sub.iterrows():
-                        by_term[row["term"]] = _decode_pos_term(row, np)
+                    by_term = _decode_shard_terms(sub, np)
                     for qid, toks in enumerate(tok_sets):
                         hits = _eval_phrase(by_term, toks, np)
                         qids.extend([qid] * len(hits))
@@ -529,16 +560,23 @@ def _merge_pos_shard(key, seg_pdf, delta_pdf, np, pd):
     resident segment rows + its delta rows -> new segment rows.
 
     Untouched shards (empty delta) pass through without decoding.
-    Within a touched shard, a resident term whose doc ids don't
-    intersect the upserted set passes through byte-identical (only its
-    gaps blob is decoded for the membership check — the positions blob,
-    the dominant payload, stays encoded)."""
+    Within a touched shard, a resident term passes through
+    byte-identical ONLY when no resident doc is upserted AND the delta
+    adds no fresh rows for that term (otherwise the fresh re-encode
+    would emit a SECOND (shard, term) row — the round-3 advisor bug
+    where queries' per-term dict kept just one of the two, dropping
+    resident docs from results); such terms are instead decoded and
+    their surviving docs folded into the re-encode. The membership
+    check decodes only the gaps blob — the positions blob, the dominant
+    payload, stays encoded for true passthrough rows."""
     from textindexing_spark.operators.codec import varbyte_decode
 
     if delta_pdf.empty:
         return seg_pdf
     shard = int(key[0])
     upserted = np.unique(delta_pdf["doc_id"].to_numpy(np.int64))
+    fresh = delta_pdf[delta_pdf["term"].notna()]
+    fresh_terms = set(fresh["term"])
     passthrough = []
     re_doc, re_term, re_pos = [], [], []
     for _, row in seg_pdf.iterrows():
@@ -546,15 +584,15 @@ def _merge_pos_shard(key, seg_pdf, delta_pdf, np, pd):
         doc_ids = np.cumsum(varbyte_decode(
             np.frombuffer(row["gaps_blob"], dtype=np.uint8), n))
         hit = np.isin(doc_ids, upserted, assume_unique=True)
-        if not hit.any():
+        if not hit.any() and row["term"] not in fresh_terms:
             passthrough.append(row)
             continue
-        _, plens, starts, flat = _decode_pos_term(row, np)
+        _, plens, starts, flat = _decode_pos_term(
+            n, row["gaps_blob"], row["plens_blob"], row["pos_blob"], np)
         for j in np.flatnonzero(~hit):
             re_doc.append(int(doc_ids[j]))
             re_term.append(row["term"])
             re_pos.append(flat[starts[j]:starts[j] + plens[j]].tolist())
-    fresh = delta_pdf[delta_pdf["term"].notna()]
     re_doc.extend(int(d) for d in fresh["doc_id"])
     re_term.extend(fresh["term"])
     re_pos.extend(list(p) for p in fresh["positions"])
