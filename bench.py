@@ -5,7 +5,16 @@ local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "extras": {"build_docs_per_sec": ..., "bm25_p50_ms": ...}}
+   "extras": {"build_docs_per_sec": ..., "bm25_p50_ms": ...},
+   "mins": {...}, "samples": {...}}
+
+Measurement contract (round 4): EVERY row — builds included — runs
+repeat>=3; "queries" reports the per-row MEDIAN, "mins" the per-row
+minimum, and "samples" every raw wall time, so any published number is
+reproducible from recorded data. This VM shows hypervisor-steal waves
+that can 10x one sample (35% cumulative steal in /proc/stat;
+scripts/diag_steal.py demonstrates 2s work measuring 33s inside a
+wave), so a single sample — or a best-of-2 — is not evidence.
 
 Scaling evidence (N vs 4N cores) is produced by bench_scaling.py -> BENCH.md.
 """
@@ -51,6 +60,7 @@ def make_spark(cpus: str):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = make_spark(cpus)
@@ -88,30 +98,48 @@ def main() -> None:
     cosine_topk(emb.limit(50), 0, 3).collect()
     lsh_topk(emb.limit(50), 0, 3).collect()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = {}   # medians — the headline per row
+    mins: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
 
-    def timed(name: str, fn, repeat: int = 2):
-        # best-of-N for query-side entries: this shared VM shows
-        # multi-second hypervisor-steal waves that can 10x a single
-        # measurement; builds stay single-shot (repeat=1) to keep the
-        # suite bounded
-        best = None
+    def timed(name: str, fn, repeat: int = repeat):
+        # median-of-N with every raw sample recorded (see module
+        # docstring) — steal waves make single samples meaningless
         out = None
-        for _ in range(repeat):
+        raw: list[float] = []
+        for _ in range(max(repeat, 1)):
             t0 = time.perf_counter()
             out = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            raw.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(raw), 4)
+        mins[name] = round(min(raw), 4)
+        samples[name] = [round(x, 4) for x in raw]
         return out
 
     # q1: full index build (tokenize -> salted shuffle -> postings),
-    # materialized end-to-end
-    idx = timed("build_index", lambda: (
-        lambda i: (i.cache(), i.postings.count(), i.documents.count(), i)[3]
-    )(build_index(spark, docs, IndexConfig())), repeat=1)
+    # materialized end-to-end; each repetition builds + caches a fresh
+    # index and unpersists the previous one, the last survives for the
+    # query rows below
+    held: dict = {}
 
-    # q2: boolean AND + wildcard query latencies over the fixture query set
+    def build_full():
+        if "idx" in held:
+            held["idx"].unpersist()
+        ix = build_index(spark, docs, IndexConfig())
+        ix.cache()
+        ix.postings.count()
+        ix.documents.count()
+        held["idx"] = ix
+        return ix
+
+    idx = timed("build_index", build_full)
+
+    # q2: boolean AND + wildcard query latencies over the fixture query
+    # set, in SERVING mode: the dictionary (term, df) prefetch means the
+    # rarest-first pre-pass never launches a per-query Spark job (round
+    # 3 paid one df job per cold query — bool_queries tripled; the WAND
+    # tier already prefetched, operators/bm25.py)
+    idx.prepare_for_queries()
     with open(f"{REPO}/fixtures/queries.json") as fh:
         qset = json.load(fh)
 
@@ -127,12 +155,19 @@ def main() -> None:
     timed("bool_batch",
           lambda: idx.search_bool_many(bool_texts).collect())
 
-    # q2b: positional index + exact phrase search (operators/phrase.py)
+    # q2b: positional index + exact phrase search (operators/phrase.py);
+    # the build is shuffle-free (no build-time repartition since round 4)
     from textindexing_spark.operators.phrase import PositionalIndex
 
-    pidx = timed("positional_build", lambda: (
-        lambda p: (p.positional.count(), p)[1]
-    )(PositionalIndex.build(spark, docs).cache()), repeat=1)
+    def build_pos():
+        if "pidx" in held:
+            held["pidx"].unpersist()
+        p = PositionalIndex.build(spark, docs).cache()
+        p.positional.count()
+        held["pidx"] = p
+        return p
+
+    pidx = timed("positional_build", build_pos)
 
     def run_phrases():
         for ph in ("row scan", "the data table", "merge batch"):
@@ -144,18 +179,25 @@ def main() -> None:
     # eval; batched row = the whole phrase set in ONE job
     from textindexing_spark.operators.phrase import PositionalSegmentIndex
 
-    pseg = timed("phrase_segment_build", lambda: (
-        lambda s: (s.segments.count(), s)[1]
-    )(PositionalSegmentIndex.build(spark, docs, n_shards=16).cache()),
-        repeat=1)
+    def build_pseg():
+        if "pseg" in held:
+            held["pseg"].unpersist()
+        s = PositionalSegmentIndex.build(spark, docs, n_shards=16).cache()
+        s.segments.count()
+        held["pseg"] = s
+        return s
+
+    pseg = timed("phrase_segment_build", build_pseg)
     timed("phrase_batch", lambda: pseg.search_phrase_many(
         ["row scan", "the data table", "merge batch"]).collect())
     pseg.unpersist()
 
-    # q3: BM25 top-10 latency per query (p50 reported in extras)
+    # q3: BM25 top-10 latency per query (p50 over the LAST repetition,
+    # reported in extras)
     lat: list[float] = []
 
     def run_bm25():
+        lat.clear()
         idx.corpus_stats()
         for q in qset:
             if q["mode"] == "bm25":
@@ -173,10 +215,15 @@ def main() -> None:
         SegmentIndex, build_segments_from_docs)
 
     seg_dir = tempfile.mkdtemp(prefix="tix_bench_seg_")
-    seg = timed("fused_segment_build", lambda: (
-        lambda s: (s.save(seg_dir), s)[1]
-    )(build_segments_from_docs(spark, docs, IndexConfig(), n_shards=64)),
-        repeat=1)
+
+    def build_fused():
+        s = build_segments_from_docs(spark, docs, IndexConfig(),
+                                     n_shards=64)
+        s.save(seg_dir)
+        s.unpersist()
+        return s
+
+    timed("fused_segment_build", build_fused)
     # query-serving layout: cached cogroup sides coalesced to 8 tasks
     # per query (shard count stays build-sized; task count query-sized)
     seg = (SegmentIndex.load(spark, seg_dir)
@@ -185,6 +232,7 @@ def main() -> None:
     wand_lat: list[float] = []
 
     def run_wand():
+        wand_lat.clear()
         for q in qset:
             if q["mode"] == "bm25":
                 t0 = time.perf_counter()
@@ -197,6 +245,7 @@ def main() -> None:
     wand_texts = [q["query_text"] for q in qset if q["mode"] == "bm25"]
     timed("wand_batch",
           lambda: seg.search_bm25_many(wand_texts, 10).collect())
+    seg.unpersist()
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     # q5: head-term skew salting (SURVEY 7.4: Zipfian synthetic) — same
@@ -219,32 +268,30 @@ def main() -> None:
     salted_cfg = IndexConfig(salt_df_threshold=1_000,
                              salt_target_bucket=500)
 
-    def build_and_count(cfg_):
+    def build_and_count(cfg_, keep: bool = False):
         # cache-then-count: a bare postings.count() lets Catalyst PRUNE
         # the sort_array(collect_list(...)) column and count term groups
         # without ever building the arrays — rounds 1-2 under-measured
         # these rows that way (0.8-1.4 s); the cache forces full
-        # materialization, which is what a real build pays
+        # materialization, which is what a real build pays.
+        # unpersist any previous repetition's index BEFORE building:
+        # Spark's cache manager keys on the logical plan, so an identical
+        # still-cached plan would make the rebuild a cache hit
+        if "zix" in held:
+            held.pop("zix").unpersist()
         ix = build_index(spark, zipf, cfg_)
         ix.postings = ix.postings.cache()
         n = ix.postings.count()
-        ix.unpersist()
+        if keep:
+            held["zix"] = ix
+        else:
+            ix.unpersist()
         return n
 
-    timed("zipf_build_salted", lambda: build_and_count(salted_cfg),
-          repeat=1)
-    zheld: dict = {}
-
-    def build_keep():
-        # same cache-then-count materialization as build_and_count; the
-        # cached postings then feed the q5b boolean rows below
-        ix = build_index(spark, zipf, IndexConfig(salt_df_threshold=0))
-        ix.postings = ix.postings.cache()
-        n = ix.postings.count()
-        zheld["ix"] = ix
-        return n
-
-    timed("zipf_build_unsalted", build_keep, repeat=1)
+    timed("zipf_build_salted", lambda: build_and_count(salted_cfg))
+    timed("zipf_build_unsalted",
+          lambda: build_and_count(IndexConfig(salt_df_threshold=0),
+                                  keep=True))
     zipf.unpersist()
 
     # q5b: rarest-first boolean pruning on the SAME Zipf corpus — the
@@ -254,7 +301,7 @@ def main() -> None:
     # (bool_seed_broadcast_max=0): the head term's FULL postings shuffle.
     from textindexing_spark.operators.query import Index as _Index
 
-    zidx = zheld["ix"]
+    zidx = held["zix"]
     head = (zidx.postings.orderBy(F.col("df").desc())
             .select("term", "df").first())
     rare = (zidx.postings.where(F.col("df") >= 2)
@@ -274,21 +321,18 @@ def main() -> None:
     zidx.unpersist()
 
     # q6+: training-pipeline operators
-    # best-of-3 for the cheap per-operator rows: a steal wave can span
-    # two back-to-back repetitions (seen in r2: dedup_simhash 3.76 s vs
-    # 0.6-1.1 s quiet-machine best-of-5 -- see BENCH.md round 3)
     timed("dedup_lsh_candidates",
-          lambda: lsh_candidate_pairs(docs).count(), repeat=3)
+          lambda: lsh_candidate_pairs(docs).count())
     # composed near-dup operator (LSH candidates -> exact Jaccard on the
     # candidates ONLY); the standalone shingle self-join is demoted to a
     # recall-audit verifier and is no longer a headline query
     timed("dedup_near_duplicates",
-          lambda: near_duplicates(docs, threshold=0.5).count(), repeat=3)
-    timed("dedup_simhash", lambda: simhash(docs).count(), repeat=3)
-    timed("dedup_simhash64", lambda: simhash64(docs).count(), repeat=3)
-    timed("ann_cosine_topk", lambda: cosine_topk(emb, 0, 10).collect(), repeat=3)
-    timed("ann_lsh_topk", lambda: lsh_topk(emb, 0, 10).collect(), repeat=3)
-    timed("quality_score", lambda: quality_score(docs).count(), repeat=3)
+          lambda: near_duplicates(docs, threshold=0.5).count())
+    timed("dedup_simhash", lambda: simhash(docs).count())
+    timed("dedup_simhash64", lambda: simhash64(docs).count())
+    timed("ann_cosine_topk", lambda: cosine_topk(emb, 0, 10).collect())
+    timed("ann_lsh_topk", lambda: lsh_topk(emb, 0, 10).collect())
+    timed("quality_score", lambda: quality_score(docs).count())
 
     build_s = timings["build_index"]
     total = round(sum(timings.values()), 4)
@@ -300,6 +344,7 @@ def main() -> None:
         "sf": sf,
         "extras": {
             "n_docs": n_docs,
+            "repeat": repeat,
             "build_docs_per_sec": round(n_docs / build_s, 2) if build_s else None,
             "fused_build_docs_per_sec": round(
                 n_docs / timings["fused_segment_build"], 2),
@@ -312,6 +357,8 @@ def main() -> None:
             "cpus": cpus,
             **bool_rows,
         },
+        "mins": mins,
+        "samples": samples,
     }))
     spark.stop()
 

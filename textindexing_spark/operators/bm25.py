@@ -298,11 +298,11 @@ class SegmentIndex:
             import pandas as pd
 
             for pdf in batches:
-                for _, r in pdf.iterrows():
+                for di, dl in zip(pdf["doc_ids"], pdf["doc_lens"]):
                     ids = codec.varbyte_decode(
-                        np.frombuffer(r["doc_ids"], dtype=np.uint8))
+                        np.frombuffer(di, dtype=np.uint8))
                     lens = codec.varbyte_decode(
-                        np.frombuffer(r["doc_lens"], dtype=np.uint8))
+                        np.frombuffer(dl, dtype=np.uint8))
                     yield pd.DataFrame({"doc_id": ids, "doc_len": lens})
 
         return (self.shard_docs.select("doc_ids", "doc_lens")
@@ -634,12 +634,13 @@ def _wand_shard(seg, dl_ids, dl_vals, idfs, k, k1, b, avgdl, prune):
     Returns the shard's top-k [(doc_id, score)] (score desc, doc asc)."""
     dl_lookup_ids = dl_ids
     iters = []
-    for _, row in seg.iterrows():
-        blocks = list(row["blocks"])
+    for gaps, tfs, blocks, term in zip(seg["gaps"], seg["tfs"],
+                                       seg["blocks"], seg["term"]):
+        blocks = list(blocks)
         if not blocks:
             continue
-        iters.append(_TermIter(bytes(row["gaps"]), bytes(row["tfs"]),
-                               blocks, idfs[row["term"]], k1, b, avgdl))
+        iters.append(_TermIter(bytes(gaps), bytes(tfs),
+                               blocks, idfs[term], k1, b, avgdl))
     heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
     theta = -math.inf
 
@@ -877,7 +878,7 @@ def _merge_shard_factory(cfg: IndexConfig):
 
         lterms = left[left["term"].notna()] if not left.empty else left
         rterms = right[right["term"].notna()]
-        rmap = {r["term"]: r for _, r in rterms.iterrows()}
+        rmap = {r["term"]: r for r in rterms.to_dict("records")}
         rows = {c: [] for c in _FUSED_COLS}
 
         def emit(term, doc, tf):
@@ -902,7 +903,7 @@ def _merge_shard_factory(cfg: IndexConfig):
         d_min = int(d_ids_r[0]) if d_ids_r.size else None
         seen = set()
         if not left.empty:
-            for _, lrow in lterms.iterrows():
+            for lrow in lterms.to_dict("records"):
                 term = lrow["term"]
                 seen.add(term)
                 rrow = rmap.get(term)

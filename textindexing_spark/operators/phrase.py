@@ -138,10 +138,16 @@ class PositionalIndex:
     def build(cls, spark, docs: DataFrame, cfg: IndexConfig | None = None,
               id_col: str = "doc_id",
               text_col: str = "text") -> "PositionalIndex":
+        """Build is shuffle-FREE: one Arrow-batched mapInPandas pass —
+        every (term, doc, positions) row leaves its input partition
+        complete, so there is nothing a build-time repartition by term
+        buys (an in-memory filter scans every cached partition no matter
+        how rows are keyed, and ``save()`` re-clusters by term for the
+        on-disk layout where row-group pruning DOES pay). Round 3 paid
+        that unnecessary position-array shuffle at build time — the
+        bench's positional_build row was ~2-4x the fused segment build."""
         cfg = cfg or IndexConfig()
         pos = positional_postings(docs, cfg, id_col, text_col)
-        if cfg.num_partitions:
-            pos = pos.repartition(cfg.num_partitions, "term")
         return cls(spark, pos, cfg)
 
     def save(self, path: str) -> None:
@@ -579,7 +585,7 @@ def _merge_pos_shard(key, seg_pdf, delta_pdf, np, pd):
     fresh_terms = set(fresh["term"])
     passthrough = []
     re_doc, re_term, re_pos = [], [], []
-    for _, row in seg_pdf.iterrows():
+    for row in seg_pdf.to_dict("records"):
         n = int(row["n_docs"])
         doc_ids = np.cumsum(varbyte_decode(
             np.frombuffer(row["gaps_blob"], dtype=np.uint8), n))

@@ -44,6 +44,11 @@ class Index:
         # an Index is an immutable snapshot (merge returns a NEW Index),
         # so cached dfs can never go stale
         self._df_cache: dict[str, int] = {}
+        # complete (term -> df) dictionary snapshot when
+        # prepare_for_queries prefetched ALL of it; kept separate from
+        # _df_cache because that mixes in wildcard-token memos whose
+        # keys would corrupt wildcard df sums
+        self._dict_df: dict[str, int] | None = None
 
     # -- maintenance ---------------------------------------------------------
 
@@ -59,6 +64,37 @@ class Index:
                     df.unpersist()
                 except Exception:
                     pass
+
+    def prepare_for_queries(self,
+                            prefetch_stats: int | None = 200_000
+                            ) -> "Index":
+        """Pin the query-SERVING mode (≙ SegmentIndex.prepare_for_queries,
+        operators/bm25.py): cache postings + documents (materialized now)
+        and warm the driver-side term-df cache with the top-N terms by df
+        — term+df only, never the posting arrays, so the prefetch job is
+        a narrow dictionary scan and N=200k costs a few MB of driver
+        memory. When the WHOLE dictionary fits the budget, the
+        rarest-first pre-pass (`_token_dfs`) never launches a per-query
+        Spark job again: an exact miss proves df=0 and wildcard dfs are
+        summed driver-side over the dictionary snapshot. A dictionary
+        larger than the budget keeps the per-query fallback for cold
+        tokens (hot head terms still hit the cache). Call once on a
+        long-lived query session; one-shot jobs don't need it."""
+        self.postings = self.postings.cache()
+        self.documents = self.documents.cache()
+        self.postings.count()
+        self.documents.count()
+        if prefetch_stats:
+            rows = (self.postings.select("term", "df")
+                    .orderBy(F.col("df").desc())
+                    .limit(int(prefetch_stats)).collect())
+            dict_df = {r["term"]: int(r["df"]) for r in rows}
+            self._df_cache.update(dict_df)
+            # fewer rows than the budget => the ENTIRE dictionary is
+            # cached; any future miss is a term not in the index
+            if len(rows) < int(prefetch_stats):
+                self._dict_df = dict_df
+        return self
 
     # -- corpus stats (BM25 N / avgdl; ≙ A2 aggregate view) -------------------
 
@@ -167,8 +203,26 @@ class Index:
         which is the safe direction for both seed choice and the
         broadcast-size gate. Absent tokens resolve to 0. Results are
         memoized per Index (snapshots are immutable), so a repeated term
-        across a query stream costs one dictionary scan total."""
+        across a query stream costs one dictionary scan total — and in a
+        prepared serving session with the complete dictionary prefetched
+        (prepare_for_queries) this NEVER launches a job: misses resolve
+        driver-side against the dictionary snapshot."""
         tokens = [t for t in tokens if t not in self._df_cache]
+        if tokens and self._dict_df is not None:
+            for t in tokens:
+                if not self._is_wild(t):
+                    self._df_cache[t] = self._dict_df.get(t, 0)
+                elif t.endswith("*"):
+                    p = t[:-1]
+                    self._df_cache[t] = sum(
+                        df for w, df in self._dict_df.items()
+                        if w.startswith(p))
+                else:
+                    s = t[1:]
+                    self._df_cache[t] = sum(
+                        df for w, df in self._dict_df.items()
+                        if w.endswith(s))
+            tokens = []
         if not tokens:
             return dict(self._df_cache)
         exacts = [t for t in tokens if not self._is_wild(t)]

@@ -176,19 +176,29 @@ def pq_codebooks(embeddings: DataFrame, n_blocks: int = 8,
     m-th subvectors of K deterministic dataset vectors (k-means-trained
     codebooks sharpen cells but break cross-engine reproducibility —
     same decision as ``centroid_sims``; the quantize/ADC math is
-    identical either way). ``code`` is the codeword's rank within
-    ``codeword_ids`` (0..K-1) — a nibble at the default K=16."""
+    identical either way). ``code`` is the codeword's dense rank among
+    the ids PRESENT in the table (0..K-1; a nibble at the default
+    K=16) — ranking over present ids rather than the literal id list
+    means a codeword_id absent from ``embeddings`` shrinks the codebook
+    without leaving a gap in the code numbering (matching the oracle's
+    row_number semantics; an array_position rank over the literal list
+    would silently skip codes and diverge)."""
+    from pyspark.sql import Window
+
     ids = sorted(codeword_ids)
-    code = (F.expr(f"array_position(array({', '.join(map(str, ids))}), "
-                   f"vec_id)").cast("int") - 1)
+    # K<=256 rows: the single-partition window is a driver-scale sort,
+    # not a data shuffle
+    code = (F.row_number().over(Window.orderBy("vec_id")).cast("int") - 1)
     sub = F.expr(f"slice(embedding, m * (size(embedding) DIV {n_blocks})"
                  f" + 1, size(embedding) DIV {n_blocks})")
     return (embeddings.where(F.col("vec_id").isin(ids))
-            .select(F.col("vec_id"),
+            .select(F.col("vec_id"), "embedding")
+            .withColumn("code", code)
+            .select(F.col("code"),
                     F.explode(F.expr(f"sequence(0, {n_blocks} - 1)"))
                      .alias("m"),
                     "embedding")
-            .select(code.alias("code"), "m", sub.alias("cw")))
+            .select("code", "m", sub.alias("cw")))
 
 
 def pq_assign(embeddings: DataFrame, n_blocks: int = 8,

@@ -195,12 +195,24 @@ class IngestorSet:
         if ing is None:
             return
         if self.identity == "per_source":
+            # restrict the prefix-filtered mapping to docs CURRENTLY in
+            # the index — the mapping is append-only, so its rows
+            # outlive deletion (reconcile/empty-text upserts), and
+            # tombstoning them again would commit a redundant version
+            # even for a fully-purged source (same rule as
+            # reconcile_deletes above)
             tombstones = (ing.url_ids.mapping()
                           .where(F.col("url").startswith(
                               key + IDENTITY_SEP))
                           .select("doc_id", F.lit("").alias("text")))
-            if tombstones.limit(1).count():
-                ing.store.commit_merge(tombstones)
+            idx = ing.index()
+            if idx is not None:
+                docs_df = (idx.documents if hasattr(idx, "documents")
+                           else idx.documents_df())
+                tombstones = tombstones.join(
+                    docs_df.select("doc_id"), "doc_id", "left_semi")
+                if tombstones.limit(1).count():
+                    ing.store.commit_merge(tombstones)
             return
         try:
             prov = (self.spark.read.schema("url string")
