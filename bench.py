@@ -334,6 +334,40 @@ def main() -> None:
     timed("ann_lsh_topk", lambda: lsh_topk(emb, 0, 10).collect())
     timed("quality_score", lambda: quality_score(docs).count())
 
+    # ANN recall quality (measured once, not timed): seeded-k-means
+    # codebooks/cells vs the deterministic data-vector ones, recall@10
+    # against exact brute force — the round-4 trained-codebook gate
+    from textindexing_spark.operators.similarity import (
+        ivf_topk, pq_adc_topk, train_ivf_centroids, train_pq_codebooks)
+
+    recall_qids = [0, 7, 42]
+
+    def recall_at10(variant):
+        hits = 0
+        for q in recall_qids:
+            truth = {r[0] for r in
+                     cosine_topk(emb, q, 10).select("vec_id").collect()}
+            got = {r[0] for r in variant(q).select("vec_id").collect()}
+            hits += len(truth & got)
+        return round(hits / (10 * len(recall_qids)), 3)
+
+    cents = train_ivf_centroids(emb, k=16, seed=7, iters=8)
+    cents.cache().count()
+    cb = train_pq_codebooks(emb, n_blocks=8, k=16, seed=7, iters=8)
+    cb.cache().count()
+    recall_rows = {
+        "recall_ivf_trained_np1": recall_at10(
+            lambda q: ivf_topk(emb, q, 10, nprobe=1, centroids=cents)),
+        "recall_ivf_trained_np4": recall_at10(
+            lambda q: ivf_topk(emb, q, 10, nprobe=4, centroids=cents)),
+        "recall_pq_untrained": recall_at10(
+            lambda q: pq_adc_topk(emb, q, 10)),
+        "recall_pq_trained": recall_at10(
+            lambda q: pq_adc_topk(emb, q, 10, codebook=cb)),
+    }
+    cents.unpersist()
+    cb.unpersist()
+
     build_s = timings["build_index"]
     total = round(sum(timings.values()), 4)
     print(json.dumps({
@@ -356,6 +390,7 @@ def main() -> None:
             "bm25_n_queries": len(lat),
             "cpus": cpus,
             **bool_rows,
+            **recall_rows,
         },
         "mins": mins,
         "samples": samples,

@@ -71,3 +71,61 @@ def test_pq_adc_recall(emb):
 
     r = _recall(emb, lambda q: pq_adc_topk(emb, q, 10))
     assert r >= 0.15  # measured 0.22 (16 codewords x 8 blocks)
+
+
+def test_trained_codebooks_deterministic(emb):
+    """Same (seed, iters, sample) => byte-identical codebooks/centroids;
+    a different seed must actually change the training (no silent
+    ignore)."""
+    from textindexing_spark.operators.similarity import (
+        train_ivf_centroids, train_pq_codebooks)
+
+    a = sorted(map(tuple, train_pq_codebooks(emb, seed=7).collect()))
+    b = sorted(map(tuple, train_pq_codebooks(emb, seed=7).collect()))
+    c = sorted(map(tuple, train_pq_codebooks(emb, seed=8).collect()))
+    assert a == b
+    assert a != c
+    x = sorted(map(tuple, train_ivf_centroids(emb, seed=7).collect()))
+    y = sorted(map(tuple, train_ivf_centroids(emb, seed=7).collect()))
+    assert x == y
+    assert len(x) == 16
+
+
+def test_trained_ivf_recall_two_nprobe_settings(emb):
+    """k-means-trained cells at two nprobe settings (the verdict-r3
+    recall gate): nprobe=4 must beat nprobe=1, and the trained cells at
+    equal total cell count (16 trained vs 4 data-vector cells) must
+    clear the quality bar."""
+    from textindexing_spark.operators.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, k=16, seed=7, iters=8)
+    cents.cache().count()
+    r1 = _recall(emb, lambda q: ivf_topk(emb, q, 10, nprobe=1,
+                                         centroids=cents))
+    r4 = _recall(emb, lambda q: ivf_topk(emb, q, 10, nprobe=4,
+                                         centroids=cents))
+    # the driver embeddings are near-uniform (weak natural clusters), so
+    # recall tracks the probed corpus fraction with a ~2x lift: measured
+    # 0.22 at nprobe=1 (1/16 of the corpus scanned), 0.54 at nprobe=4
+    # (1/4 scanned), 0.78 at nprobe=8; pinned with margin
+    assert r1 >= 0.12
+    assert r4 >= 0.40
+    assert r4 > r1
+    cents.unpersist()
+
+
+def test_trained_pq_beats_untrained_adc(emb):
+    """Trained PQ codebooks must not LOSE recall vs the deterministic
+    data-vector codebooks (the whole point of training), at the same
+    K=16 x 8-block budget."""
+    from textindexing_spark.operators.similarity import (pq_adc_topk,
+                                                         train_pq_codebooks)
+
+    cb = train_pq_codebooks(emb, n_blocks=8, k=16, seed=7, iters=8)
+    cb.cache().count()
+    r_untrained = _recall(emb, lambda q: pq_adc_topk(emb, q, 10))
+    r_trained = _recall(emb, lambda q: pq_adc_topk(emb, q, 10,
+                                                   codebook=cb))
+    assert r_trained >= r_untrained
+    assert r_trained >= 0.30  # measured: see BENCH.md round-4 recall row
+    cb.unpersist()

@@ -62,15 +62,19 @@ def lsh_sign_buckets(embeddings: DataFrame,
 
 
 def centroid_sims(embeddings: DataFrame,
-                  centroid_ids: tuple[int, ...] = (0, 1, 2, 3)) -> DataFrame:
+                  centroid_ids: tuple[int, ...] = (0, 1, 2, 3),
+                  centroids: DataFrame | None = None) -> DataFrame:
     """(vec_id, cid, sim) — cosine of every vector against every IVF
-    centroid. Centroids are deterministic dataset vectors (k-means would
-    sharpen cells but breaks cross-engine reproducibility; the
-    partitioning math is identical either way). Broadcast join: no
-    shuffle of the embedding table."""
-    cents = (embeddings.where(F.col("vec_id").isin(list(centroid_ids)))
-             .select(F.col("vec_id").alias("cid"),
-                     F.col("embedding").alias("ce")))
+    centroid. Default centroids are deterministic dataset vectors (the
+    cross-engine-reproducible oracle mode); pass ``centroids`` (cid, ce —
+    e.g. ``train_ivf_centroids``) for k-means-trained cells. Broadcast
+    join either way: no shuffle of the embedding table."""
+    if centroids is not None:
+        cents = centroids.select("cid", F.col("ce"))
+    else:
+        cents = (embeddings.where(F.col("vec_id").isin(list(centroid_ids)))
+                 .select(F.col("vec_id").alias("cid"),
+                         F.col("embedding").alias("ce")))
     j = embeddings.crossJoin(F.broadcast(cents))
     dot = F.expr(DOT.format(a="embedding", b="ce"))
     nc = F.sqrt(F.expr(DOT.format(a="ce", b="ce")))
@@ -80,11 +84,12 @@ def centroid_sims(embeddings: DataFrame,
 
 
 def ivf_assign(embeddings: DataFrame,
-               centroid_ids: tuple[int, ...] = (0, 1, 2, 3)) -> DataFrame:
+               centroid_ids: tuple[int, ...] = (0, 1, 2, 3),
+               centroids: DataFrame | None = None) -> DataFrame:
     """(vec_id, cell) — IVF coarse quantization: each vector joins the
     cell of its most-cosine-similar centroid (sim desc, cid asc
     tie-break)."""
-    scored = centroid_sims(embeddings, centroid_ids)
+    scored = centroid_sims(embeddings, centroid_ids, centroids)
     return scored.groupBy("vec_id").agg(
         F.max_by("cid", F.struct(F.col("sim"), -F.col("cid")))
          .alias("cell"))
@@ -92,13 +97,14 @@ def ivf_assign(embeddings: DataFrame,
 
 def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
              centroid_ids: tuple[int, ...] = (0, 1, 2, 3),
-             nprobe: int = 1, round_to: int = 4) -> DataFrame:
+             nprobe: int = 1, round_to: int = 4,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF ANN top-k: exact cosine ranking restricted to the query's
     ``nprobe`` most-similar cells — the inverted-file twin of lsh_topk.
     At web scale the cell assignment is precomputed once (a table
     partitioned by cell) and the probe is a partition-pruned scan."""
-    assign = ivf_assign(embeddings, centroid_ids)
-    qcells = (centroid_sims(embeddings, centroid_ids)
+    assign = ivf_assign(embeddings, centroid_ids, centroids)
+    qcells = (centroid_sims(embeddings, centroid_ids, centroids)
               .where(F.col("vec_id") == query_vec_id)
               .orderBy(F.col("sim").desc(), F.col("cid").asc())
               .limit(nprobe)
@@ -162,6 +168,86 @@ def lsh_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10,
     return cosine_topk(pool, query_vec_id, k, round_to)
 
 
+# --- seeded k-means training (IVF centroids / PQ codebooks) ------------------
+#
+# The deterministic data-vector codebooks above stay the ORACLE mode
+# (cross-engine reproducible); these trainers are the QUALITY mode a real
+# deployment uses. 100 TB shape: k-means never trains on the full table —
+# a bounded deterministic sample (first N vec_ids) collects to the driver
+# (N*dim floats, a few MB), Lloyd's runs in numpy, and the resulting tiny
+# codebook broadcasts back; assignment/scoring stay fully distributed.
+# Deterministic given (seed, iters, sample_n) regardless of partitioning.
+
+
+def _sample_matrix(embeddings: DataFrame, sample_n: int):
+    import numpy as np
+
+    rows = (embeddings.select("vec_id", "embedding")
+            .orderBy("vec_id").limit(int(sample_n)).collect())
+    return np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+
+
+def _lloyd(x, k: int, seed: int, iters: int):
+    """Plain seeded Lloyd's over a driver-side sample matrix. Empty
+    clusters re-seed deterministically from the farthest points (keeps
+    exactly k codewords). Ties break toward the lower centroid index
+    (argmin)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    if n < k:
+        raise ValueError(f"need >= {k} sample vectors, got {n}")
+    cents = x[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(max(iters, 1)):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        far = d[np.arange(n), assign].argsort()[::-1]
+        spare = 0
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+            else:
+                cents[c] = x[far[spare]]
+                spare += 1
+    return cents
+
+
+def train_ivf_centroids(embeddings: DataFrame, k: int = 16,
+                        seed: int = 7, iters: int = 8,
+                        sample_n: int = 10_000) -> DataFrame:
+    """(cid, ce) — k-means-trained IVF coarse centroids (the quality
+    twin of ``centroid_sims``'s data-vector centroids). cid is the
+    centroid's index 0..k-1."""
+    spark = embeddings.sparkSession
+    cents = _lloyd(_sample_matrix(embeddings, sample_n), k, seed, iters)
+    return spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cid int, ce array<double>")
+
+
+def train_pq_codebooks(embeddings: DataFrame, n_blocks: int = 8,
+                       k: int = 16, seed: int = 7, iters: int = 8,
+                       sample_n: int = 10_000) -> DataFrame:
+    """(code, m, cw) — k-means-trained PQ codebooks: block m's K
+    codewords are Lloyd's centroids over the sample's m-th subvectors
+    (per-block seed = seed + m so blocks don't share initializations).
+    Same schema as ``pq_codebooks``, so every PQ operator accepts either
+    via its ``codebook`` argument."""
+    spark = embeddings.sparkSession
+    x = _sample_matrix(embeddings, sample_n)
+    dim = x.shape[1]
+    sub = dim // n_blocks
+    rows = []
+    for m in range(n_blocks):
+        cents = _lloyd(x[:, m * sub:(m + 1) * sub], k, seed + m, iters)
+        rows.extend((code, m, [float(v) for v in c])
+                    for code, c in enumerate(cents))
+    return spark.createDataFrame(
+        rows, "code int, m int, cw array<double>")
+
+
 # --- product quantization (IVF-PQ's compression half) ------------------------
 
 L2 = ("aggregate(zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - "
@@ -202,38 +288,42 @@ def pq_codebooks(embeddings: DataFrame, n_blocks: int = 8,
 
 
 def pq_assign(embeddings: DataFrame, n_blocks: int = 8,
-              codeword_ids: tuple[int, ...] = tuple(range(16))
-              ) -> DataFrame:
+              codeword_ids: tuple[int, ...] = tuple(range(16)),
+              codebook: DataFrame | None = None) -> DataFrame:
     """(vec_id, codes ARRAY<INT>) — product quantization: each vector's
     block subvectors snap to their nearest (L2) codeword. At 64 dims /
     8 blocks / 16 codewords this is a 256-byte float vector compressed
     to 8 nibbles (the 100 TB trick: the codes table fits where raw
     embeddings cannot; IVF prunes candidates, PQ scores them from
     codes). Broadcast codebook join; one narrow shuffle on vec_id to
-    re-assemble code arrays."""
-    best = _pq_best(embeddings, n_blocks, codeword_ids)
+    re-assemble code arrays. ``codebook`` (code, m, cw — e.g.
+    ``train_pq_codebooks``) overrides the deterministic data-vector
+    codebook, as on every PQ operator here."""
+    best = _pq_best(embeddings, n_blocks, codeword_ids, codebook)
     return (best.groupBy("vec_id")
             .agg(F.expr("transform(array_sort(collect_list("
                         "struct(m, code))), x -> x.code)").alias("codes")))
 
 
 def pq_codes_flat(embeddings: DataFrame, n_blocks: int = 8,
-                  codeword_ids: tuple[int, ...] = tuple(range(16))
-                  ) -> DataFrame:
+                  codeword_ids: tuple[int, ...] = tuple(range(16)),
+                  codebook: DataFrame | None = None) -> DataFrame:
     """(vec_id, m, code) — pq_assign's flat twin: one row per (vector,
     block) instead of a codes array. Scalar-only output, so any
     row-hashing comparator (the driver's oracle gate) can canonicalize
     it; also the natural layout for the ADC join in ``pq_adc_topk``."""
-    return _pq_best(embeddings, n_blocks, codeword_ids)
+    return _pq_best(embeddings, n_blocks, codeword_ids, codebook)
 
 
 def _pq_best(embeddings: DataFrame, n_blocks: int,
-             codeword_ids: tuple[int, ...]) -> DataFrame:
+             codeword_ids: tuple[int, ...],
+             codebook: DataFrame | None = None) -> DataFrame:
     """(vec_id, m, code) — each vector block's nearest codeword (the
     pre-aggregation stage shared by pq_assign's array form and
     pq_adc_topk's flat scoring form, which would otherwise pay an
     assemble-then-posexplode round trip)."""
-    cb = pq_codebooks(embeddings, n_blocks, codeword_ids)
+    cb = (codebook if codebook is not None
+          else pq_codebooks(embeddings, n_blocks, codeword_ids))
     sub = F.expr(f"slice(embedding, m * (size(embedding) DIV {n_blocks})"
                  f" + 1, size(embedding) DIV {n_blocks})")
     blocks = (embeddings
@@ -254,7 +344,8 @@ def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
                 k: int = 10, n_blocks: int = 8,
                 codeword_ids: tuple[int, ...] = tuple(range(16)),
                 round_to: int = 6,
-                candidates: DataFrame | None = None) -> DataFrame:
+                candidates: DataFrame | None = None,
+                codebook: DataFrame | None = None) -> DataFrame:
     """(vec_id, adc_dist) — asymmetric-distance top-k: the query stays a
     full-precision vector; every candidate is scored from its CODES via
     a per-query distance table (block m, code c) -> L2(query_sub_m,
@@ -262,7 +353,8 @@ def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
     per candidate, never the candidate's raw floats. Ordered adc_dist
     asc, vec_id asc. At scale the codes table is precomputed
     (pq_assign) and this is one broadcast-join + sum over it."""
-    cb = pq_codebooks(embeddings, n_blocks, codeword_ids)
+    cb = (codebook if codebook is not None
+          else pq_codebooks(embeddings, n_blocks, codeword_ids))
     qsub = F.expr(f"slice(qe, m * (size(qe) DIV {n_blocks}) + 1, "
                   f"size(qe) DIV {n_blocks})")
     q = (embeddings.where(F.col("vec_id") == query_vec_id)
@@ -271,7 +363,7 @@ def pq_adc_topk(embeddings: DataFrame, query_vec_id: int = 0,
              .withColumn("q_sub", qsub)
              .select("m", "code",
                      F.expr(L2.format(a="cw", b="q_sub")).alias("d")))
-    codes = (_pq_best(embeddings, n_blocks, codeword_ids)
+    codes = (_pq_best(embeddings, n_blocks, codeword_ids, codebook)
              .where(F.col("vec_id") != query_vec_id))
     if candidates is not None:
         # codebooks/codes always derive from the FULL table; the filter
@@ -288,14 +380,16 @@ def ivf_pq_topk(embeddings: DataFrame, query_vec_id: int = 0,
                 k: int = 10, n_blocks: int = 8,
                 codeword_ids: tuple[int, ...] = tuple(range(16)),
                 centroid_ids: tuple[int, ...] = (0, 1, 2, 3),
-                nprobe: int = 2, round_to: int = 6) -> DataFrame:
+                nprobe: int = 2, round_to: int = 6,
+                codebook: DataFrame | None = None,
+                centroids: DataFrame | None = None) -> DataFrame:
     """The composed billion-vector shape — IVF-PQ: the inverted file
     prunes candidates to the query's ``nprobe`` cells, and ADC scores
     the survivors from their PQ codes. At scale the codes table is
     partitioned by cell, so a query reads nprobe partitions of
     nibble-codes and touches no raw embedding except the query's own."""
-    assign = ivf_assign(embeddings, centroid_ids)
-    qcells = (centroid_sims(embeddings, centroid_ids)
+    assign = ivf_assign(embeddings, centroid_ids, centroids)
+    qcells = (centroid_sims(embeddings, centroid_ids, centroids)
               .where(F.col("vec_id") == query_vec_id)
               .orderBy(F.col("sim").desc(), F.col("cid").asc())
               .limit(nprobe)
@@ -304,4 +398,5 @@ def ivf_pq_topk(embeddings: DataFrame, query_vec_id: int = 0,
                         F.col("cell") == F.col("qcell"))
             .select("vec_id"))
     return pq_adc_topk(embeddings, query_vec_id, k, n_blocks,
-                       codeword_ids, round_to, candidates=cand)
+                       codeword_ids, round_to, candidates=cand,
+                       codebook=codebook)
