@@ -191,3 +191,55 @@ def test_batched_bool_matches_per_query(idx):
     for q in queries:
         single = [r.doc_id for r in idx.search_bool(q).collect()]
         assert batched.get(q, []) == single, repr(q)
+
+
+def test_prefetched_serving_launches_no_stats_job(spark, idx):
+    """After prepare_for_queries prefetches the complete dictionary, the
+    rarest-first pre-pass must resolve every token — seen or absent,
+    exact or wildcard — WITHOUT a Spark job (round 3's bool_queries paid
+    one df job per cold query). Enforced by making any collect() during
+    query construction fail."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+    from textindexing_spark.operators.query import Index
+
+    ix = Index(spark, idx.postings, idx.documents, idx.cfg)
+    ix.prepare_for_queries()
+    assert ix._dict_df, "tiny test dictionary must fully prefetch"
+
+    def _boom(self):
+        raise AssertionError("stats pre-pass launched a Spark job")
+
+    with mock.patch.object(DataFrame, "collect", _boom):
+        plans = [ix.search_bool("fox dog"),        # seen terms
+                 ix.search_bool("zzabsent fox"),   # absent short-circuit
+                 ix.search_bool("qui* *ox"),       # wildcards
+                 ix.search_bool_many(["fox dog", "qui* *ox"])]
+    # the constructed plans are right, not just job-free
+    assert [r.doc_id for r in plans[1].collect()] == []
+    batched = {r.query_id for r in plans[3].collect()}
+    assert batched  # wildcard + exact batch still matches docs
+
+
+def test_invariant_culture_word_comparison(spark):
+    """≙ the reference's InvariantCultureIgnoreCase index test family
+    (IndexTests.cs:84-100): with word_comparison=invariant, a query for
+    either spelling finds documents containing the other."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "Schrœdinger equation"), (2, "Schroedinger was here")],
+        "doc_id bigint, text string")
+    inv = build_index(spark, docs, IndexConfig(case_insensitive="invariant"))
+    hits = sorted(r["doc_id"] for r in
+                  inv.exact("Schrœdinger")
+                  .select(F.explode("postings").alias("p"))
+                  .select(F.col("p.doc_id").alias("doc_id")).collect())
+    assert hits == [1, 2]
+    assert sorted(r["doc_id"] for r in
+                  inv.search_bool("schroedinger").collect()) == [1, 2]
+    # default OrdinalIgnoreCase keeps the spellings distinct
+    ordinal = build_index(spark, docs, IndexConfig())
+    assert sorted(r["doc_id"] for r in
+                  ordinal.search_bool("schroedinger").collect()) == [2]

@@ -72,3 +72,18 @@ def test_none_text_is_empty():
     # missing content => empty token set => delete semantics (SURVEY 1.4.2)
     assert tokenize_text(None) == []
     assert list(tokenize_series(pd.Series([None, "a"]))) == [[], ["a"]]
+
+
+def test_invariant_culture_fold():
+    """InvariantCultureIgnoreCase mode (IndexTests.cs:84-100): ligature
+    and sharp-s spellings collapse to one term; default OrdinalIgnoreCase
+    keeps them distinct."""
+    inv = tokenize_text("Schrœdinger Schroedinger STRASSE Straße",
+                        case_insensitive="invariant")
+    assert inv == ["schroedinger", "schroedinger", "strasse", "strasse"]
+    ordinal_ci = tokenize_text("Schrœdinger Schroedinger")
+    assert ordinal_ci == ["schrœdinger", "schroedinger"]  # distinct terms
+    # series path matches the scalar path
+    ser = tokenize_series(pd.Series(["Schrœdinger Schroedinger"]),
+                          case_insensitive="invariant")
+    assert list(ser) == [["schroedinger", "schroedinger"]]

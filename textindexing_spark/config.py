@@ -43,9 +43,15 @@ class IndexConfig:
     # (≙ RegexLineParser).
     tokenizer: str = "alnum"
 
-    # Canonical case-fold of terms (≙ OrdinalIgnoreCase default comparer,
-    # IndexerCreationOptions.cs:20). False ≙ StringComparison.Ordinal.
-    case_insensitive: bool = True
+    # Term comparison (≙ IndexerCreationOptions.WordComparison,
+    # IndexerCreationOptions.cs:20):
+    #   True        ≙ OrdinalIgnoreCase (reference default): str.lower fold
+    #   False       ≙ StringComparison.Ordinal: no fold
+    #   "invariant" ≙ InvariantCultureIgnoreCase: NFKC + full casefold +
+    #                 Latin ligature expansion, so "Schrœdinger" and
+    #                 "Schroedinger" share one term
+    #                 (IndexTests.cs:84-100); see functions/tokenize.py
+    case_insensitive: bool | str = True
 
     # Number of hash partitions for the term shuffle. None = leave it to
     # spark.sql.shuffle.partitions / AQE.

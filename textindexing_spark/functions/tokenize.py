@@ -114,20 +114,57 @@ def get_tokenizer(name: str) -> Callable[[str], list[str]]:
     raise ValueError(f"unknown tokenizer {name!r}")
 
 
+# --- term folding (≙ the reference's pluggable StringComparison) ------------
+#
+# case_insensitive accepts three values, mirroring
+# IndexerCreationOptions.WordComparison (IndexerCreationOptions.cs:20):
+#   False       ≙ StringComparison.Ordinal (no fold)
+#   True        ≙ OrdinalIgnoreCase (the reference default): str.lower()
+#   "invariant" ≙ InvariantCultureIgnoreCase: NFKC + full Unicode case
+#                 fold + the Latin ligature expansions invariant-culture
+#                 comparison treats as equal — the reference's
+#                 "Schrœdinger" == "Schroedinger" family
+#                 (tests/.../Indexing/IndexTests.cs:84-100). This is a
+#                 deterministic approximation of ICU collation (full
+#                 linguistic collation needs ICU tables this sandbox
+#                 doesn't ship); it covers every equality the reference
+#                 test suite exercises.
+
+_LIGATURES = {"œ": "oe", "æ": "ae"}  # NFKC+casefold handles ß/ﬁ/ﬀ/…
+
+
+@lru_cache(maxsize=65536)
+def fold_invariant(token: str) -> str:
+    t = _ud.normalize("NFKC", token).casefold()
+    for lig, exp in _LIGATURES.items():
+        if lig in t:
+            t = t.replace(lig, exp)
+    return t
+
+
+def _folder(case_insensitive) -> Callable[[str], str] | None:
+    if case_insensitive == "invariant":
+        return fold_invariant
+    if case_insensitive:
+        return str.lower
+    return None
+
+
 def tokenize_text(text: str | None, tokenizer: str = "alnum",
-                  case_insensitive: bool = True) -> list[str]:
+                  case_insensitive=True) -> list[str]:
     """Tokenize one document's text (oracle entry point). Missing content
     yields an empty token list ≙ delete semantics (SURVEY.md 1.4.2)."""
     if not text:
         return []
     toks = get_tokenizer(tokenizer)(text)
-    if case_insensitive:
-        toks = [t.lower() for t in toks]
+    fold = _folder(case_insensitive)
+    if fold is not None:
+        toks = [fold(t) for t in toks]
     return toks
 
 
 def tokenize_with_tf(text: str | None, tokenizer: str = "alnum",
-                     case_insensitive: bool = True) -> list[tuple[str, int]]:
+                     case_insensitive=True) -> list[tuple[str, int]]:
     """(term, tf) pairs sorted by term — the per-document aggregate the
     reference builds as a SortedSet (Indexer.cs:248-258) extended with tf."""
     counts: dict[str, int] = {}
@@ -148,7 +185,7 @@ SQL_TOKEN_PATTERN = r"[\p{L}\p{Nd}]+"
 # --- vectorized (Arrow batch) form, used inside pandas UDFs -----------------
 
 def tokenize_series(texts, tokenizer: str = "alnum",
-                    case_insensitive: bool = True):
+                    case_insensitive=True):
     """pandas.Series[str] -> pandas.Series[list[str]] — Arrow-batched path.
 
     ``str.findall`` runs the regex in C per row; the exactness fixup touches
@@ -156,12 +193,13 @@ def tokenize_series(texts, tokenizer: str = "alnum",
     """
     import pandas as pd
 
+    fold = _folder(case_insensitive)
     if tokenizer == "alnum":
         cand = texts.fillna("").str.findall(_ALNUM_CANDIDATE)
-        if case_insensitive:
+        if fold is not None:
             return cand.map(
                 lambda ts: [
-                    w.lower()
+                    fold(w)
                     for t in ts
                     for w in ((t,) if t.isascii() else _alnum_fixup(t))
                 ]
@@ -171,6 +209,6 @@ def tokenize_series(texts, tokenizer: str = "alnum",
                         for w in ((t,) if t.isascii() else _alnum_fixup(t))]
         )
     fn = get_tokenizer(tokenizer)
-    if case_insensitive:
-        return texts.fillna("").map(lambda s: [t.lower() for t in fn(s)])
+    if fold is not None:
+        return texts.fillna("").map(lambda s: [fold(t) for t in fn(s)])
     return texts.fillna("").map(fn)

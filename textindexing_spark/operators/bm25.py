@@ -298,12 +298,19 @@ class SegmentIndex:
             import pandas as pd
 
             for pdf in batches:
+                ids_parts, len_parts = [], []
                 for di, dl in zip(pdf["doc_ids"], pdf["doc_lens"]):
-                    ids = codec.varbyte_decode(
-                        np.frombuffer(di, dtype=np.uint8))
-                    lens = codec.varbyte_decode(
-                        np.frombuffer(dl, dtype=np.uint8))
-                    yield pd.DataFrame({"doc_id": ids, "doc_len": lens})
+                    ids_parts.append(codec.varbyte_decode(
+                        np.frombuffer(di, dtype=np.uint8)))
+                    len_parts.append(codec.varbyte_decode(
+                        np.frombuffer(dl, dtype=np.uint8)))
+                if ids_parts:
+                    # one output frame per Arrow batch, not per shard row
+                    # (hundreds of 1-row record batches cost more IPC
+                    # than the decode itself)
+                    yield pd.DataFrame(
+                        {"doc_id": np.concatenate(ids_parts),
+                         "doc_len": np.concatenate(len_parts)})
 
         return (self.shard_docs.select("doc_ids", "doc_lens")
                 .mapInPandas(decode, "doc_id bigint, doc_len bigint"))

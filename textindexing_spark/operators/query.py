@@ -109,6 +109,13 @@ class Index:
     # -- Q1-Q4: dictionary lookups -------------------------------------------
 
     def _fold(self, w: str) -> str:
+        """Query-side term fold — must match the index-time fold exactly
+        (functions/tokenize.py): lower for OrdinalIgnoreCase, invariant
+        fold for InvariantCultureIgnoreCase, identity for Ordinal."""
+        from textindexing_spark.functions.tokenize import fold_invariant
+
+        if self.cfg.case_insensitive == "invariant":
+            return fold_invariant(w)
         return w.lower() if self.cfg.case_insensitive else w
 
     def exact(self, word: str) -> DataFrame:
