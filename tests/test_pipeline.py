@@ -806,3 +806,32 @@ def test_first_commit_participates_in_cas(spark, tmp_path):
 
     with _pytest.raises(ConcurrentWriterError, match="empty store"):
         a._write_manifest(1, b.manifest(), expect_prev=None)
+
+
+def test_single_pass_combined_ops_match_standalone(spark):
+    """simhash_both / fingerprints (one tokenize+agg pass, used by the
+    merged driver keys) must be value-identical to joining the
+    standalone operators."""
+    from textindexing_spark.functions.analysis import (doc_fingerprint,
+                                                       fingerprints,
+                                                       rolling_fingerprint)
+    from textindexing_spark.operators.dedup import (simhash, simhash64,
+                                                    simhash_both)
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "pack my box with jugs"),
+         (3, "the the the"), (4, ""), (5, "Schrœdinger 4.1 under_score")],
+        "doc_id bigint, text string")
+
+    both = {r.doc_id: (r.simhash16, r.simhash64)
+            for r in simhash_both(docs).collect()}
+    s16 = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+    s64 = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert both == {d: (s16[d], s64[d]) for d in s16}
+
+    fp = {r.doc_id: (r.fingerprint, r.roll_hash)
+          for r in fingerprints(docs).collect()}
+    f1 = {r.doc_id: r.fingerprint for r in doc_fingerprint(docs).collect()}
+    f2 = {r.doc_id: r.roll_hash
+          for r in rolling_fingerprint(docs).collect()}
+    assert fp == {d: (f1[d], f2[d]) for d in f1}

@@ -1235,12 +1235,11 @@ FROM (SELECT *, row_number() OVER (PARTITION BY event_type
 
 
 def _q_fingerprints(spark, sf_dir):
-    # doc_fingerprint + rolling_fingerprint, one row per non-empty doc
-    from textindexing_spark.functions.analysis import (doc_fingerprint,
-                                                       rolling_fingerprint)
+    # doc_fingerprint + rolling_fingerprint, one row per non-empty doc,
+    # single tokenize pass (functions/analysis.fingerprints)
+    from textindexing_spark.functions.analysis import fingerprints
 
-    docs = _docs(spark, sf_dir)
-    return doc_fingerprint(docs).join(rolling_fingerprint(docs), "doc_id")
+    return fingerprints(_docs(spark, sf_dir))
 
 
 _SQL_FINGERPRINTS = f"""
@@ -1250,14 +1249,11 @@ SELECT f.doc_id, f.fingerprint, r.roll_hash FROM f JOIN r USING (doc_id)
 
 
 def _q_simhash_both(spark, sf_dir):
-    # 16-bit (oracle-auditable) + 64-bit (production-width) simhash
-    from textindexing_spark.operators.dedup import simhash, simhash64
+    # 16-bit (oracle-auditable) + 64-bit (production-width) simhash,
+    # one aggregation pass (operators/dedup.simhash_both)
+    from textindexing_spark.operators.dedup import simhash_both
 
-    docs = _docs(spark, sf_dir)
-    return (simhash(docs, bits=16)
-            .withColumnRenamed("simhash", "simhash16")
-            .join(simhash64(docs).withColumnRenamed("simhash", "simhash64"),
-                  "doc_id"))
+    return simhash_both(_docs(spark, sf_dir))
 
 
 _SQL_SIMHASH_BOTH = f"""

@@ -97,6 +97,24 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
                                        " ")).alias("fingerprint")))
 
 
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint, roll_hash) — both document fingerprints
+    (order-invariant bag-of-words md5 + order-sensitive rolling hash)
+    from ONE tokenize pass: a single projection over the shared token
+    array, where joining doc_fingerprint with rolling_fingerprint would
+    tokenize the corpus twice and shuffle for the join."""
+    h = "conv(substring(md5(t), 1, 8), 16, 10)"
+    roll = (f"aggregate(ts, CAST(0 AS BIGINT), (acc, t) -> "
+            f"(acc * {ROLL_B} + CAST({h} AS BIGINT) % {ROLL_M}) "
+            f"% {ROLL_M})")
+    return (docs.select("doc_id", tokens_col("text").alias("ts"))
+            .where(F.size("ts") > 0)
+            .select("doc_id",
+                    F.md5(F.array_join(F.array_sort(F.array_distinct("ts")),
+                                       " ")).alias("fingerprint"),
+                    F.expr(roll).alias("roll_hash")))
+
+
 def _gram_expr(n: int):
     """ARRAY<STRING> of space-joined word n-grams over the ``ts`` token
     array — the one definition ngram_counts and ngram_contamination

@@ -292,3 +292,46 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
     for j in range(bits):
         acc = acc + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
     return summed.select("doc_id", acc.cast("bigint").alias("simhash"))
+
+
+def simhash_both(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash16, simhash64) — both fingerprint widths from ONE
+    tokenize + explode + aggregation pass. The md5 digest per distinct
+    token is computed once; the 16-bit fold reads nibbles 1-4, the
+    64-bit fold nibbles 1-15 + 16, and all 80 bit-majority sums ride a
+    single map-side-combinable groupBy (joining the two standalone
+    operators instead costs two full token passes plus a join whose
+    combined codegen dwarfs the aggregation itself). Bit-for-bit equal
+    to simhash(bits=16) and simhash64(hash='md5')."""
+    tok = (docs.select(F.col(id_col).alias("doc_id"),
+                       tokens_col(text_col).alias("ts"))
+           .where(F.size("ts") > 0)
+           .select("doc_id", F.explode(F.array_distinct("ts")).alias("term"))
+           .withColumn("h", F.md5("term"))
+           .withColumn("hv16", F.conv(F.substring("h", 1, 4), 16, 10)
+                       .cast("bigint"))
+           .withColumn("lo", F.conv(F.substring("h", 1, 15), 16, 10)
+                       .cast("bigint"))
+           .withColumn("hi", F.conv(F.substring("h", 16, 1), 16, 10)
+                       .cast("bigint")))
+    sums = []
+    for j in range(16):  # simhash(bits=16) bit layout: nib j//4, bit j%4
+        shift = 4 * (3 - j // 4) + j % 4
+        bv = F.shiftright(F.col("hv16"), shift).bitwiseAND(F.lit(1))
+        sums.append(F.sum(bv * 2 - 1).alias(f"a{j}"))
+    for j in range(64):  # simhash64 md5-fold layout
+        bv = (F.shiftright(F.col("lo"), j).bitwiseAND(F.lit(1)) if j < 60
+              else F.shiftright(F.col("hi"), j - 60).bitwiseAND(F.lit(1)))
+        sums.append(F.sum(bv * 2 - 1).alias(f"b{j}"))
+    summed = tok.groupBy("doc_id").agg(*sums)
+    acc16 = F.lit(0)
+    for j in range(16):
+        acc16 = acc16 + F.when(F.col(f"a{j}") > 0, F.lit(1 << j)).otherwise(0)
+    acc64 = F.when(F.col("b63") > 0,
+                   F.lit(-9223372036854775807 - 1)).otherwise(F.lit(0))
+    for j in range(63):
+        acc64 = acc64 + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return summed.select("doc_id",
+                         acc16.cast("bigint").alias("simhash16"),
+                         acc64.cast("bigint").alias("simhash64"))
