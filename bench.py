@@ -341,14 +341,16 @@ def main() -> None:
         ivf_topk, pq_adc_topk, train_ivf_centroids, train_pq_codebooks)
 
     recall_qids = [0, 7, 42]
+    # exact ground truth is variant-independent — compute it once per qid
+    truth10 = {q: {r[0] for r in
+                   cosine_topk(emb, q, 10).select("vec_id").collect()}
+               for q in recall_qids}
 
     def recall_at10(variant):
         hits = 0
         for q in recall_qids:
-            truth = {r[0] for r in
-                     cosine_topk(emb, q, 10).select("vec_id").collect()}
             got = {r[0] for r in variant(q).select("vec_id").collect()}
-            hits += len(truth & got)
+            hits += len(truth10[q] & got)
         return round(hits / (10 * len(recall_qids)), 3)
 
     cents = train_ivf_centroids(emb, k=16, seed=7, iters=8)

@@ -72,3 +72,16 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns == ["doc_id", "score"]
+
+
+def test_inventory_is_exactly_50_unique_keys():
+    """The driver checks at most 50 queries; the inventory must be
+    exactly 50 UNIQUE keys with a matching oracle for each (a duplicated
+    registry name would silently shrink dict coverage)."""
+    q = entry_mod.queries()
+    o = entry_mod.oracle_sql()
+    assert len(q) == 50
+    assert set(o) == set(q)
+    from textindexing_spark.entry_queries import _REGISTRY
+    names = [name for name, _, _ in _REGISTRY]
+    assert len(names) == len(set(names)) == 50

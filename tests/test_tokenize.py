@@ -87,3 +87,22 @@ def test_invariant_culture_fold():
     ser = tokenize_series(pd.Series(["Schrœdinger Schroedinger"]),
                           case_insensitive="invariant")
     assert list(ser) == [["schroedinger", "schroedinger"]]
+
+
+def test_unknown_case_mode_raises():
+    """Only True/False/'invariant' are valid — a typo or guessed mode
+    ('ordinal', 'Invariant') must fail loudly, not silently fall back
+    to the str.lower fold."""
+    import pytest
+    from textindexing_spark.config import IndexConfig
+    from textindexing_spark.functions.tokenize import tokenize_text
+
+    with pytest.raises(ValueError, match="case_insensitive"):
+        tokenize_text("Hello", case_insensitive="ordinal")
+    with pytest.raises(ValueError, match="case_insensitive"):
+        IndexConfig(case_insensitive="Invariant")
+    # the three documented modes still work
+    assert tokenize_text("Hello", case_insensitive=True) == ["hello"]
+    assert tokenize_text("Hello", case_insensitive=False) == ["Hello"]
+    assert tokenize_text("Schrœdinger",
+                         case_insensitive="invariant") == ["schroedinger"]

@@ -79,5 +79,13 @@ class IndexConfig:
 
     bm25: BM25Params = field(default_factory=BM25Params)
 
+    def __post_init__(self):
+        if isinstance(self.case_insensitive, str) \
+                and self.case_insensitive != "invariant":
+            raise ValueError(
+                f"case_insensitive={self.case_insensitive!r}: expected "
+                "True (OrdinalIgnoreCase), False (Ordinal), or "
+                "'invariant' (InvariantCultureIgnoreCase)")
+
     # BM25 top-k default (north-star: top-10).
     default_k: int = 10

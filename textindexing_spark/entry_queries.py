@@ -1382,12 +1382,19 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str]] = [
     ("ngram_contamination", _q_contamination, _SQL_CONTAMINATION),
 ]
 
-assert len(_REGISTRY) == 50, len(_REGISTRY)
-
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: fn for name, fn, _ in _REGISTRY}
 
 ORACLE_SQL: dict[str, str] = {name: sql for name, _, sql in _REGISTRY}
+
+# Exactly-50-keys guarantee: checked on the built dicts (so a duplicated
+# registry name can't silently shrink coverage) and raised unconditionally
+# (assert would vanish under python -O). test_entry_oracle pins it too.
+if len(QUERIES) != 50 or len(ORACLE_SQL) != 50:
+    raise RuntimeError(
+        f"driver query inventory must be exactly 50 unique keys, got "
+        f"{len(QUERIES)} queries / {len(ORACLE_SQL)} oracles from "
+        f"{len(_REGISTRY)} registry rows")
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001"):

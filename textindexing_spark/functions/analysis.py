@@ -70,20 +70,32 @@ ROLL_B = 131
 ROLL_M = 1_000_000_007
 
 
-def rolling_fingerprint(docs: DataFrame) -> DataFrame:
-    """(doc_id, roll_hash) — order-SENSITIVE polynomial rolling hash
-    (Rabin-Karp style) over the token stream: h = fold(tokens,
-    (acc, t) -> (acc*B + H(t)) mod M) with H(t) from the token's md5
-    prefix. Unlike doc_fingerprint (bag-of-words identity), this detects
-    exact sequence duplicates and is engine-portable (same md5/modular
-    arithmetic in any SQL dialect). Pure Catalyst fold — no Python."""
+def _roll_hash_col():
+    """Order-SENSITIVE polynomial rolling hash (Rabin-Karp style) over
+    the ``ts`` token array: h = fold(ts, (acc, t) -> (acc*B + H(t)) mod
+    M) with H(t) from the token's md5 prefix. One definition shared by
+    rolling_fingerprint and fingerprints()."""
     h = "conv(substring(md5(t), 1, 8), 16, 10)"
-    expr = (f"aggregate(ts, CAST(0 AS BIGINT), (acc, t) -> "
-            f"(acc * {ROLL_B} + CAST({h} AS BIGINT) % {ROLL_M}) "
-            f"% {ROLL_M})")
+    return F.expr(
+        f"aggregate(ts, CAST(0 AS BIGINT), (acc, t) -> "
+        f"(acc * {ROLL_B} + CAST({h} AS BIGINT) % {ROLL_M}) "
+        f"% {ROLL_M})")
+
+
+def _doc_fingerprint_col():
+    """md5 over the sorted distinct token set of the ``ts`` array —
+    shared by doc_fingerprint and fingerprints()."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct("ts")), " "))
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, roll_hash) — order-sensitive sequence fingerprint.
+    Unlike doc_fingerprint (bag-of-words identity), this detects exact
+    sequence duplicates and is engine-portable (same md5/modular
+    arithmetic in any SQL dialect). Pure Catalyst fold — no Python."""
     return (docs.select("doc_id", tokens_col("text").alias("ts"))
             .where(F.size("ts") > 0)
-            .select("doc_id", F.expr(expr).alias("roll_hash")))
+            .select("doc_id", _roll_hash_col().alias("roll_hash")))
 
 
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
@@ -93,8 +105,7 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     return (docs.select("doc_id", tokens_col("text").alias("ts"))
             .where(F.size("ts") > 0)
             .select("doc_id",
-                    F.md5(F.array_join(F.array_sort(F.array_distinct("ts")),
-                                       " ")).alias("fingerprint")))
+                    _doc_fingerprint_col().alias("fingerprint")))
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:
@@ -103,16 +114,11 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     from ONE tokenize pass: a single projection over the shared token
     array, where joining doc_fingerprint with rolling_fingerprint would
     tokenize the corpus twice and shuffle for the join."""
-    h = "conv(substring(md5(t), 1, 8), 16, 10)"
-    roll = (f"aggregate(ts, CAST(0 AS BIGINT), (acc, t) -> "
-            f"(acc * {ROLL_B} + CAST({h} AS BIGINT) % {ROLL_M}) "
-            f"% {ROLL_M})")
     return (docs.select("doc_id", tokens_col("text").alias("ts"))
             .where(F.size("ts") > 0)
             .select("doc_id",
-                    F.md5(F.array_join(F.array_sort(F.array_distinct("ts")),
-                                       " ")).alias("fingerprint"),
-                    F.expr(roll).alias("roll_hash")))
+                    _doc_fingerprint_col().alias("fingerprint"),
+                    _roll_hash_col().alias("roll_hash")))
 
 
 def _gram_expr(n: int):

@@ -145,6 +145,14 @@ def fold_invariant(token: str) -> str:
 def _folder(case_insensitive) -> Callable[[str], str] | None:
     if case_insensitive == "invariant":
         return fold_invariant
+    if isinstance(case_insensitive, str):
+        # Only one string mode exists; a typo ("Invariant") or a guessed
+        # mode ("ordinal") must fail loudly, not silently build an
+        # OrdinalIgnoreCase index (use False for Ordinal).
+        raise ValueError(
+            f"case_insensitive={case_insensitive!r}: expected True "
+            "(OrdinalIgnoreCase), False (Ordinal), or 'invariant' "
+            "(InvariantCultureIgnoreCase)")
     if case_insensitive:
         return str.lower
     return None

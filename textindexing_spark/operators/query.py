@@ -213,7 +213,11 @@ class Index:
         across a query stream costs one dictionary scan total — and in a
         prepared serving session with the complete dictionary prefetched
         (prepare_for_queries) this NEVER launches a job: misses resolve
-        driver-side against the dictionary snapshot."""
+        driver-side against the dictionary snapshot. Returns only the
+        requested tokens' dfs — never a copy of the whole cache, which
+        after a complete-dictionary prefetch would be an O(|dictionary|)
+        dict copy on every query."""
+        requested = list(tokens)
         tokens = [t for t in tokens if t not in self._df_cache]
         if tokens and self._dict_df is not None:
             for t in tokens:
@@ -231,7 +235,7 @@ class Index:
                         if w.endswith(s))
             tokens = []
         if not tokens:
-            return dict(self._df_cache)
+            return {t: self._df_cache[t] for t in requested}
         exacts = [t for t in tokens if not self._is_wild(t)]
         wilds = [t for t in tokens if self._is_wild(t)]
         parts = []
@@ -248,7 +252,7 @@ class Index:
         for r in reduce(DataFrame.unionByName, parts).collect():
             dfs[r["qi"]] = int(r["df"])
         self._df_cache.update(dfs)
-        return dict(self._df_cache)
+        return {t: self._df_cache[t] for t in requested}
 
     def _seed_docs(self, tok: str) -> DataFrame:
         """The doc-id set of one token (distinct only needed for
