@@ -340,7 +340,12 @@ def main() -> None:
     from textindexing_spark.operators.similarity import (
         ivf_topk, pq_adc_topk, train_ivf_centroids, train_pq_codebooks)
 
-    recall_qids = [0, 7, 42]
+    # 10 query ids: at 3 qids one hit moves recall by 0.033 and trained-
+    # vs-untrained ordering is noise; at 10x10 the ordering is stable
+    # (trained PQ ~0.18 vs untrained ~0.13 on the driver embeddings —
+    # the ceiling is data-bound: the synthetic unit vectors carry no
+    # cluster structure for the codebooks to exploit)
+    recall_qids = [0, 7, 42, 77, 100, 150, 200, 300, 333, 400]
     # exact ground truth is variant-independent — compute it once per qid
     truth10 = {q: {r[0] for r in
                    cosine_topk(emb, q, 10).select("vec_id").collect()}
