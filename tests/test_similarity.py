@@ -129,3 +129,76 @@ def test_trained_pq_beats_untrained_adc(emb):
     assert r_trained >= r_untrained
     assert r_trained >= 0.30  # measured: see BENCH.md round-4 recall row
     cb.unpersist()
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """600 unit vectors in 16 tight clusters — the data shape residual
+    encoding exists for (the driver embeddings are unclustered random
+    unit vectors, where IVFADC is at parity with raw-code IVF-PQ)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    x = (centers[rng.integers(0, 16, 600)]
+         + rng.normal(scale=0.12, size=(600, 64)))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    e = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<double>").cache()
+    e.count()
+    return e
+
+
+def test_ivfadc_residual_beats_raw_codes_on_clustered_data(clustered_emb):
+    """IVFADC quantizes residuals-to-centroid, so on clustered data the
+    same K*M codebook budget yields higher recall than quantizing raw
+    vectors (Jegou et al. TPAMI 2011 section V). Measured 0.51 vs 0.47
+    at nprobe=1 on this fixture; pinned with margin."""
+    from textindexing_spark.operators.similarity import (
+        ivf_pq_topk, ivfadc_topk, train_ivf_centroids,
+        train_pq_codebooks, train_residual_codebooks)
+
+    emb = clustered_emb
+    cents = train_ivf_centroids(emb, k=16, seed=7, iters=8)
+    cents.cache().count()
+    cb_raw = train_pq_codebooks(emb, 8, 16, seed=7, iters=8)
+    cb_raw.cache().count()
+    cb_res = train_residual_codebooks(emb, 8, 16, seed=7, iters=8,
+                                      centroids=cents)
+    cb_res.cache().count()
+    qids = [0, 7, 42, 77, 100, 150, 200, 300, 333, 400]
+    truth = {q: {r[0] for r in
+                 cosine_topk(emb, q, 10).select("vec_id").collect()}
+             for q in qids}
+
+    def rec(fn):
+        return sum(len(truth[q] & {r[0] for r in
+                                   fn(q).select("vec_id").collect()})
+                   for q in qids) / (10 * len(qids))
+
+    raw = rec(lambda q: ivf_pq_topk(emb, q, 10, nprobe=1,
+                                    codebook=cb_raw, centroids=cents))
+    res = rec(lambda q: ivfadc_topk(emb, q, 10, nprobe=1,
+                                    codebook=cb_res, centroids=cents))
+    assert raw >= 0.35
+    assert res >= 0.40
+    assert res >= raw  # residual encoding must not lose to raw codes
+    for df in (cents, cb_raw, cb_res):
+        df.unpersist()
+
+
+def test_ivfadc_shape_determinism_and_query_exclusion(emb):
+    """ivfadc_topk returns exactly k (vec_id, adc_dist) rows, never the
+    query vector itself, identically across invocations (seeded
+    trainers, tie-broken ordering)."""
+    from textindexing_spark.operators.similarity import ivfadc_topk
+
+    r1 = ivfadc_topk(emb, 7, 10, nprobe=2).collect()
+    r2 = ivfadc_topk(emb, 7, 10, nprobe=2).collect()
+    assert r1 == r2
+    assert len(r1) == 10
+    assert all(r["vec_id"] != 7 for r in r1)
+    assert [r["adc_dist"] for r in r1] == sorted(r["adc_dist"]
+                                                 for r in r1)
