@@ -1,0 +1,109 @@
+"""Filesystem document sources (sources/files.py) — the reference's
+primary input workflow: point the engine at a DIRECTORY of real files
+with a glob (DirectoryDocumentSource.cs:69-76), read one file
+(SingleFileDocumentSource.cs:56-64), or tail the directory as a change
+stream (the FileSystemWatcher twin)."""
+
+import pytest
+
+from textindexing_spark.operators.build import build_index
+from textindexing_spark.sources.files import (decode_bytes, read_directory,
+                                              read_file, stream_directory)
+
+RU = "Гиперо́ним слово с более широким значением"
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path):
+    (tmp_path / "a.txt").write_text("hello world alpha", encoding="utf-8")
+    # UTF-8 BOM (the reference's Hyperonim.txt shape, SURVEY.md §5.4)
+    (tmp_path / "b.txt").write_bytes(RU.encode("utf-8-sig"))
+    # Windows-1251 (the reference's Text.txt shape)
+    (tmp_path / "c.txt").write_bytes(RU.encode("cp1251", "ignore"))
+    (tmp_path / "notes.md").write_text("excluded by glob", encoding="utf-8")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "d.txt").write_text("nested document", encoding="utf-8")
+    return tmp_path
+
+
+def test_decode_bytes_bom_and_fallback():
+    assert decode_bytes("hi".encode("utf-8-sig")) == "hi"
+    assert decode_bytes(RU.encode("utf-8-sig")) == RU
+    assert decode_bytes("hi".encode("utf-16")) == "hi"  # utf-16 writes a BOM
+    ru_1251 = RU.encode("cp1251", "ignore")
+    assert decode_bytes(ru_1251, "cp1251") == RU.replace("\u0301", "")
+    # wrong default never raises: replacement chars, task survives (P7)
+    assert "�" in decode_bytes(b"\xfd junk \xff", "utf-8")
+    assert decode_bytes(None) is None
+
+
+def test_read_directory_glob_recursion_and_decoding(spark, corpus_dir):
+    df = read_directory(spark, str(corpus_dir), "*.txt")
+    rows = {r["url"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.txt", "b.txt", "c.txt", "d.txt"}  # .md pruned
+    assert rows["a.txt"]["text"] == "hello world alpha"
+    assert rows["b.txt"]["text"] == RU          # BOM detected + stripped
+    assert rows["b.txt"]["html"].startswith(b"\xef\xbb\xbf")  # raw kept
+    assert rows["a.txt"]["warc_ts"] is not None
+    # non-recursive stays at the top level
+    flat = read_directory(spark, str(corpus_dir), "*.txt", recursive=False)
+    assert flat.count() == 3
+    # configured default encoding decodes the cp1251 file
+    ru = read_directory(spark, str(corpus_dir), "c.txt",
+                        default_encoding="cp1251")
+    assert ru.collect()[0]["text"] == RU.replace("\u0301", "")
+
+
+def test_read_directory_rejects_invalid_glob(spark, corpus_dir):
+    with pytest.raises(ValueError, match="invalid characters"):
+        read_directory(spark, str(corpus_dir), "a<b*.txt")
+
+
+def test_read_file_point_and_missing(spark, corpus_dir):
+    one = read_file(spark, str(corpus_dir / "a.txt"))
+    assert [r["text"] for r in one.collect()] == ["hello world alpha"]
+    missing = read_file(spark, str(corpus_dir / "nope.txt"))
+    assert missing.count() == 0
+    assert missing.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_build_index_from_directory(spark, corpus_dir):
+    """End-to-end S1: directory -> pages -> inverted index, identical to
+    building from the same texts as an in-memory table."""
+    pages = read_directory(spark, str(corpus_dir), "*.txt")
+    docs = (pages.selectExpr("xxhash64(url) AS doc_id", "text"))
+    idx = build_index(spark, docs)
+    expected_texts = sorted(r["text"] for r in pages.collect())
+    twin = build_index(spark, spark.createDataFrame(
+        [(i, t) for i, t in enumerate(expected_texts)],
+        "doc_id bigint, text string"))
+    a = {(r["term"], len(r["postings"])) for r in idx.postings.collect()}
+    b = {(r["term"], len(r["postings"])) for r in twin.postings.collect()}
+    assert a == b
+    assert ("hello", 1) in a
+
+
+def test_stream_directory_matches_batch(spark, tmp_path):
+    """The file-source change stream drains the same documents the batch
+    reader sees (UTF-8 corpora), through the real ingestor path."""
+    from textindexing_spark.streaming.ingest import StreamingIngestor
+
+    src = tmp_path / "watched"
+    src.mkdir()
+    (src / "one.txt").write_text("alpha beta", encoding="utf-8")
+    (src / "two.txt").write_text("beta gamma beta", encoding="utf-8")
+
+    ing = StreamingIngestor(spark, str(tmp_path / "idx"))
+    stream = stream_directory(spark, str(src), "*.txt")
+    ing.ingest_available(stream, str(tmp_path / "ckpt"))
+    idx = ing.index()
+    terms = {r["term"] for r in idx.postings.collect()}
+    assert terms == {"alpha", "beta", "gamma"}
+
+    # a NEW file arrives: only it is processed on the next drain (S3)
+    (src / "three.txt").write_text("delta", encoding="utf-8")
+    ing.ingest_available(stream_directory(spark, str(src), "*.txt"),
+                         str(tmp_path / "ckpt"))
+    terms = {r["term"] for r in ing.index().postings.collect()}
+    assert terms == {"alpha", "beta", "gamma", "delta"}

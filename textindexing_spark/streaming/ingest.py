@@ -178,11 +178,17 @@ class StreamingIngestor:
 
     def start(self, source_dir: str, checkpoint_dir: str,
               available_now: bool = True, processing_time: str = "500 milliseconds"):
-        """Start the streaming query over a pages parquet directory.
-        availableNow=True drains what exists and stops (test mode); False
-        keeps watching (≙ WatchForChangedDocuments)."""
-        stream = (self.spark.readStream.schema(PAGES_SCHEMA)
-                  .parquet(source_dir))
+        """Start the streaming query over a pages parquet directory — or
+        any pages-shaped streaming DataFrame passed in its place (e.g.
+        ``sources.files.stream_directory`` for a raw text-file directory,
+        the FileSystemWatcher twin). availableNow=True drains what exists
+        and stops (test mode); False keeps watching
+        (≙ WatchForChangedDocuments)."""
+        if isinstance(source_dir, DataFrame):
+            stream = source_dir
+        else:
+            stream = (self.spark.readStream.schema(PAGES_SCHEMA)
+                      .parquet(source_dir))
         writer = (stream.writeStream
                   .foreachBatch(self.process_batch)
                   .option("checkpointLocation", checkpoint_dir))
