@@ -243,3 +243,58 @@ def test_invariant_culture_word_comparison(spark):
     ordinal = build_index(spark, docs, IndexConfig())
     assert sorted(r["doc_id"] for r in
                   ordinal.search_bool("schroedinger").collect()) == [2]
+
+
+def test_search_expr_matches_set_oracle(idx):
+    """Full boolean language (AND/OR/NOT + parens + wildcards) vs a
+    pure-Python set evaluation over the same corpus."""
+    o = _oracle()
+    universe = {d for d, t in CORPUS if t.strip()}  # docs with >=1 token
+
+    def docs(tok):
+        if tok.endswith("*"):
+            return {d for w in o.words() if w.startswith(tok[:-1])
+                    for d in o.exact(w)}
+        if tok.startswith("*"):
+            return {d for w in o.words() if w.endswith(tok[1:])
+                    for d in o.exact(w)}
+        return o.exact(tok)
+
+    cases = {
+        "fox AND dog": docs("fox") & docs("dog"),
+        "fox dog": docs("fox") & docs("dog"),           # implicit AND
+        "fox OR box": docs("fox") | docs("box"),
+        "fox AND NOT dog": docs("fox") - docs("dog"),
+        "NOT fox": universe - docs("fox"),              # pure negation
+        "(fox OR box) AND NOT (dog OR cat)":
+            (docs("fox") | docs("box")) - (docs("dog") | docs("cat")),
+        "quick* AND NOT box*": docs("quick*") - docs("box*"),
+        "dog AND (quick OR *ing) AND NOT liquor":
+            (docs("dog") & (docs("quick") | docs("*ing")))
+            - docs("liquor"),
+        "fox AND nonexistent": set(),                   # absent conjunct
+        "fox OR nonexistent": docs("fox"),
+        "and": docs("and"),          # lowercase 'and' is a TERM
+        "NOT (fox OR dog OR box OR quick*)":
+            universe - (docs("fox") | docs("dog") | docs("box")
+                        | docs("quick*")),
+    }
+    for q, want in cases.items():
+        got = [r["doc_id"] for r in idx.search_expr(q).collect()]
+        assert got == sorted(want), q
+        assert got == sorted(set(got)), f"{q}: duplicate doc_ids"
+
+
+def test_search_expr_flat_and_delegates_and_edge_cases(idx):
+    # flat positive AND must agree with search_bool exactly
+    for q in ["fox dog", "quick* fox", "the"]:
+        a = [r["doc_id"] for r in idx.search_expr(q).collect()]
+        b = [r["doc_id"] for r in idx.search_bool(q).collect()]
+        assert a == b, q
+    assert idx.search_expr("").count() == 0
+    assert idx.search_expr(None).count() == 0
+    import pytest as _pt
+    from textindexing_spark.operators.query import parse_bool_expr
+    for bad in ["fox AND", "NOT", "(fox", "fox)", "fox OR", "AND fox"]:
+        with _pt.raises(ValueError):
+            parse_bool_expr(bad)

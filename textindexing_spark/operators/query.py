@@ -29,6 +29,75 @@ from textindexing_spark.config import IndexConfig
 _EMPTY_DOCS_SCHEMA = "doc_id bigint"
 
 
+def parse_bool_expr(text: str | None):
+    """Parse a boolean query into an AST of ('term', tok) / ('and', [..])
+    / ('or', [..]) / ('not', child) nodes. Grammar (precedence NOT >
+    AND > OR; adjacency is implicit AND, as in ``search_bool``):
+
+        expr  := and ( OR and )*
+        and   := unary ( AND? unary )*
+        unary := NOT unary | '(' expr ')' | token
+
+    Operators are recognized UPPERCASE-ONLY (``AND OR NOT``) so the
+    lowercase words stay searchable terms (the default tokenizer folds
+    terms to lowercase, so an uppercase term never exists). Returns None
+    for an empty query. Raises ValueError on malformed input (unbalanced
+    parens, dangling operator)."""
+    import re
+
+    toks = re.findall(r"\(|\)|[^\s()]+", text or "")
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def parse_or():
+        nodes = [parse_and()]
+        while peek() == "OR":
+            take()
+            nodes.append(parse_and())
+        return nodes[0] if len(nodes) == 1 else ("or", nodes)
+
+    def parse_and():
+        nodes = [parse_unary()]
+        while peek() not in (None, ")", "OR"):
+            if peek() == "AND":
+                take()
+                if peek() in (None, ")", "OR", "AND"):
+                    raise ValueError("dangling AND")
+            nodes.append(parse_unary())
+        return nodes[0] if len(nodes) == 1 else ("and", nodes)
+
+    def parse_unary():
+        t = peek()
+        if t == "NOT":
+            take()
+            if peek() in (None, ")", "OR", "AND"):
+                raise ValueError("dangling NOT")
+            return ("not", parse_unary())
+        if t == "(":
+            take()
+            node = parse_or()
+            if take() != ")":
+                raise ValueError("unbalanced parentheses")
+            return node
+        if t in (None, ")", "OR", "AND"):
+            raise ValueError(f"unexpected {t!r}")
+        return ("term", take())
+
+    if not toks:
+        return None
+    node = parse_or()
+    if peek() is not None:
+        raise ValueError(f"trailing input at {peek()!r}")
+    return node
+
+
 class Index:
     """A queryable inverted index (≙ IReadOnlyIndex + IIndex)."""
 
@@ -302,6 +371,68 @@ class Index:
                 .where(F.col("_nq") == len(tokens))
                 .select("doc_id")
                 .orderBy("doc_id"))
+
+    def search_expr(self, query_text: str) -> DataFrame:
+        """Full boolean query language over the index: ``AND`` / ``OR``
+        / ``NOT`` (uppercase-only operators), parentheses, implicit AND
+        on adjacency, and the same ``term*``/``*term`` wildcard routing
+        as ``search_bool`` — e.g. ``"(alpha OR beta*) AND NOT gamma"``.
+        Extends the reference's AND-only demo composition
+        (IndexerViewModel.cs:73-108). Returns (doc_id) ordered asc.
+
+        Scale shape: compositional set algebra over doc-id sets — AND is
+        a chain of semi-joins starting from the RAREST positive conjunct
+        (dictionary-df pre-pass, prefetch-covered), OR is union-distinct,
+        NOT is an anti-join; a negation with no positive sibling
+        subtracts from the documents dimension (the universe), so pure
+        ``NOT x`` is well-defined. Every join is on doc_id and
+        AQE-broadcastable when one side is small; a flat all-positive
+        AND delegates to ``search_bool``'s one-aggregation plan."""
+        ast = parse_bool_expr(query_text)
+        if ast is None:
+            return self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
+        if ast[0] == "term" or (
+                ast[0] == "and"
+                and all(c[0] == "term" for c in ast[1])):
+            toks = [ast[1]] if ast[0] == "term" else \
+                [c[1] for c in ast[1]]
+            return self.search_bool(" ".join(toks))
+        return self._eval_expr(ast).orderBy("doc_id")
+
+    def _eval_expr(self, node) -> DataFrame:
+        """Evaluate one AST node to a distinct doc_id DataFrame."""
+        kind = node[0]
+        if kind == "term":
+            return self._seed_docs(self._fold(node[1]))
+        if kind == "or":
+            return reduce(DataFrame.unionByName,
+                          (self._eval_expr(c) for c in node[1])).distinct()
+        if kind == "not":
+            # no positive context: complement against the universe
+            return self.documents.select("doc_id").join(
+                self._eval_expr(node[1]), "doc_id", "left_anti")
+        pos = [c for c in node[1] if c[0] != "not"]
+        neg = [c[1] for c in node[1] if c[0] == "not"]
+        if pos:
+            # start from the cheapest conjunct: rarest term first (ONE
+            # batched dictionary pre-pass resolves every term's df;
+            # non-term children can't be df-estimated — they go last)
+            term_toks = [self._fold(c[1]) for c in pos if c[0] == "term"]
+            dfs = self._token_dfs(term_toks) if term_toks else {}
+            if any(dfs[t] == 0 for t in term_toks):
+                # an absent positive conjunct empties the whole AND
+                return self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
+            terms = sorted((c for c in pos if c[0] == "term"),
+                           key=lambda c: dfs[self._fold(c[1])])
+            ordered = terms + [c for c in pos if c[0] != "term"]
+            acc = self._eval_expr(ordered[0])
+            for c in ordered[1:]:
+                acc = acc.join(self._eval_expr(c), "doc_id", "left_semi")
+        else:
+            acc = self.documents.select("doc_id")
+        for c in neg:
+            acc = acc.join(self._eval_expr(c), "doc_id", "left_anti")
+        return acc
 
     def search_bool_many(self, queries) -> DataFrame:
         """Batched boolean search: evaluate a whole query SET in ONE job
