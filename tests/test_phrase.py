@@ -341,3 +341,74 @@ def test_batched_phrases_match_per_query(spark):
         got.setdefault(r["query_id"], []).append(r["doc_id"])
     for qid, ph in enumerate(phrases):
         assert sorted(got.get(qid, [])) == _ids(seg.search_phrase(ph)), ph
+
+
+# --- proximity search (NEAR/k) -----------------------------------------------
+
+def _near_oracle(query, k, ordered):
+    """Brute-force proximity over the tokenized DOCS corpus."""
+    from itertools import product
+
+    from textindexing_spark.functions.tokenize import tokenize_text
+
+    toks = tokenize_text(query)
+    if not ordered:
+        toks = list(dict.fromkeys(toks))
+    hits = []
+    for doc_id, text in DOCS:
+        dt = tokenize_text(text)
+        pos = {t: [i for i, w in enumerate(dt) if w == t] for t in set(toks)}
+        if any(not pos[t] for t in set(toks)):
+            continue
+        found = False
+        for choice in product(*(pos[t] for t in toks)):
+            if max(choice) - min(choice) > k:
+                continue
+            if ordered and any(b <= a for a, b in zip(choice, choice[1:])):
+                continue
+            found = True
+            break
+        if found:
+            hits.append(doc_id)
+    return sorted(hits)
+
+
+NEAR_CASES = [
+    ("quick fox", 2, False), ("quick fox", 2, True),
+    ("quick fox", 1, False), ("fox quick", 2, True),
+    ("quick brown fox", 2, True), ("quick brown fox", 4, False),
+    ("the dog", 2, False), ("the dog", 8, False), ("the dog", 8, True),
+    ("lazy jumps", 2, False), ("lazy jumps", 2, True),
+    ("big data", 1, True), ("big data", 0, True),
+    ("quick quick", 4, False),       # duplicate collapses unordered
+    ("quick quick", 3, True),        # two distinct positions ordered
+    ("quick zebra", 9, False),       # absent term
+]
+
+
+@pytest.mark.parametrize("query,k,ordered", NEAR_CASES)
+def test_near_matches_bruteforce_oracle(pidx, query, k, ordered):
+    got = _ids(pidx.search_near(query, k, ordered=ordered))
+    assert got == _near_oracle(query, k, ordered), (query, k, ordered)
+
+
+def test_near_ordered_with_k_tokens_minus_1_is_phrase(pidx):
+    for q in ["quick brown", "quick brown fox", "the lazy dog",
+              "brown quick", "big big big"]:
+        from textindexing_spark.functions.tokenize import tokenize_text
+
+        m = len(tokenize_text(q))
+        assert _ids(pidx.search_near(q, m - 1, ordered=True)) == \
+            _ids(pidx.search_phrase(q)), q
+
+
+def test_near_segment_tier_equals_array_tier(spark, pidx):
+    from textindexing_spark.operators.phrase import PositionalSegmentIndex
+
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    seg = PositionalSegmentIndex.build(spark, docs, n_shards=4).cache()
+    for query, k, ordered in NEAR_CASES:
+        a = _ids(pidx.search_near(query, k, ordered=ordered))
+        b = _ids(seg.search_near(query, k, ordered=ordered))
+        assert a == b, (query, k, ordered)
+    seg.unpersist()

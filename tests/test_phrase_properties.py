@@ -159,3 +159,64 @@ def test_contamination_short_probe_rows(spark):
         assert rows[pid]["n_grams"] == 0
         assert rows[pid]["n_contaminated"] == 0
         assert rows[pid]["contamination"] is None
+
+
+# --- proximity (_eval_near) vs brute force -----------------------------------
+
+@st.composite
+def _near_cases(draw):
+    """A tiny random corpus (token streams) + a proximity query."""
+    vocab = ["a", "b", "c", "d"]
+    docs = draw(st.lists(
+        st.lists(st.sampled_from(vocab), min_size=1, max_size=14),
+        min_size=1, max_size=8))
+    toks = draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=3))
+    k = draw(st.integers(min_value=0, max_value=6))
+    ordered = draw(st.booleans())
+    return docs, toks, k, ordered
+
+
+def _by_term_from_docs(docs):
+    """Build the decoded-shard dict _eval_near consumes from raw token
+    streams: term -> (doc_ids, plens, starts, flat positions)."""
+    per_term: dict = {}
+    for d, stream in enumerate(docs):
+        for i, t in enumerate(stream):
+            per_term.setdefault(t, {}).setdefault(d, []).append(i)
+    out = {}
+    for t, by_doc in per_term.items():
+        doc_ids = np.array(sorted(by_doc), dtype=np.int64)
+        plens = np.array([len(by_doc[d]) for d in doc_ids], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(plens)[:-1]])
+        flat = np.concatenate([np.array(by_doc[d], dtype=np.int64)
+                               for d in doc_ids])
+        out[t] = (doc_ids, plens, starts, flat)
+    return out
+
+
+@settings(max_examples=120, deadline=None)
+@given(_near_cases())
+def test_eval_near_matches_bruteforce_property(case):
+    from itertools import product
+
+    from textindexing_spark.operators.phrase import _eval_near
+
+    docs, toks, k, ordered = case
+    qtoks = toks if ordered else list(dict.fromkeys(toks))
+    got = sorted(_eval_near(_by_term_from_docs(docs), qtoks, k,
+                            ordered, np))
+    want = []
+    for d, stream in enumerate(docs):
+        pos = {t: [i for i, w in enumerate(stream) if w == t]
+               for t in set(qtoks)}
+        if any(not pos[t] for t in set(qtoks)):
+            continue
+        for choice in product(*(pos[t] for t in qtoks)):
+            if max(choice) - min(choice) > k:
+                continue
+            if ordered and any(b <= a
+                               for a, b in zip(choice, choice[1:])):
+                continue
+            want.append(d)
+            break
+    assert got == sorted(want), (docs, qtoks, k, ordered)

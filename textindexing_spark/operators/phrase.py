@@ -217,6 +217,84 @@ class PositionalIndex:
                  for i in range(1, len(toks))]))
         return joined.where(cond).select("doc_id")
 
+    def search_near(self, query: str, k: int,
+                    ordered: bool = False) -> DataFrame:
+        """Proximity search — doc_ids where the query's terms co-occur
+        within a window of ``k`` token positions (max-min position <=
+        k). ``ordered=True`` additionally requires the terms to appear
+        in query order (strictly increasing positions), so
+        ``search_near(q, len(tokens)-1, ordered=True)`` is exactly
+        ``search_phrase(q)`` (pytest-gated equivalence). Duplicate terms
+        in an UNORDERED query collapse to one occurrence requirement
+        (ordered queries keep their slots). Pure Catalyst: per-term
+        pruned scans joined on doc_id, window check as nested
+        higher-order EXISTS over the position arrays (anchored at the
+        window minimum, so the check is exact, not a 2k approximation)."""
+        toks = self._tokens(query)
+        if not ordered:
+            toks = list(dict.fromkeys(toks))
+        empty = self.spark.createDataFrame([], "doc_id bigint")
+        if not toks or k < 0:
+            return empty
+        dfs = {r["term"]: r["c"] for r in
+               (self.positional
+                .where(F.col("term").isin(*set(toks)))
+                .groupBy("term").agg(F.count("*").alias("c"))
+                .collect())}
+        if any(t not in dfs for t in toks):
+            return empty
+        if len(toks) == 1:
+            return (self.positional
+                    .where(F.col("term") == toks[0])
+                    .select("doc_id"))
+        m = len(toks)
+        order = sorted(range(m), key=lambda i: (dfs[toks[i]], i))
+        scans = {
+            i: (self.positional
+                .where(F.col("term") == toks[i])
+                .select("doc_id", F.col("positions").alias(f"p{i}")))
+            for i in range(m)}
+        joined = scans[order[0]]
+        for i in order[1:]:
+            joined = joined.join(scans[i], "doc_id")
+        # distinct lambda-parameter names per nesting level: Spark
+        # resolves lambda variables lexically, so a reused name would
+        # shadow the outer level's variable
+        def _named(name, fn):
+            return eval(f"lambda {name}: fn({name})", {"fn": fn})
+
+        if ordered:
+            def chain(i, prev, anchor):
+                if i == m:
+                    return F.lit(True)
+                return F.exists(
+                    F.col(f"p{i}"),
+                    _named(f"q{i}", lambda q, i=i: (q > prev)
+                           & (q <= anchor + k) & chain(i + 1, q, anchor)))
+
+            cond = F.exists(F.col("p0"),
+                            _named("q0", lambda p: chain(1, p, p)))
+        else:
+            # exact window: anchor at the choice's MINIMUM position —
+            # some term j holds it and every other term has a position
+            # in [anchor, anchor + k]
+            def others(j, p):
+                c = F.lit(True)
+                for i in range(m):
+                    if i != j:
+                        c = c & F.exists(
+                            F.col(f"p{i}"),
+                            _named(f"q{i}", lambda q, p=p: (q >= p)
+                                   & (q <= p + k)))
+                return c
+
+            cond = reduce(
+                lambda a, b: a | b,
+                [F.exists(F.col(f"p{j}"),
+                          _named(f"a{j}", lambda p, j=j: others(j, p)))
+                 for j in range(m)])
+        return joined.where(cond).select("doc_id")
+
 
 # --- compressed tier: positional segments (the 100 TB phrase path) ----------
 
@@ -526,6 +604,37 @@ class PositionalSegmentIndex:
                 .applyInPandas(lambda k, pdf: eval_shard(pdf),
                                out_schema))
 
+    def search_near(self, query: str, k: int,
+                    ordered: bool = False) -> DataFrame:
+        """Proximity search on compressed segments — same semantics as
+        ``PositionalIndex.search_near`` (cross-tier equivalence is
+        pytest-gated), evaluated shard-locally: per-term pruned segment
+        scan, decode once per shard task, numpy window sweep."""
+        toks = self._tokens(query)
+        if not ordered:
+            toks = list(dict.fromkeys(toks))
+        empty = self.spark.createDataFrame([], "doc_id bigint")
+        if not toks or k < 0:
+            return empty
+
+        def eval_shard(pdf):
+            import numpy as np
+            import pandas as pd
+
+            out_ids: list[int] = []
+            if not pdf.empty:
+                for _, sub in pdf.groupby("shard", sort=False):
+                    by_term = _decode_shard_terms(sub, np)
+                    out_ids.extend(
+                        _eval_near(by_term, toks, k, ordered, np))
+            return pd.DataFrame(
+                {"doc_id": pd.Series(out_ids, dtype="int64")})
+
+        pruned = self.segments.where(F.col("term").isin(*set(toks)))
+        return (pruned.groupBy("shard")
+                .applyInPandas(lambda key, pdf: eval_shard(pdf),
+                               "doc_id bigint"))
+
 
 def _eval_phrase(by_term: dict, toks: list, np) -> list:
     """Evaluate one tokenized phrase against one shard's decoded term
@@ -557,6 +666,87 @@ def _eval_phrase(by_term: dict, toks: list, np) -> list:
             if p.size == 0:
                 break
         if p.size:
+            out.append(int(d))
+    return out
+
+
+def _eval_near(by_term: dict, toks: list, k: int, ordered: bool,
+               np) -> list:
+    """Evaluate one proximity query against one shard's decoded term
+    dict (same structure as ``_eval_phrase``): rarest-first doc-id
+    intersection, then per-candidate window verification. Unordered =
+    minimal-window sweep over the merged labeled position lists;
+    ordered = greedy chain per anchor (smallest admissible next
+    position is optimal for a fixed anchor)."""
+    if not toks or k < 0 or any(t not in by_term for t in toks):
+        return []
+    uniq = sorted(set(toks), key=lambda t: by_term[t][0].size)
+    cand = by_term[uniq[0]][0]
+    for t in uniq[1:]:
+        if cand.size == 0:
+            break
+        cand = cand[np.isin(cand, by_term[t][0], assume_unique=True)]
+    if cand.size == 0:
+        return []
+    sliced = {}
+    for t in uniq:
+        doc_ids, plens, starts, flat = by_term[t]
+        idx = np.searchsorted(doc_ids, cand)
+        sliced[t] = (starts[idx], plens[idx], flat)
+
+    def pos(t, j):
+        s, l, f = sliced[t]
+        return f[s[j]:s[j] + l[j]]
+
+    m = len(toks)
+    out: list[int] = []
+    for j, d in enumerate(cand):
+        if m == 1:
+            out.append(int(d))
+            continue
+        if ordered:
+            arrs = [pos(t, j) for t in toks]
+            hit = False
+            for p in arrs[0]:
+                cur, ok = p, True
+                for i in range(1, m):
+                    a = arrs[i]
+                    nxt = np.searchsorted(a, cur + 1)
+                    if nxt == a.size or a[nxt] > p + k:
+                        ok = False
+                        break
+                    cur = a[nxt]
+                if ok:
+                    hit = True
+                    break
+        else:
+            arrs = [pos(t, j) for t in uniq]
+            labels = np.concatenate(
+                [np.full(a.size, i, dtype=np.int32)
+                 for i, a in enumerate(arrs)])
+            ps = np.concatenate(arrs)
+            o = np.argsort(ps, kind="stable")
+            ps, labels = ps[o], labels[o]
+            need = len(arrs)
+            counts = np.zeros(need, dtype=np.int64)
+            have, left, hit = 0, 0, False
+            for r in range(ps.size):
+                c = labels[r]
+                counts[c] += 1
+                if counts[c] == 1:
+                    have += 1
+                while have == need:
+                    if ps[r] - ps[left] <= k:
+                        hit = True
+                        break
+                    cl = labels[left]
+                    counts[cl] -= 1
+                    if counts[cl] == 0:
+                        have -= 1
+                    left += 1
+                if hit:
+                    break
+        if hit:
             out.append(int(d))
     return out
 
