@@ -10,6 +10,10 @@ table, run via spark-submit (north-rule launch mode):
         --input  <pages parquet/iceberg path> \\
         --output <index root> [--resume] [--shards 64]
 
+    # or index a raw directory of files (the reference's primary workflow):
+    ... build_index_submit.py --input /corpus --input-format files \\
+        --glob '*.txt' [--encoding cp1251] --output <index root>
+
 On a real cluster --master is yarn/k8s and --input an Iceberg table; the
 job itself is identical. Stages materialize under --output with
 per-partition lineage manifests (plans/manifest.py), so a rerun with
@@ -35,6 +39,15 @@ import time
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "files"],
+                    help="'parquet' = a pages table; 'files' = a raw "
+                         "directory of documents (sources/files.py)")
+    ap.add_argument("--glob", default="*",
+                    help="file glob for --input-format files")
+    ap.add_argument("--encoding", default="utf-8",
+                    help="default file encoding for --input-format files "
+                         "(BOMs always win)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--resume", action="store_true",
                     help="skip stages with committed matching manifests")
@@ -62,7 +75,15 @@ def main(argv: list[str] | None = None) -> None:
 
     cfg = IndexConfig()
     t0 = time.perf_counter()
-    pages = spark.read.parquet(args.input)
+    if args.input_format == "files":
+        # a real directory of documents (the reference's primary
+        # workflow): glob pruned at listing time, BOM-aware decode
+        from textindexing_spark.sources.files import read_directory
+
+        pages = read_directory(spark, args.input, args.glob,
+                               default_encoding=args.encoding)
+    else:
+        pages = spark.read.parquet(args.input)
 
     # input fingerprint: content-sensitive digest — per-row hash over
     # (url, warc_ts, text length, html length) folded with THREE

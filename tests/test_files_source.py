@@ -107,3 +107,29 @@ def test_stream_directory_matches_batch(spark, tmp_path):
                          str(tmp_path / "ckpt"))
     terms = {r["term"] for r in ing.index().postings.collect()}
     assert terms == {"alpha", "beta", "gamma", "delta"}
+
+
+def test_cli_files_mode_builds_index(spark, tmp_path, capsys):
+    """The cluster entry point indexes a raw directory end-to-end
+    (--input-format files), excluding non-matching files by glob."""
+    import importlib.util
+    import json
+    import pathlib
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "a.txt").write_text("hello spark engine", encoding="utf-8")
+    (src / "b.txt").write_text("spark index merge", encoding="utf-8")
+    (src / "c.md").write_text("excluded", encoding="utf-8")
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "build_index_submit", repo / "scripts" / "build_index_submit.py")
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    cli.main(["--input", str(src), "--input-format", "files",
+              "--glob", "*.txt", "--output", str(tmp_path / "ix"),
+              "--shards", "2", "--skip-segments"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 2
+    assert out["n_terms"] == 5  # hello spark engine index merge
