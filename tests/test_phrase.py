@@ -412,3 +412,21 @@ def test_near_segment_tier_equals_array_tier(spark, pidx):
         b = _ids(seg.search_near(query, k, ordered=ordered))
         assert a == b, (query, k, ordered)
     seg.unpersist()
+
+
+def test_near_batched_matches_per_query(spark, pidx):
+    from textindexing_spark.operators.phrase import PositionalSegmentIndex
+
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    seg = PositionalSegmentIndex.build(spark, docs, n_shards=4).cache()
+    batch = [("quick fox", 2), ("quick brown fox", 2, True),
+             ("the dog", 8), ("quick zebra", 9), ("big data", 1, True)]
+    got = {}
+    for r in seg.search_near_many(batch).collect():
+        got.setdefault(r["query_id"], []).append(r["doc_id"])
+    for qid, spec in enumerate(batch):
+        text, k = spec[0], spec[1]
+        ordered = spec[2] if len(spec) > 2 else False
+        want = _ids(seg.search_near(text, k, ordered=ordered))
+        assert sorted(got.get(qid, [])) == want, spec
+    seg.unpersist()

@@ -604,6 +604,47 @@ class PositionalSegmentIndex:
                 .applyInPandas(lambda k, pdf: eval_shard(pdf),
                                out_schema))
 
+    def search_near_many(self, queries) -> DataFrame:
+        """Batched proximity serving (≙ ``search_phrase_many``): evaluate
+        a whole set of proximity queries in ONE job, decoding every
+        referenced term once per shard task. ``queries``: list of
+        (query_text, k) or (query_text, k, ordered) tuples. Returns
+        (query_id, doc_id); query_id indexes ``queries``."""
+        specs = []
+        for q in queries:
+            text, k = q[0], int(q[1])
+            ordered = bool(q[2]) if len(q) > 2 else False
+            toks = self._tokens(text)
+            if not ordered:
+                toks = list(dict.fromkeys(toks))
+            specs.append((toks, k, ordered))
+        all_terms = sorted({t for toks, _, _ in specs for t in toks})
+        out_schema = "query_id int, doc_id bigint"
+        if not all_terms:
+            return self.spark.createDataFrame([], out_schema)
+
+        def eval_shard(pdf):
+            import numpy as np
+            import pandas as pd
+
+            qids: list[int] = []
+            out_ids: list[int] = []
+            if not pdf.empty:
+                for _, sub in pdf.groupby("shard", sort=False):
+                    by_term = _decode_shard_terms(sub, np)
+                    for qid, (toks, k, ordered) in enumerate(specs):
+                        hits = _eval_near(by_term, toks, k, ordered, np)
+                        qids.extend([qid] * len(hits))
+                        out_ids.extend(hits)
+            return pd.DataFrame(
+                {"query_id": pd.Series(qids, dtype="int32"),
+                 "doc_id": pd.Series(out_ids, dtype="int64")})
+
+        pruned = self.segments.where(F.col("term").isin(*all_terms))
+        return (pruned.groupBy("shard")
+                .applyInPandas(lambda key, pdf: eval_shard(pdf),
+                               out_schema))
+
     def search_near(self, query: str, k: int,
                     ordered: bool = False) -> DataFrame:
         """Proximity search on compressed segments — same semantics as
