@@ -155,6 +155,18 @@ def main() -> None:
     timed("bool_batch",
           lambda: idx.search_bool_many(bool_texts).collect())
 
+    # full boolean language (round 4): AND/OR/NOT + parens + wildcards,
+    # compositional semi/anti-join plans over the prepared index
+    expr_set = ["(hash OR mer*) AND NOT vector",
+                "scan AND (fast OR slow) AND NOT (sort OR window)",
+                "NOT (hash OR merge OR scan)",
+                "quer* AND NOT join"]
+
+    def run_exprs():
+        for e in expr_set:
+            idx.search_expr(e).collect()
+    timed("expr_queries", run_exprs)
+
     # q2b: positional index + exact phrase search (operators/phrase.py);
     # the build is shuffle-free (no build-time repartition since round 4)
     from textindexing_spark.operators.phrase import PositionalIndex
@@ -190,6 +202,10 @@ def main() -> None:
     pseg = timed("phrase_segment_build", build_pseg)
     timed("phrase_batch", lambda: pseg.search_phrase_many(
         ["row scan", "the data table", "merge batch"]).collect())
+    # proximity serving (round 4): whole NEAR/k set in one job
+    timed("near_batch", lambda: pseg.search_near_many(
+        [("row scan", 3), ("hash merge", 4, True),
+         ("fast slow", 6), ("the data table", 2, True)]).collect())
     pseg.unpersist()
 
     # q3: BM25 top-10 latency per query (p50 over the LAST repetition,
