@@ -110,3 +110,37 @@ def test_lsm_view_pushes_term_filter_to_all_scans(spark, tmp_path):
     idx = store.load()
     p = _plan(idx.exact("w3"))
     assert p.count("EqualTo(term,w3)") >= 2  # base scan AND delta scan
+
+
+def test_search_expr_semi_anti_joins_and_pushed_filters(snap):
+    """The boolean-language plan must keep: pushed per-term filters,
+    LeftSemi for AND, LeftAnti for NOT — and an absent positive
+    conjunct must short-circuit without scanning postings."""
+    p = _plan(snap.search_expr("(word1 OR word2) AND NOT word3"))
+    assert "LeftAnti" in p
+    assert "EqualTo(term,word3)" in p
+    p2 = _plan(snap.search_expr("word1 AND (word2 OR word3)"))
+    assert "LeftSemi" in p2
+    df = snap.search_expr("zzz_never AND (word1 OR word2)")
+    assert "Scan parquet" not in _plan(df)
+    assert df.count() == 0
+
+
+def test_search_near_pushes_term_filters(spark, tmp_path):
+    """Array-tier proximity: per-term pruned scans (pushed EqualTo) and
+    NO shuffle beyond the doc_id joins — the window check is a JVM-side
+    higher-order filter, never a Python stage."""
+    from textindexing_spark.operators.phrase import PositionalIndex
+    from textindexing_spark.sources.pages import generate_pages_rows
+
+    rows = [(i, t) for i, (_, _, _, t, _) in
+            enumerate(generate_pages_rows(n_docs=80, seed=7))]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "pos")
+    PositionalIndex.build(spark, docs).save(path)
+    pidx = PositionalIndex.load(spark, path)
+    p = _plan(pidx.search_near("word1 word2", 3))
+    assert "EqualTo(term,word1)" in p
+    assert "EqualTo(term,word2)" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "exists" in p.lower()  # the HOF window check stayed JVM-side
