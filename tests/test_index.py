@@ -298,3 +298,25 @@ def test_search_expr_flat_and_delegates_and_edge_cases(idx):
     for bad in ["fox AND", "NOT", "(fox", "fox)", "fox OR", "AND fox"]:
         with _pt.raises(ValueError):
             parse_bool_expr(bad)
+
+
+def test_bm25_filter_expr(idx):
+    """Filtered ranked retrieval: search_bm25(..., filter_expr=) returns
+    exactly the unfiltered ranking restricted to the expression's doc
+    set (scores unchanged — only eligibility)."""
+    full = {r["doc_id"]: r["score"]
+            for r in idx.bm25_scores("fox dog quick").collect()}
+    allowed = {r["doc_id"]
+               for r in idx.search_expr("(fox OR quick) AND NOT box").collect()}
+    got = idx.search_bm25("fox dog quick", 5,
+                          filter_expr="(fox OR quick) AND NOT box").collect()
+    want = sorted(((d, s) for d, s in full.items() if d in allowed),
+                  key=lambda x: (-x[1], x[0]))[:5]
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(d, pytest.approx(s)) for d, s in want]
+    # an always-false filter empties the result; no filter == unfiltered
+    assert idx.search_bm25("fox", 5, filter_expr="nonexistent").count() == 0
+    a = [r["doc_id"] for r in idx.search_bm25("fox dog", 5).collect()]
+    b = [r["doc_id"] for r in idx.search_bm25("fox dog", 5,
+                                              filter_expr=None).collect()]
+    assert a == b

@@ -531,12 +531,29 @@ class Index:
                                            float(avgdl)))))
         return scored.groupBy("doc_id").agg(F.sum("w").alias("score"))
 
-    def search_bm25(self, query_text: str, k: int | None = None) -> DataFrame:
+    def search_bm25(self, query_text: str, k: int | None = None,
+                    filter_expr: str | None = None) -> DataFrame:
         """BM25 top-k: score desc, doc_id asc tie-break — Spark executes
         orderBy+limit as TakeOrderedAndProject (per-partition heaps +
-        driver-side k-way merge), the distributed top-k reduce."""
+        driver-side k-way merge), the distributed top-k reduce.
+
+        ``filter_expr`` constrains the ranked candidates to the docs
+        matching a boolean-language expression (``search_expr`` syntax:
+        AND/OR/NOT, parentheses, wildcards) — filtered ranked retrieval,
+        e.g. ``search_bm25("hash merge", 10, filter_expr="NOT spark")``.
+        The filter's doc set semi-joins into the scoring candidates, so
+        scores (idf, corpus stats) are UNCHANGED by the filter — only
+        eligibility is, the standard filtered-search contract."""
         k = k or self.cfg.default_k
-        return (self.bm25_scores(query_text)
+        scores = self.bm25_scores(query_text)
+        if filter_expr is not None:
+            ast = parse_bool_expr(filter_expr)
+            if ast is None:
+                return self.spark.createDataFrame(
+                    [], "doc_id bigint, score double")
+            scores = scores.join(self._eval_expr(ast), "doc_id",
+                                 "left_semi")
+        return (scores
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
 
