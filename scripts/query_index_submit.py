@@ -3,13 +3,17 @@
 
     spark-submit --master <cluster> --py-files /tmp/textindexing_spark.zip \\
         scripts/query_index_submit.py --index <root> \\
-        --query "hash merge fast" [--mode bm25|bool] [--k 10]
+        --query "hash merge fast" \\
+        [--mode bm25|bool|expr|phrase|near] [--k 10] \\
+        [--filter-expr "scan AND NOT slow"] [--near-k 4] [--ordered]
 
 --index points at a SegmentIndex root (has _meta.json; queried via
 block-max WAND), a boolean Index snapshot (postings/ + documents/;
-bm25 runs the Catalyst path, bool runs AND-with-wildcards), or a
-PositionalSegmentIndex save (has _pos_meta.json; --mode phrase runs
-exact-phrase search, batched into ONE job when --query repeats).
+bm25 runs the Catalyst path with optional --filter-expr candidate
+filtering, bool runs AND-with-wildcards, expr runs the full boolean
+language), or a PositionalSegmentIndex save (has _pos_meta.json;
+--mode phrase runs exact-phrase search, --mode near runs NEAR/k
+proximity — both batched into ONE job when --query repeats).
 Prints one JSON line per query with results and latency. Accepts
 multiple --query flags; repeated queries amortize the index open (the
 serving pattern).
@@ -29,9 +33,19 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", action="append", required=True,
                     help="repeatable")
-    ap.add_argument("--mode", choices=("bm25", "bool", "phrase"),
-                    default="bm25")
+    ap.add_argument("--mode", choices=("bm25", "bool", "expr",
+                                       "phrase", "near"),
+                    default="bm25",
+                    help="expr = full boolean language (AND/OR/NOT, "
+                         "parens); near = proximity over a positional "
+                         "index (--near-k window, --ordered)")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--filter-expr", default=None,
+                    help="bm25 mode: boolean-language candidate filter")
+    ap.add_argument("--near-k", type=int, default=3,
+                    help="near mode: window size in token positions")
+    ap.add_argument("--ordered", action="store_true",
+                    help="near mode: terms must appear in query order")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -42,20 +56,26 @@ def main(argv: list[str] | None = None) -> None:
     from textindexing_spark import Index
     from textindexing_spark.operators.bm25 import SegmentIndex
 
-    if args.mode == "phrase" or os.path.exists(
+    if args.mode in ("phrase", "near") or os.path.exists(
             f"{args.index}/_pos_meta.json"):
         from textindexing_spark.operators.phrase import (
             PositionalSegmentIndex)
 
-        if args.mode != "phrase":
-            raise SystemExit("a positional index answers --mode phrase")
+        if args.mode not in ("phrase", "near"):
+            raise SystemExit(
+                "a positional index answers --mode phrase/near")
         if not os.path.exists(f"{args.index}/_pos_meta.json"):
             raise SystemExit(
-                "--mode phrase needs a PositionalSegmentIndex save "
+                f"--mode {args.mode} needs a PositionalSegmentIndex save "
                 "(_pos_meta.json) — this index root is not positional")
         pidx = PositionalSegmentIndex.load(spark, args.index).cache()
         t0 = time.perf_counter()
-        hits = pidx.search_phrase_many(args.query).collect()
+        if args.mode == "phrase":
+            hits = pidx.search_phrase_many(args.query).collect()
+        else:
+            hits = pidx.search_near_many(
+                [(q, args.near_k, args.ordered)
+                 for q in args.query]).collect()
         wall_ms = round((time.perf_counter() - t0) * 1000, 1)
         by_q: dict[int, list[int]] = {}
         for r in hits:
@@ -63,7 +83,7 @@ def main(argv: list[str] | None = None) -> None:
         for qid, q in enumerate(args.query):
             rows = sorted(by_q.get(qid, []))
             print(json.dumps({
-                "query": q, "mode": "phrase", "index_kind": "positional",
+                "query": q, "mode": args.mode, "index_kind": "positional",
                 "n_results": len(rows), "results": rows[:args.k],
                 "batch_wall_ms": wall_ms,
             }))
@@ -75,18 +95,30 @@ def main(argv: list[str] | None = None) -> None:
         idx = (SegmentIndex.load(spark, args.index)
                .prepare_for_queries(query_groups=8))
         kind = "segments"
-        if args.mode == "bool":
-            raise SystemExit("boolean queries need an Index snapshot "
+        if args.mode in ("bool", "expr"):
+            raise SystemExit(f"{args.mode} queries need an Index snapshot "
                              "(postings/ + documents/), not segments")
+        if args.filter_expr:
+            raise SystemExit("--filter-expr needs an Index snapshot "
+                             "(Catalyst bm25 path), not segments")
     else:
         idx = Index.load(spark, args.index).cache()
+        if args.mode != "bool":  # expr/bm25 serving: prefetch the dict
+            idx = idx.prepare_for_queries()
         kind = "postings"
 
     for q in args.query:
         t0 = time.perf_counter()
         if args.mode == "bm25":
+            if kind == "postings" and args.filter_expr:
+                res = idx.search_bm25(q, args.k,
+                                      filter_expr=args.filter_expr)
+            else:
+                res = idx.search_bm25(q, args.k)
             rows = [(r["doc_id"], round(r["score"], 4))
-                    for r in idx.search_bm25(q, args.k).collect()]
+                    for r in res.collect()]
+        elif args.mode == "expr":
+            rows = [r["doc_id"] for r in idx.search_expr(q).collect()]
         else:
             rows = [r["doc_id"] for r in idx.search_bool(q).collect()]
         print(json.dumps({
