@@ -109,12 +109,15 @@ def test_stream_directory_matches_batch(spark, tmp_path):
     assert terms == {"alpha", "beta", "gamma", "delta"}
 
 
-def test_cli_files_mode_builds_index(spark, tmp_path, capsys):
+def test_cli_files_mode_builds_index(spark, tmp_path, capsys, monkeypatch):
     """The cluster entry point indexes a raw directory end-to-end
     (--input-format files), excluding non-matching files by glob."""
     import importlib.util
     import json
     import pathlib
+
+    # the CLI stops its session on exit; keep the suite's shared session
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
 
     src = tmp_path / "corpus"
     src.mkdir()
