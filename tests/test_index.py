@@ -320,3 +320,17 @@ def test_bm25_filter_expr(idx):
     b = [r["doc_id"] for r in idx.search_bm25("fox dog", 5,
                                               filter_expr=None).collect()]
     assert a == b
+
+
+def test_search_expr_many_matches_per_query(idx):
+    """Batched expression serving == per-query search_expr, covering the
+    shared-scan flat-AND route, complex branches, duplicates of the
+    same flat query, and empty/absent queries."""
+    queries = ["fox dog", "(fox OR box) AND NOT dog", "NOT fox",
+               "fox dog", "quick* AND NOT box*", "", "nonexistent"]
+    got: dict[int, list[int]] = {}
+    for r in idx.search_expr_many(queries).collect():
+        got.setdefault(r["query_id"], []).append(r["doc_id"])
+    for qid, q in enumerate(queries):
+        want = [r["doc_id"] for r in idx.search_expr(q).collect()]
+        assert sorted(got.get(qid, [])) == want, (qid, q)

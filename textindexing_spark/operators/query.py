@@ -434,6 +434,46 @@ class Index:
             acc = acc.join(self._eval_expr(c), "doc_id", "left_anti")
         return acc
 
+    def search_expr_many(self, queries) -> DataFrame:
+        """Batched boolean-language serving: a whole expression set in
+        ONE job. Queries that are flat positive ANDs route through
+        ``search_bool_many``'s shared-scan plan; the rest evaluate as
+        compositional plans unioned with a query_id tag (one action —
+        amortizes scheduling, not scans; complex expressions rarely
+        share structure to merge). Returns (query_id, doc_id) with
+        query_id indexing ``queries``, ordered by query_id, doc_id."""
+        out_schema = "query_id int, doc_id bigint"
+        flat: dict[str, list[int]] = {}
+        branches = []
+        for qid, text in enumerate(queries):
+            ast = parse_bool_expr(text)
+            if ast is None:
+                continue
+            if ast[0] == "term" or (
+                    ast[0] == "and"
+                    and all(c[0] == "term" for c in ast[1])):
+                toks = [ast[1]] if ast[0] == "term" else \
+                    [c[1] for c in ast[1]]
+                flat.setdefault(" ".join(toks), []).append(qid)
+            else:
+                branches.append(
+                    self._eval_expr(ast)
+                    .select(F.lit(qid).cast("int").alias("query_id"),
+                            "doc_id"))
+        if flat:
+            fanout = self.spark.createDataFrame(
+                [(t, qid) for t, qids in flat.items() for qid in qids],
+                "qtext string, query_id int")
+            shared = (self.search_bool_many(sorted(flat))
+                      .withColumnRenamed("query_id", "qtext")
+                      .join(F.broadcast(fanout), "qtext")
+                      .select("query_id", "doc_id"))
+            branches.append(shared)
+        if not branches:
+            return self.spark.createDataFrame([], out_schema)
+        return (reduce(DataFrame.unionByName, branches)
+                .orderBy("query_id", "doc_id"))
+
     def search_bool_many(self, queries) -> DataFrame:
         """Batched boolean search: evaluate a whole query SET in ONE job
         (per query identical to ``search_bool``). All queries' exact
