@@ -77,27 +77,34 @@ def main(argv: list[str] | None = None) -> None:
     t0 = time.perf_counter()
     if args.input_format == "files":
         # a real directory of documents (the reference's primary
-        # workflow): glob pruned at listing time, BOM-aware decode
-        from textindexing_spark.sources.files import read_directory
+        # workflow): engine-glob pruned, BOM-aware decode
+        from textindexing_spark.sources.files import (list_directory,
+                                                      read_directory)
 
         pages = read_directory(spark, args.input, args.glob,
                                default_encoding=args.encoding)
+        # fingerprint from the LISTING only (url, mtime, byte length) —
+        # content-column pruning means no file body is read or decoded
+        # for the digest; the pipeline stages read the corpus once
+        fp_src = (list_directory(spark, args.input, args.glob)
+                  .select(F.xxhash64("url", "warc_ts", "n_bytes")
+                          .alias("h")))
     else:
         pages = spark.read.parquet(args.input)
+        fp_src = pages.select(F.xxhash64(
+            "url", "warc_ts",
+            F.coalesce(F.length("text"), F.lit(-1)),
+            F.coalesce(F.length("html"), F.lit(-1))).alias("h"))
 
-    # input fingerprint: content-sensitive digest — per-row hash over
-    # (url, warc_ts, text length, html length) folded with THREE
-    # order-independent, map-side-combinable aggregates: count, bit_xor,
-    # and sum. xor alone self-cancels duplicate row PAIRS (h ^ h = 0), so
-    # swapping one duplicated pair for a different duplicated pair would
-    # keep count+xor unchanged; the sum is duplicate-sensitive (2h != 2g)
-    # and closes that collision. Sum runs over decimal(38,0) so it cannot
-    # overflow under ANSI mode at any realistic row count (~1e19 rows).
-    row_h = F.xxhash64(
-        "url", "warc_ts",
-        F.coalesce(F.length("text"), F.lit(-1)),
-        F.coalesce(F.length("html"), F.lit(-1)))
-    fp_row = (pages.select(row_h.alias("h"))
+    # input fingerprint: content-sensitive digest — per-row hash folded
+    # with THREE order-independent, map-side-combinable aggregates:
+    # count, bit_xor, and sum. xor alone self-cancels duplicate row
+    # PAIRS (h ^ h = 0), so swapping one duplicated pair for a different
+    # duplicated pair would keep count+xor unchanged; the sum is
+    # duplicate-sensitive (2h != 2g) and closes that collision. Sum runs
+    # over decimal(38,0) so it cannot overflow under ANSI mode at any
+    # realistic row count (~1e19 rows).
+    fp_row = (fp_src
               .agg(F.count("*").alias("n"),
                    F.expr("bit_xor(h)").alias("x"),
                    F.sum(F.col("h").cast("decimal(38,0)")).alias("s"))

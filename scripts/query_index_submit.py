@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--ordered", action="store_true",
                     help="near mode: terms must appear in query order")
     args = ap.parse_args(argv)
+    if args.filter_expr and args.mode != "bm25":
+        raise SystemExit("--filter-expr applies to --mode bm25 only "
+                         "(fold the filter into the expression for "
+                         "--mode expr)")
 
     from pyspark.sql import SparkSession
 

@@ -136,3 +136,63 @@ def test_cli_files_mode_builds_index(spark, tmp_path, capsys, monkeypatch):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_docs"] == 2
     assert out["n_terms"] == 5  # hello spark engine index merge
+
+
+def test_glob_is_engine_semantics_not_hadoop(spark, tmp_path):
+    """The glob follows the reference SearchPattern contract: case-
+    insensitive, brackets are LITERAL (Hadoop pathGlobFilter would treat
+    [1] as a char class and match case-sensitively)."""
+    (tmp_path / "data[1].txt").write_text("bracket file", encoding="utf-8")
+    (tmp_path / "UP.TXT").write_text("upper file", encoding="utf-8")
+    (tmp_path / "low.txt").write_text("lower file", encoding="utf-8")
+    got = {r["url"].rsplit("/", 1)[-1]
+           for r in read_directory(spark, str(tmp_path),
+                                   "data[1].txt").collect()}
+    assert got == {"data[1].txt"}
+    got = {r["url"].rsplit("/", 1)[-1]
+           for r in read_directory(spark, str(tmp_path),
+                                   "*.TXT").collect()}
+    # case-insensitive both ways: every .txt/.TXT file matches
+    assert got == {"UP.TXT", "low.txt", "data[1].txt"}
+
+
+def test_batch_and_stream_urls_are_identical(spark, tmp_path):
+    """A file must keep ONE url identity across the bulk and watch
+    phases, or UrlIdTable would mint two doc_ids for it."""
+    src = tmp_path / "c"
+    src.mkdir()
+    (src / "a.txt").write_text("one", encoding="utf-8")
+    batch_url = read_directory(spark, str(src),
+                               "*.txt").collect()[0]["url"]
+    q = (stream_directory(spark, str(src), "*.txt")
+         .writeStream.format("memory").queryName("urlcheck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    stream_url = spark.sql("SELECT url FROM urlcheck").collect()[0]["url"]
+    assert batch_url == stream_url
+    assert batch_url.startswith("file:///")
+
+
+def test_utf32_boms_not_shadowed_by_utf16():
+    assert decode_bytes("hi".encode("utf-32")) == "hi"  # writes LE BOM
+    assert decode_bytes(b"\x00\x00\xfe\xff"
+                        + "hi".encode("utf-32-be")) == "hi"
+    assert decode_bytes("hi".encode("utf-16")) == "hi"  # still works
+
+
+def test_list_directory_is_content_free(spark, corpus_dir):
+    from textindexing_spark.sources.files import list_directory
+
+    ls = list_directory(spark, str(corpus_dir), "*.txt")
+    rows = {r["url"].rsplit("/", 1)[-1]: r for r in ls.collect()}
+    assert set(rows) == {"a.txt", "b.txt", "c.txt", "d.txt"}
+    assert rows["a.txt"]["n_bytes"] == len("hello world alpha")
+    assert ls.columns == ["url", "warc_ts", "n_bytes"]
+    # the scan's ReadSchema excludes the content column (pruned listing)
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ls.explain("formatted")
+    assert ("ReadSchema: struct<path:string,modificationTime:timestamp,"
+            "length:bigint>") in buf.getvalue()

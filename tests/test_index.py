@@ -334,3 +334,12 @@ def test_search_expr_many_matches_per_query(idx):
     for qid, q in enumerate(queries):
         want = [r["doc_id"] for r in idx.search_expr(q).collect()]
         assert sorted(got.get(qid, [])) == want, (qid, q)
+
+
+def test_bm25_empty_filter_expr_means_no_filter(idx):
+    a = [r["doc_id"] for r in idx.search_bm25("fox dog", 5).collect()]
+    b = [r["doc_id"] for r in
+         idx.search_bm25("fox dog", 5, filter_expr="").collect()]
+    c = [r["doc_id"] for r in
+         idx.search_bm25("fox dog", 5, filter_expr="   ").collect()]
+    assert a == b == c

@@ -177,24 +177,20 @@ class PositionalIndex:
     def _tokens(self, phrase: str) -> list[str]:
         return phrase_tokens(phrase, self.cfg)
 
-    def search_phrase(self, phrase: str) -> DataFrame:
-        """doc_ids containing the phrase's tokens CONSECUTIVELY (in
-        tokenizer order — intervening punctuation/whitespace folds away
-        exactly as it does at index time). Empty/absent-term phrases
-        return an empty frame, never an error (Q1 semantics)."""
-        toks = self._tokens(phrase)
-        empty = self.spark.createDataFrame([], "doc_id bigint")
-        if not toks:
-            return empty
-        # rarest-first: one tiny pruned agg resolves each token's df
-        # (absent token -> short-circuit to empty, no join runs)
+    def _joined_term_scans(self, toks: list[str]):
+        """Shared scaffolding for phrase/proximity: resolve each token's
+        df with one tiny pruned agg (absent token -> None, the caller's
+        empty short-circuit — no join runs), then join the per-slot
+        pruned scans on doc_id RAREST-FIRST. Returns the joined frame
+        with position arrays as columns p0..p{m-1} (slot order), or a
+        plain doc_id frame for a single token."""
         dfs = {r["term"]: r["c"] for r in
                (self.positional
                 .where(F.col("term").isin(*set(toks)))
                 .groupBy("term").agg(F.count("*").alias("c"))
                 .collect())}
         if any(t not in dfs for t in toks):
-            return empty
+            return None
         if len(toks) == 1:
             return (self.positional
                     .where(F.col("term") == toks[0])
@@ -208,6 +204,21 @@ class PositionalIndex:
         joined = scans[order[0]]
         for i in order[1:]:
             joined = joined.join(scans[i], "doc_id")
+        return joined
+
+    def search_phrase(self, phrase: str) -> DataFrame:
+        """doc_ids containing the phrase's tokens CONSECUTIVELY (in
+        tokenizer order — intervening punctuation/whitespace folds away
+        exactly as it does at index time). Empty/absent-term phrases
+        return an empty frame, never an error (Q1 semantics)."""
+        toks = self._tokens(phrase)
+        if not toks:
+            return self.spark.createDataFrame([], "doc_id bigint")
+        joined = self._joined_term_scans(toks)
+        if joined is None:
+            return self.spark.createDataFrame([], "doc_id bigint")
+        if len(toks) == 1:
+            return joined
         # adjacency: some start p in p0 has p+i present in every pi
         cond = F.exists(
             F.col("p0"),
@@ -236,62 +247,49 @@ class PositionalIndex:
         empty = self.spark.createDataFrame([], "doc_id bigint")
         if not toks or k < 0:
             return empty
-        dfs = {r["term"]: r["c"] for r in
-               (self.positional
-                .where(F.col("term").isin(*set(toks)))
-                .groupBy("term").agg(F.count("*").alias("c"))
-                .collect())}
-        if any(t not in dfs for t in toks):
+        joined = self._joined_term_scans(toks)
+        if joined is None:
             return empty
         if len(toks) == 1:
-            return (self.positional
-                    .where(F.col("term") == toks[0])
-                    .select("doc_id"))
+            return joined
         m = len(toks)
-        order = sorted(range(m), key=lambda i: (dfs[toks[i]], i))
-        scans = {
-            i: (self.positional
-                .where(F.col("term") == toks[i])
-                .select("doc_id", F.col("positions").alias(f"p{i}")))
-            for i in range(m)}
-        joined = scans[order[0]]
-        for i in order[1:]:
-            joined = joined.join(scans[i], "doc_id")
-        # distinct lambda-parameter names per nesting level: Spark
-        # resolves lambda variables lexically, so a reused name would
-        # shadow the outer level's variable
-        def _named(name, fn):
-            return eval(f"lambda {name}: fn({name})", {"fn": fn})
-
+        # All HOF lambdas below take exactly ONE parameter and capture
+        # loop/recursion state via closures (a function per level), not
+        # default arguments — PySpark counts a lambda's parameters to
+        # decide the Catalyst lambda's arity, so `lambda q, i=i:` would
+        # be treated as a TWO-variable lambda and fail to resolve.
         if ordered:
             def chain(i, prev, anchor):
                 if i == m:
                     return F.lit(True)
-                return F.exists(
-                    F.col(f"p{i}"),
-                    _named(f"q{i}", lambda q, i=i: (q > prev)
-                           & (q <= anchor + k) & chain(i + 1, q, anchor)))
 
-            cond = F.exists(F.col("p0"),
-                            _named("q0", lambda p: chain(1, p, p)))
+                def step(q):
+                    return ((q > prev) & (q <= anchor + k)
+                            & chain(i + 1, q, anchor))
+
+                return F.exists(F.col(f"p{i}"), step)
+
+            cond = F.exists(F.col("p0"), lambda p: chain(1, p, p))
         else:
             # exact window: anchor at the choice's MINIMUM position —
             # some term j holds it and every other term has a position
             # in [anchor, anchor + k]
             def others(j, p):
+                def in_window(q):
+                    return (q >= p) & (q <= p + k)
+
                 c = F.lit(True)
                 for i in range(m):
                     if i != j:
-                        c = c & F.exists(
-                            F.col(f"p{i}"),
-                            _named(f"q{i}", lambda q, p=p: (q >= p)
-                                   & (q <= p + k)))
+                        c = c & F.exists(F.col(f"p{i}"), in_window)
                 return c
+
+            def anchored_at(j):
+                return lambda p: others(j, p)
 
             cond = reduce(
                 lambda a, b: a | b,
-                [F.exists(F.col(f"p{j}"),
-                          _named(f"a{j}", lambda p, j=j: others(j, p)))
+                [F.exists(F.col(f"p{j}"), anchored_at(j))
                  for j in range(m)])
         return joined.where(cond).select("doc_id")
 

@@ -583,16 +583,17 @@ class Index:
         e.g. ``search_bm25("hash merge", 10, filter_expr="NOT spark")``.
         The filter's doc set semi-joins into the scoring candidates, so
         scores (idf, corpus stats) are UNCHANGED by the filter — only
-        eligibility is, the standard filtered-search contract."""
+        eligibility is, the standard filtered-search contract. An empty
+        or whitespace-only ``filter_expr`` means NO filter (same as
+        None) — a dynamically-built constraint string that ends up empty
+        must not silently empty the results."""
         k = k or self.cfg.default_k
         scores = self.bm25_scores(query_text)
         if filter_expr is not None:
             ast = parse_bool_expr(filter_expr)
-            if ast is None:
-                return self.spark.createDataFrame(
-                    [], "doc_id bigint, score double")
-            scores = scores.join(self._eval_expr(ast), "doc_id",
-                                 "left_semi")
+            if ast is not None:  # None = empty text = unfiltered
+                scores = scores.join(self._eval_expr(ast), "doc_id",
+                                     "left_semi")
         return (scores
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))

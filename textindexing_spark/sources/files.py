@@ -14,20 +14,34 @@ Spark-first equivalents, each emitting the engine's canonical ``pages``
 shape (sources/pages.PAGES_SCHEMA) so every downstream operator — bulk
 build, streaming ingest, registry — composes unchanged:
 
-- ``read_directory``  — batch: the `binaryFile` source. The glob compiles
-  to `pathGlobFilter`, applied at file LISTING time (partition-pruning
-  equivalent: non-matching files are never opened), and the raw bytes
-  land in ``html`` with text decoded by a BOM-aware Arrow-batched pandas
-  UDF (replacement-character semantics, exactly StreamReader's — a
-  malformed file yields replacement chars, never a task failure).
+- ``read_directory``  — batch: the `binaryFile` source, raw bytes in
+  ``html``, text decoded by a BOM-aware Arrow-batched pandas UDF
+  (replacement-character semantics, exactly StreamReader's — a malformed
+  file yields replacement chars, never a task failure).
+- ``list_directory``  — the same enumeration WITHOUT content (url,
+  warc_ts, n_bytes): column pruning means no file body is read — the
+  cheap input for fingerprints/reconciliation.
 - ``read_file``       — S2 point read: one file through the same path.
 - ``stream_directory`` — S3: the Structured Streaming file source tails
   the directory for NEW files (the watcher twin; each micro-batch is the
   change set). Spark's streaming text source is UTF-8 — documented
   narrowing; non-UTF-8 corpora bulk-load via ``read_directory``.
 
-100 TB shape: `binaryFile` listing is driver-parallelized and the decode
-is a narrow per-partition map — no shuffle anywhere; partitioning follows
+Glob semantics are the ENGINE's (sources/glob.glob_to_regex — the
+reference's SearchPattern contract: case-insensitive, only ``*``/``?``
+are wild, everything else literal). Hadoop's ``pathGlobFilter`` differs
+(``[ ] { }`` are metacharacters, matching is case-sensitive), so it is
+used only as a listing-time PRUNING superset when the pattern is
+expressible (letters become ``[xX]`` classes); the authoritative filter
+is always the engine-semantics regex over the file name.
+
+All sources normalize ``url`` to the ``file:///...`` form so a document
+keeps ONE identity across the batch and stream paths (binaryFile emits
+``file:/p``, input_file_name emits ``file:///p`` for the same file —
+un-normalized they would double-index under UrlIdTable).
+
+100 TB shape: listing is driver-parallelized and the decode is a narrow
+per-partition map — no shuffle anywhere; partitioning follows
 `spark.sql.files.maxPartitionBytes` over file sizes.
 """
 
@@ -38,8 +52,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 
 # BOMs the reference's StreamReader auto-detects regardless of the
-# configured default encoding.
+# configured default encoding. UTF-32 entries MUST precede UTF-16:
+# the UTF-32LE BOM starts with the UTF-16LE one (prefix shadowing) —
+# .NET checks UTF-32 first for the same reason.
 _BOMS = (
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
     (b"\xef\xbb\xbf", "utf-8"),
     (b"\xff\xfe", "utf-16-le"),
     (b"\xfe\xff", "utf-16-be"),
@@ -66,27 +84,79 @@ def _decode_udf(default_encoding: str):
     return dec
 
 
+def _norm_url(col):
+    """Canonical file url: exactly three slashes after the scheme."""
+    return F.regexp_replace(col, "^file:/+", "file:///")
+
+
+def _prune_glob(pattern: str) -> str | None:
+    """A case-insensitive Hadoop-glob SUPERSET of the engine glob, for
+    listing-time pruning — or None when the pattern contains characters
+    Hadoop treats as metacharacters (``[ ] { } \\``), in which case no
+    pre-filter is applied and the post-filter alone decides."""
+    out = []
+    for ch in pattern:
+        if ch in "*?":
+            out.append(ch)
+        elif ch.isascii() and ch.isalpha():
+            out.append(f"[{ch.lower()}{ch.upper()}]")
+        elif ch.isdigit() or ch in "_.- ":
+            out.append(ch)
+        else:
+            return None
+    return "".join(out)
+
+
+def _glob_filter_basename(df: DataFrame, pattern: str) -> DataFrame:
+    """The authoritative glob: engine/SearchPattern semantics over the
+    file NAME (case-insensitive; only * and ? wild)."""
+    from textindexing_spark.sources.glob import glob_to_regex
+
+    rx = glob_to_regex(pattern)
+    return df.where(
+        F.element_at(F.split(F.col("url"), "/"), -1).rlike(rx))
+
+
+def _listing_reader(spark: SparkSession, pattern: str, recursive: bool,
+                    stream: bool = False):
+    fmt = "text" if stream else "binaryFile"
+    r = (spark.readStream if stream else spark.read).format(fmt)
+    pre = _prune_glob(pattern)
+    if pre is not None:
+        r = r.option("pathGlobFilter", pre)
+    return r.option("recursiveFileLookup",
+                    "true" if recursive else "false")
+
+
 def read_directory(spark: SparkSession, root: str, pattern: str = "*",
                    recursive: bool = True,
                    default_encoding: str = "utf-8") -> DataFrame:
     """S1 over a real directory: every file under ``root`` matching the
-    ``*``/``?`` glob, as a pages-shaped DataFrame (url=path,
-    warc_ts=mtime, html=raw bytes, text=decoded, lang=null). The glob
-    validates like the reference's SearchPattern (SearchPattern.cs:63-67)
-    and prunes at listing time via ``pathGlobFilter``."""
-    from textindexing_spark.sources.glob import glob_to_regex
-
-    glob_to_regex(pattern)  # validation only: reject '<>"|' chars loudly
-    raw = (spark.read.format("binaryFile")
-           .option("pathGlobFilter", pattern)
-           .option("recursiveFileLookup", "true" if recursive else "false")
-           .load(root))
-    return raw.select(
-        F.col("path").alias("url"),
+    ``*``/``?`` glob (SearchPattern semantics — see module docstring),
+    as a pages-shaped DataFrame (url=normalized path, warc_ts=mtime,
+    html=raw bytes, text=decoded, lang=null)."""
+    raw = _listing_reader(spark, pattern, recursive).load(root)
+    pages = raw.select(
+        _norm_url(F.col("path")).alias("url"),
         F.col("modificationTime").alias("warc_ts"),
         F.col("content").alias("html"),
         _decode_udf(default_encoding)(F.col("content")).alias("text"),
         F.lit(None).cast("string").alias("lang"))
+    return _glob_filter_basename(pages, pattern)
+
+
+def list_directory(spark: SparkSession, root: str, pattern: str = "*",
+                   recursive: bool = True) -> DataFrame:
+    """The directory ENUMERATION only — (url, warc_ts, n_bytes), no
+    content column projected, so no file body is ever read (binaryFile
+    prunes the ``content`` column). The cheap input for change
+    fingerprints and delete reconciliation over a file corpus."""
+    raw = _listing_reader(spark, pattern, recursive).load(root)
+    listing = raw.select(
+        _norm_url(F.col("path")).alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("length").alias("n_bytes"))
+    return _glob_filter_basename(listing, pattern)
 
 
 def read_file(spark: SparkSession, path: str,
@@ -114,15 +184,16 @@ def stream_directory(spark: SparkSession, root: str, pattern: str = "*",
     row in the pages shape; ``warc_ts`` is the ingestion timestamp
     (the file-source queue is ordered by modification time). UTF-8 only
     (Spark streaming text source); ``html`` carries the UTF-8 bytes so
-    the extract contract still round-trips."""
-    raw = (spark.readStream.format("text")
+    the extract contract still round-trips. Urls are normalized to the
+    same ``file:///`` form ``read_directory`` emits, so a file keeps one
+    UrlIdTable identity across the bulk and watch phases."""
+    raw = (_listing_reader(spark, pattern, recursive, stream=True)
            .option("wholetext", "true")
-           .option("pathGlobFilter", pattern)
-           .option("recursiveFileLookup", "true" if recursive else "false")
            .load(root))
-    return raw.select(
-        F.input_file_name().alias("url"),
+    pages = raw.select(
+        _norm_url(F.input_file_name()).alias("url"),
         F.current_timestamp().alias("warc_ts"),
         F.encode(F.col("value"), "UTF-8").alias("html"),
         F.col("value").alias("text"),
         F.lit(None).cast("string").alias("lang"))
+    return _glob_filter_basename(pages, pattern)
