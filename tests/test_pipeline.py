@@ -835,3 +835,40 @@ def test_single_pass_combined_ops_match_standalone(spark):
     f2 = {r.doc_id: r.roll_hash
           for r in rolling_fingerprint(docs).collect()}
     assert fp == {d: (f1[d], f2[d]) for d in f1}
+
+
+def test_keywords_tfidf_matches_pandas_oracle(spark):
+    """Top-k TF-IDF keywords per doc vs a pure-Python computation
+    (same tokenizer, same smoothing, same tie-break)."""
+    import math
+
+    from textindexing_spark.functions.analysis import keywords
+    from textindexing_spark.functions.tokenize import tokenize_text
+
+    corpus = [
+        (0, "spark spark spark merge fast"),
+        (1, "merge merge fast fast fast scan"),
+        (2, "scan scan unique"),
+        (3, ""),  # empty doc: contributes nothing
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = [(r["doc_id"], r["term"], r["tf"], r["tfidf"], r["rank"])
+           for r in keywords(docs, k=2).collect()]
+
+    toks = {d: tokenize_text(t) for d, t in corpus if tokenize_text(t)}
+    n = len(toks)
+    tf = {(d, w): ts.count(w) for d, ts in toks.items() for w in set(ts)}
+    df = {}
+    for d, ts in toks.items():
+        for w in set(ts):
+            df[w] = df.get(w, 0) + 1
+    want = []
+    for d in toks:
+        scored = sorted(
+            ((w, tf[(d, w)],
+              round(tf[(d, w)] * (math.log((n + 1) / (df[w] + 1)) + 1), 6))
+             for w in set(toks[d])),
+            key=lambda x: (-x[2], x[0]))[:2]
+        want.extend((d, w, t, s, i + 1)
+                    for i, (w, t, s) in enumerate(scored))
+    assert sorted(got) == sorted(want)

@@ -201,3 +201,33 @@ def ngram_contamination(corpus: DataFrame, probes: DataFrame,
                         F.when(F.col("n_grams") > 0,
                                F.round(F.col("n_contaminated") /
                                        F.col("n_grams"), 6))))
+
+
+def keywords(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, term, tf, tfidf, rank) — top-k TF-IDF keywords per
+    document (corpus characterization / tag extraction). One tokenize
+    pass: tf from the per-doc token bag, df from the same exploded
+    frame, idf = ln((N+1)/(df+1)) + 1 (smoothed, always positive), rank
+    by tfidf desc with term-asc tie-break (deterministic). 100 TB shape:
+    one explode + two hash aggregations + a per-doc top-k window over
+    <=|vocab_doc| rows — the df side is a broadcast-sized dimension
+    (vocabulary-bound)."""
+    from pyspark.sql import Window
+
+    tf = (docs.select("doc_id", tokens_col("text").alias("ts"))
+          .where(F.size("ts") > 0)
+          .select("doc_id", F.explode("ts").alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count("*").alias("tf")))
+    n_docs = (docs.select(tokens_col("text").alias("ts"))
+              .where(F.size("ts") > 0).count())
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs) + 1.0)) /
+                (F.col("df") + 1.0)) + F.lit(1.0)
+    scored = (tf.join(F.broadcast(df), "term")
+              .withColumn("tfidf", F.round(F.col("tf") * idf, 6)))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "tfidf", "rank"))
