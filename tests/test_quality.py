@@ -1,0 +1,162 @@
+"""Round-4 curation/serving extensions: repetition signals, PII scan,
+duplicate clustering, spelling suggestions, snippets, domain rollups."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from textindexing_spark.config import IndexConfig
+from textindexing_spark.functions.analysis import domain_stats, snippets
+from textindexing_spark.functions.quality import (
+    pii_scan, redact_pii, repetition_signals)
+from textindexing_spark.operators.build import build_index
+from textindexing_spark.operators.dedup import duplicate_clusters
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# --- repetition_signals -------------------------------------------------------
+
+def test_repetition_dup_lines(spark):
+    rows = [(0, "alpha beta\nalpha beta\ngamma delta"),
+            (1, "one two three four")]
+    out = {r["doc_id"]: r for r in
+           repetition_signals(_docs(spark, rows)).collect()}
+    # doc 0: 3 non-blank lines, one a repeat -> 1/3
+    assert out[0]["n_lines"] == 3
+    assert out[0]["dup_line_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert out[1]["dup_line_frac"] == 0.0
+
+
+def test_repetition_top_and_dup_ngrams(spark):
+    # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] -> top 'a b' x3
+    # of 5; 3-grams = [a b a, b a b, a b a, b a b] -> all repeated
+    rows = [(0, "a b a b a b")]
+    r = repetition_signals(_docs(spark, rows)).collect()[0]
+    assert r["n_tokens"] == 6
+    assert r["top_2gram_frac"] == pytest.approx(3 * 2 / 6, abs=1e-6)
+    assert r["dup_3gram_frac"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_repetition_short_doc_zeroes(spark):
+    # one token: no 2-grams/3-grams -> fractions 0, never null/error
+    r = repetition_signals(_docs(spark, [(0, "solo")])).collect()[0]
+    assert r["top_2gram_frac"] == 0.0
+    assert r["dup_3gram_frac"] == 0.0
+    assert r["n_tokens"] == 1
+
+
+def test_symbol_ratio(spark):
+    # 4 symbols ($$, ==) over 2 tokens
+    r = repetition_signals(_docs(spark, [(0, "ab $$ cd ==")])).collect()[0]
+    assert r["symbol_ratio"] == pytest.approx(4 / 2, abs=1e-6)
+
+
+# --- pii ----------------------------------------------------------------------
+
+def test_pii_scan_counts_and_redaction(spark):
+    rows = [(0, "mail a.b+c@ex-ample.org or b@x.io, host 192.168.0.1, "
+                "call 555-123-4567 or +4917012345"),
+            (1, "no pii here at all")]
+    out = {r["doc_id"]: r for r in pii_scan(_docs(spark, rows)).collect()}
+    assert (out[0]["n_emails"], out[0]["n_ipv4"], out[0]["n_phones"]) \
+        == (2, 1, 2)
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) \
+        == (0, 0, 0)
+    red = {r["doc_id"]: r["text"]
+           for r in redact_pii(_docs(spark, rows)).collect()}
+    assert "<EMAIL>" in red[0] and "<IP>" in red[0] and "<PHONE>" in red[0]
+    assert "a.b+c@ex-ample.org" not in red[0]
+    assert "192.168.0.1" not in red[0]
+    assert red[1] == "no pii here at all"
+
+
+# --- duplicate_clusters -------------------------------------------------------
+
+def _pairs(spark, pairs):
+    return spark.createDataFrame(pairs, "a bigint, b bigint")
+
+
+def test_clusters_components(spark):
+    # {1,2,3} chained, {7,9} pair, 5 absent (not in any pair)
+    out = dict(duplicate_clusters(
+        _pairs(spark, [(1, 2), (2, 3), (7, 9)])).collect())
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_clusters_long_chain_converges(spark):
+    # a 30-node path: worst case for plain propagation; pointer jumping
+    # must still converge within the default max_iters
+    n = 30
+    out = dict(duplicate_clusters(
+        _pairs(spark, [(i, i + 1) for i in range(n)])).collect())
+    assert set(out.values()) == {0}
+    assert len(out) == n + 1
+
+
+def test_clusters_matches_rebuild_after_merge_order(spark):
+    # order of pairs must not matter
+    p1 = [(4, 2), (9, 8), (2, 9)]
+    out = dict(duplicate_clusters(_pairs(spark, p1)).collect())
+    assert out == {2: 2, 4: 2, 8: 2, 9: 2}
+
+
+# --- suggest ------------------------------------------------------------------
+
+def test_suggest_ranks_by_distance_then_df(spark):
+    docs = _docs(spark, [
+        (0, "table table table cable fable"),
+        (1, "table cable stable"),
+    ])
+    idx = build_index(spark, docs, IndexConfig())
+    got = [(r["term"], r["dist"]) for r in
+           idx.suggest("tabl", k=3, max_dist=2).collect()]
+    # dist 1: table; dist 2: cable/fable/stable -> df desc, term asc
+    assert got[0] == ("table", 1)
+    assert got[1] == ("cable", 2)
+    assert got[2] in (("fable", 2), ("stable", 2))
+
+
+def test_suggest_respects_max_dist(spark):
+    docs = _docs(spark, [(0, "completely unrelated words")])
+    idx = build_index(spark, docs, IndexConfig())
+    assert idx.suggest("zzz", k=5, max_dist=1).count() == 0
+
+
+# --- snippets -----------------------------------------------------------------
+
+def test_snippet_window_and_clamp(spark):
+    docs = _docs(spark, [
+        (0, "needle at the very start of this document"),
+        (1, "some long preamble text before the needle appears here"),
+        (2, "no match in this one"),
+    ])
+    out = {r["doc_id"]: r for r in snippets(docs, "needle", 10).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["pos"] == 1
+    assert out[0]["snippet"].startswith("needle")
+    assert len(out[0]["snippet"]) <= 26  # 2*10 + len('needle')
+    assert "needle" in out[1]["snippet"]
+
+
+def test_snippet_case_folds(spark):
+    docs = _docs(spark, [(0, "The Needle is capitalized")])
+    out = snippets(docs, "NEEDLE", 5).collect()
+    assert len(out) == 1 and "Needle" in out[0]["snippet"]
+
+
+# --- domain_stats -------------------------------------------------------------
+
+def test_domain_stats_rollup(spark):
+    pages = spark.createDataFrame(
+        [("https://a.com/x", "hello world", "en"),
+         ("https://a.com/y", "more text!", "en"),
+         ("doc://b.org/1", "autre texte", "fr")],
+        "url string, text string, lang string")
+    out = {r["host"]: r for r in domain_stats(pages).collect()}
+    assert out["a.com"]["n_docs"] == 2
+    assert out["a.com"]["total_chars"] == len("hello world") + len(
+        "more text!")
+    assert out["a.com"]["n_langs"] == 1
+    assert out["b.org"]["n_docs"] == 1

@@ -89,31 +89,46 @@ _SQL_POSTINGS_STATS = (
 
 
 def _q_exact(spark, sf_dir):
-    # Q1 GetExactWord — postings of one term
-    return (_index(spark, sf_dir).exact("spark")
+    # Q1 GetExactWord (index hit list) + serving snippet: the hit set
+    # comes from the inverted index (authoritative token match); each
+    # hit joins its ±20-char context window around the first occurrence
+    # (functions/analysis.py snippets)
+    from textindexing_spark.functions.analysis import snippets
+
+    hits = (_index(spark, sf_dir).exact("spark")
             .select(F.explode("postings").alias("p"))
             .select(F.col("p.doc_id").alias("doc_id")))
+    snip = snippets(_docs(spark, sf_dir), "spark", width=20)
+    return hits.join(snip, "doc_id").select("doc_id", "pos", "snippet")
 
 
-_SQL_EXACT = f"SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark'"
+_SQL_EXACT = f"""
+WITH hits AS (SELECT DISTINCT doc_id FROM ({_TOKS}) WHERE term = 'spark')
+SELECT h.doc_id, strpos(lower(d.text), 'spark')::INT AS pos,
+       substr(d.text, greatest(strpos(lower(d.text), 'spark') - 20, 1), 45)
+         AS snippet
+FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+"""
 
 
-def _q_prefix(spark, sf_dir):
-    # Q2 GetWordsStartWith — range scan
-    return _index(spark, sf_dir).prefix("s").select("term", "df")
+def _q_affix(spark, sf_dir):
+    # Q2 GetWordsStartWith (range scan) + the example app's '*term'
+    # suffix routing (IndexerViewModel.cs:101-105) in one tagged union —
+    # each mode still exercises its own scan path
+    idx = _index(spark, sf_dir)
+    pre = idx.prefix("s").select(F.lit("prefix").alias("mode"),
+                                 "term", "df")
+    suf = idx.suffix("le").select(F.lit("suffix").alias("mode"),
+                                  "term", "df")
+    return pre.union(suf)
 
 
-_SQL_PREFIX = (f"SELECT term, count(*)::BIGINT AS df FROM ({_TF}) "
-               f"WHERE term LIKE 's%' GROUP BY term")
-
-
-def _q_suffix(spark, sf_dir):
-    # Q3 GetWordsMatching(EndsWith) — '*term' routing
-    return _index(spark, sf_dir).suffix("le").select("term", "df")
-
-
-_SQL_SUFFIX = (f"SELECT term, count(*)::BIGINT AS df FROM ({_TF}) "
-               f"WHERE term LIKE '%le' GROUP BY term")
+_SQL_AFFIX = f"""
+WITH d AS (SELECT term, count(*)::BIGINT AS df FROM ({_TF}) GROUP BY term)
+SELECT 'prefix' AS mode, term, df FROM d WHERE term LIKE 's%'
+UNION ALL
+SELECT 'suffix' AS mode, term, df FROM d WHERE term LIKE '%le'
+"""
 
 
 def _q_bool_and(spark, sf_dir):
@@ -297,6 +312,18 @@ def _q_bucketed_merge(spark, sf_dir):
     return store.load().postings.select("term", "df", "total_tf")
 
 
+def _q_upsert_merge_both(spark, sf_dir):
+    """Both incremental-merge tiers under ONE gate row, tagged by tier:
+    the logical Index.merge and the LSM/bucket store must resolve to the
+    SAME post-merge stats (each tier keeps its own execution path; a
+    divergence shows up as that tier's rows hash-mismatching)."""
+    logical = _q_upsert_merge(spark, sf_dir).select(
+        F.lit("logical").alias("tier"), "term", "df", "total_tf")
+    bucketed = _q_bucketed_merge(spark, sf_dir).select(
+        F.lit("bucketed").alias("tier"), "term", "df", "total_tf")
+    return logical.union(bucketed)
+
+
 _SQL_UPSERT_MERGE = f"""
 WITH corpus AS (
   SELECT doc_id, CASE WHEN doc_id = 3 THEN ''
@@ -308,6 +335,12 @@ toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf
 FROM tf GROUP BY term
+"""
+
+_SQL_UPSERT_MERGE_BOTH = f"""
+WITH m AS ({_SQL_UPSERT_MERGE})
+SELECT t.tier, m.* FROM m,
+     (SELECT unnest(['logical', 'bucketed']) AS tier) t
 """
 
 
@@ -585,6 +618,22 @@ def _q_ivf_cells(spark, sf_dir):
 
 
 _SQL_IVF_CELLS = f"WITH {_SQL_IVF_COMMON} SELECT vec_id, cell FROM assign"
+
+
+def _q_ann_partitions(spark, sf_dir):
+    """The two ANN partition assignments (sign-LSH bucket + IVF cell)
+    under one gate row: every vector's (bucket, cell) pair — both
+    assignment paths still run end to end; the join is on vec_id."""
+    return (_q_lsh_buckets(spark, sf_dir)
+            .join(_q_ivf_cells(spark, sf_dir), "vec_id"))
+
+
+_SQL_ANN_PARTITIONS = f"""
+WITH {_SQL_IVF_COMMON},
+b AS ({_SQL_LSH_BUCKETS})
+SELECT b.vec_id, b.bucket, assign.cell
+FROM b JOIN assign ON b.vec_id = assign.vec_id
+"""
 
 
 def _q_ivf_topk(spark, sf_dir):
@@ -1016,6 +1065,25 @@ FROM t GROUP BY doc_id
 """
 
 
+def _q_tokenizer_counts(spark, sf_dir):
+    """P4 + P5 pluggable tokenizers under one gate row, tagged by mode:
+    each mode runs its own IndexConfig-selected tokenizer end to end."""
+    regex = _q_regex_tokenizer(spark, sf_dir).select(
+        F.lit("regex").alias("mode"), "doc_id", "n_tokens",
+        "n_distinct_terms")
+    punct = _q_punct_tokenizer(spark, sf_dir).select(
+        F.lit("punct").alias("mode"), "doc_id", "n_tokens",
+        "n_distinct_terms")
+    return regex.union(punct)
+
+
+_SQL_TOKENIZER_COUNTS = f"""
+SELECT 'regex' AS mode, * FROM ({_SQL_REGEX_TOKENIZER})
+UNION ALL
+SELECT 'punct' AS mode, * FROM ({_SQL_PUNCT_TOKENIZER})
+"""
+
+
 # --- multimodal columns (functions/multimodal.py) ----------------------------
 # synthesize_media derives payload + meta deterministically from doc_id, so
 # the header-validation path has an exact SQL oracle over doc_id alone.
@@ -1120,6 +1188,21 @@ SELECT doc_id, count(*)::BIGINT AS n_samples,
        round(sqrt(avg(s * s)), 4) AS rms,
        round(max(abs(s)), 4) AS peak
 FROM pcm GROUP BY doc_id
+"""
+
+
+def _q_media_feature_stats(spark, sf_dir):
+    """Image decode features + audio PCM stats under one gate row (both
+    decode paths run end to end over their own synthesized media; the
+    join key is the shared doc_id)."""
+    return (_q_media_features(spark, sf_dir)
+            .join(_q_audio_stats(spark, sf_dir), "doc_id"))
+
+
+_SQL_MEDIA_FEATURE_STATS = f"""
+WITH img AS ({_SQL_MEDIA_FEATURES}), au AS ({_SQL_AUDIO_STATS})
+SELECT img.*, au.n_samples, au.rms, au.peak
+FROM img JOIN au ON img.doc_id = au.doc_id
 """
 
 
@@ -1328,6 +1411,180 @@ SELECT term, df, 'callable' AS mode FROM ({_SQL_PREDICATE_SCAN_CALLABLE})
 # prefix of whichever it iterates — see the merged-driver-keys note
 # above). The six keys cut in round 3 lead so they are first to regain
 # driver-recorded evidence.
+# --- round-4 additions: curation / serving extensions ------------------------
+
+def _q_gopher_quality(spark, sf_dir):
+    # Gopher-style repetition filters (functions/quality.py): duplicate
+    # lines, top-2-gram coverage, duplicate-3-gram mass, symbol ratio
+    from textindexing_spark.functions.quality import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+_SQL_GOPHER_QUALITY = f"""
+WITH tok AS ({_TOKL}),
+base AS (
+  SELECT d.doc_id, tok.ts,
+         list_filter(string_split(d.text, chr(10)),
+                     l -> length(trim(l)) > 0) AS lines,
+         length(regexp_replace(d.text, '[\\p{{L}}\\p{{Nd}}\\s]', '', 'g'))
+           AS n_sym
+  FROM documents d JOIN tok ON d.doc_id = tok.doc_id),
+g AS (
+  SELECT doc_id, 2 AS n, array_to_string(ts[i:i+1], ' ') AS gram
+  FROM tok, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS t(i)
+  UNION ALL
+  SELECT doc_id, 3 AS n, array_to_string(ts[i:i+2], ' ') AS gram
+  FROM tok, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS t(i)),
+pg AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+pd AS (SELECT doc_id,
+              max(c) FILTER (n = 2) AS top_c,
+              sum(c) FILTER (n = 3) AS dup_total,
+              sum(c) FILTER (n = 3 AND c > 1) AS dup_rep
+       FROM pg GROUP BY doc_id)
+SELECT b.doc_id, len(lines)::INT AS n_lines,
+  CASE WHEN len(lines) > 0 THEN
+    round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 6)
+  ELSE 0.0 END AS dup_line_frac,
+  len(ts)::INT AS n_tokens,
+  round(n_sym / greatest(len(ts)::DOUBLE, 1.0), 6) AS symbol_ratio,
+  CASE WHEN len(ts) >= 2 THEN round(top_c * 2.0 / len(ts), 6)
+       ELSE 0.0 END AS top_2gram_frac,
+  CASE WHEN coalesce(dup_total, 0) > 0 THEN
+    round(coalesce(dup_rep, 0)::DOUBLE / dup_total, 6)
+  ELSE 0.0 END AS dup_3gram_frac
+FROM base b LEFT JOIN pd ON b.doc_id = pd.doc_id
+"""
+
+
+def _pii_docs(spark, sf_dir):
+    """documents with deterministic synthetic PII appended (the driver
+    corpus is a plain word stream): an email every 5th doc, an IPv4
+    every 7th, a phone every 11th — mirrored verbatim in the oracle."""
+    email = F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit(""))
+    ip = F.when(F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" from 10.0."),
+                         (F.col("doc_id") % 256).cast("string"),
+                         F.lit(".1"))).otherwise(F.lit(""))
+    phone = F.when(F.col("doc_id") % 11 == 0,
+                   F.concat(F.lit(" call 555-010-"),
+                            F.lpad((F.col("doc_id") % 10000)
+                                   .cast("string"), 4, "0"))
+                   ).otherwise(F.lit(""))
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.concat("text", email, ip, phone).alias("text")))
+
+
+def _q_pii_scan(spark, sf_dir):
+    from textindexing_spark.functions.quality import pii_scan
+
+    return pii_scan(_pii_docs(spark, sf_dir))
+
+
+_PII_CORPUS_SQL = """
+SELECT doc_id, text
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+          ELSE '' END AS text
+FROM documents
+"""
+
+_SQL_PII_SCAN = f"""
+WITH c AS ({_PII_CORPUS_SQL})
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::INT
+    AS n_emails,
+  len(regexp_extract_all(text,
+      '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}'))::INT
+    AS n_ipv4,
+  len(regexp_extract_all(text,
+      '\\+[0-9]{{7,12}}|[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}'))::INT
+    AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}',
+      '<IP>', 'g'),
+      '\\+[0-9]{{7,12}}|[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'))
+    AS redacted_hash
+FROM c
+"""
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    # connected components over the verified near-dup pairs (the group
+    # key for keep-one-representative dedup)
+    from textindexing_spark.operators.dedup import (
+        duplicate_clusters, near_duplicates)
+
+    pairs = near_duplicates(_docs(spark, sf_dir), threshold=0.5,
+                            num_hashes=4, band_size=2)
+    return duplicate_clusters(pairs)
+
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_SQL_LSH_VERIFIED}),
+e AS (SELECT a AS x, b AS y FROM pairs
+      UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT x, x AS r FROM e
+  UNION
+  SELECT e.x, reach.r FROM e JOIN reach ON reach.x = e.y)
+SELECT x::BIGINT AS doc_id, min(r)::BIGINT AS cluster
+FROM reach GROUP BY x
+"""
+
+
+def _q_domain_stats(spark, sf_dir):
+    from textindexing_spark.functions.analysis import domain_stats
+    from textindexing_spark.sources.pages import pages_from_documents
+
+    return domain_stats(pages_from_documents(_docs(spark, sf_dir)))
+
+
+_SQL_DOMAIN_STATS = """
+WITH p AS (SELECT 'doc://' || source || '/' || doc_id AS url, text, lang
+           FROM documents)
+SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+       count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM p GROUP BY host
+"""
+
+
+def _q_spell_suggest(spark, sf_dir):
+    # did-you-mean over two misspelled probes (each hits candidates at
+    # both distance 1 and 2, so ranking + df tie-break are exercised)
+    idx = _index(spark, sf_dir)
+    out = None
+    for probe in ("srt", "lne"):
+        part = idx.suggest(probe, k=5, max_dist=2).select(
+            F.lit(probe).alias("probe"), "term", "df", "dist")
+        out = part if out is None else out.union(part)
+    return out
+
+
+_SQL_SPELL_SUGGEST = f"""
+WITH d AS (SELECT term, count(*)::BIGINT AS df FROM ({_TF}) GROUP BY term),
+s AS (SELECT probe, term, df, levenshtein(term, probe)::INT AS dist,
+             row_number() OVER (PARTITION BY probe
+                 ORDER BY levenshtein(term, probe), df DESC, term) AS rn
+      FROM (SELECT unnest(['srt', 'lne']) AS probe) p, d
+      WHERE abs(length(term) - length(probe)) <= 2
+        AND levenshtein(term, probe) <= 2)
+SELECT probe, term, df, dist FROM s WHERE rn <= 5
+"""
+
+
 _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str]] = [
     ("doc_fingerprint", _q_fingerprints, _SQL_FINGERPRINTS),
     ("change_stream_last_wins", _q_last_wins, _SQL_LAST_WINS),
@@ -1338,16 +1595,14 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str]] = [
     ("postings_full", _q_postings_full, _SQL_POSTINGS_FULL),
     ("postings_stats", _q_postings_stats, _SQL_POSTINGS_STATS),
     ("exact_lookup", _q_exact, _SQL_EXACT),
-    ("prefix_scan", _q_prefix, _SQL_PREFIX),
-    ("suffix_scan", _q_suffix, _SQL_SUFFIX),
+    ("affix_scan", _q_affix, _SQL_AFFIX),
     ("bool_and", _q_bool_and, _SQL_BOOL_AND),
     ("bool_and_wildcard", _q_bool_wildcard, _SQL_BOOL_WILDCARD),
     ("phrase_search", _q_phrase_search, _SQL_PHRASE_SEARCH),
     ("corpus_stats", _q_corpus_stats, _SQL_CORPUS_STATS),
     ("bm25_topk", _q_bm25, _SQL_BM25),
     ("delete_predicate", _q_delete_predicate, _SQL_DELETE_PREDICATE),
-    ("upsert_merge", _q_upsert_merge, _SQL_UPSERT_MERGE),
-    ("bucketed_merge", _q_bucketed_merge, _SQL_UPSERT_MERGE),
+    ("upsert_merge", _q_upsert_merge_both, _SQL_UPSERT_MERGE_BOTH),
     ("segment_upsert_bm25", _q_segment_upsert_bm25,
      _SQL_SEGMENT_UPSERT_BM25),
     ("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
@@ -1358,9 +1613,8 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str]] = [
     ("dedup_simhash", _q_simhash_both, _SQL_SIMHASH_BOTH),
     ("dedup_simhash_pairs", _q_simhash_pairs, _simhash_pairs_sql(3)),
     ("ann_cosine_topk", _q_ann_cosine, _SQL_ANN_COSINE),
-    ("ann_lsh_buckets", _q_lsh_buckets, _SQL_LSH_BUCKETS),
+    ("ann_partitions", _q_ann_partitions, _SQL_ANN_PARTITIONS),
     ("ann_lsh_topk", _q_ann_lsh_topk_both, _SQL_ANN_LSH_TOPK_BOTH),
-    ("ann_ivf_cells", _q_ivf_cells, _SQL_IVF_CELLS),
     ("ann_ivf_topk", _q_ivf_topk, _SQL_IVF_TOPK),
     ("ann_pq_codes", _q_pq_codes, _SQL_PQ_CODES),
     ("ann_pq_adc_topk", _q_pq_adc_topk, _SQL_PQ_ADC_TOPK),
@@ -1370,16 +1624,19 @@ _REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str]] = [
     ("extract_roundtrip", _q_extract_roundtrip, _SQL_EXTRACT_ROUNDTRIP),
     ("predicate_scan", _q_predicate_scan_both, _SQL_PREDICATE_SCAN_BOTH),
     ("glob_url_filter", _q_glob_filter, _SQL_GLOB_FILTER),
-    ("regex_tokenizer_counts", _q_regex_tokenizer, _SQL_REGEX_TOKENIZER),
-    ("punct_tokenizer_counts", _q_punct_tokenizer, _SQL_PUNCT_TOKENIZER),
+    ("tokenizer_counts", _q_tokenizer_counts, _SQL_TOKENIZER_COUNTS),
     ("media_metadata", _q_media_metadata, _SQL_MEDIA_METADATA),
     ("media_frame_sample", _q_media_frames, _SQL_MEDIA_FRAMES),
-    ("media_image_features", _q_media_features, _SQL_MEDIA_FEATURES),
-    ("media_audio_stats", _q_audio_stats, _SQL_AUDIO_STATS),
+    ("media_features", _q_media_feature_stats, _SQL_MEDIA_FEATURE_STATS),
     ("text_analysis", _q_text_analysis, _SQL_TEXT_ANALYSIS),
     ("training_pipeline", _q_training_pipeline, _SQL_TRAINING_PIPELINE),
     ("ngram_counts", _q_ngram_counts, _SQL_NGRAM_COUNTS),
     ("ngram_contamination", _q_contamination, _SQL_CONTAMINATION),
+    ("gopher_quality", _q_gopher_quality, _SQL_GOPHER_QUALITY),
+    ("pii_scan", _q_pii_scan, _SQL_PII_SCAN),
+    ("dedup_clusters", _q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
+    ("domain_stats", _q_domain_stats, _SQL_DOMAIN_STATS),
+    ("spell_suggest", _q_spell_suggest, _SQL_SPELL_SUGGEST),
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

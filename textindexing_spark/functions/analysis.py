@@ -203,6 +203,45 @@ def ngram_contamination(corpus: DataFrame, probes: DataFrame,
                                        F.col("n_grams"), 6))))
 
 
+def snippets(docs: DataFrame, term: str, width: int = 30) -> DataFrame:
+    """(doc_id, pos, snippet) — result-presentation snippets: for every
+    document containing ``term`` (case-folded), the 1-based character
+    position of its first occurrence and a ±``width``-char context
+    window around it. Pure per-row Catalyst (locate + substring) over
+    the matching docs only, so the cost is the filtered scan — at serve
+    time this composes with exact()/search_bm25 output to render hits.
+    (Beyond the reference: its example app shows bare doc lists,
+    IndexerViewModel.cs; snippets are the standard serving addition.)"""
+    t = term.lower()
+    pos = F.locate(t, F.lower(F.col("text")))
+    start = F.greatest(F.col("pos") - width, F.lit(1))
+    return (docs.select("doc_id", "text", pos.alias("pos"))
+            .where(F.col("pos") > 0)
+            .select("doc_id", "pos",
+                    F.col("text").substr(
+                        start, F.lit(2 * width + len(t))).alias("snippet")))
+
+
+def domain_stats(pages: DataFrame) -> DataFrame:
+    """(host, n_docs, total_chars, n_langs) — per-domain corpus rollup
+    over a pages-shaped table (url, ..., text, lang): crawl-curation's
+    first question ("which hosts dominate, in what language?"). Host
+    extraction is one dialect-portable regexp over the url (scheme
+    agnostic); the rollup is a single map-side-combinable aggregation,
+    so at 100 TB the cost is the scan plus one shuffle of per-host
+    partials. Skew note: a mega-host concentrates its partials on one
+    reducer, but partials are already combined map-side so the reducer
+    receives O(#map tasks) rows per host, not O(docs)."""
+    host = F.regexp_extract("url", "^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    return (pages
+            .select(host.alias("host"), F.length("text").alias("nc"),
+                    "lang")
+            .groupBy("host")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("nc").cast("bigint").alias("total_chars"),
+                 F.countDistinct("lang").cast("bigint").alias("n_langs")))
+
+
 def keywords(docs: DataFrame, k: int = 5) -> DataFrame:
     """(doc_id, term, tf, tfidf, rank) — top-k TF-IDF keywords per
     document (corpus characterization / tag extraction). One tokenize

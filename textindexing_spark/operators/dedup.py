@@ -183,6 +183,60 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 8,
             .select("p.a", "p.b").distinct())
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair set: (doc_id,
+    cluster) for every doc appearing in ``pairs`` (columns a, b), where
+    ``cluster`` is the minimum doc_id reachable through the pair graph —
+    the canonical-representative key for group-wise dedup (keep the doc
+    whose id equals its cluster, drop the rest).
+
+    Distributed iterative min-label propagation with pointer jumping:
+    each round a node's label drops to the min over (its label, its
+    neighbors' labels, its label's label). The pointer-jump step
+    (label := label(label)) halves chain lengths each round, so
+    convergence is O(log diameter) rounds — near-dup clusters are
+    shallow, but a pathological chain of pairwise-similar docs would
+    take O(diameter) rounds without it. Each round is two hash joins +
+    one aggregation on the EDGE set (never the corpus), localCheckpoint
+    cuts the lineage so plans stay flat, and the loop exits on the first
+    fixpoint round. This is the standard Spark connected-components
+    shape (cf. large-star/small-star, Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond")."""
+    edges = (pairs.select(F.col("a").cast("bigint").alias("x"),
+                          F.col("b").cast("bigint").alias("y"))
+             .union(pairs.select(F.col("b").cast("bigint").alias("x"),
+                                 F.col("a").cast("bigint").alias("y")))
+             .distinct())
+    edges = edges.localCheckpoint()
+    labels = (edges.groupBy("x").agg(F.min("y").alias("nbr"))
+              .select("x", F.least("x", "nbr").alias("lbl"))
+              .localCheckpoint())
+    for _ in range(max_iters):
+        nbr_min = (edges
+                   .join(labels.select(F.col("x").alias("y"),
+                                       F.col("lbl").alias("ylbl")), "y")
+                   .groupBy("x").agg(F.min("ylbl").alias("nlbl")))
+        hop = labels.select(F.col("x").alias("lbl"),
+                            F.col("lbl").alias("jlbl"))
+        new_labels = (labels
+                      .join(nbr_min, "x", "left")
+                      .join(hop, "lbl", "left")
+                      .select("x", F.least(
+                          "lbl",
+                          F.coalesce("nlbl", F.col("lbl")),
+                          F.coalesce("jlbl", F.col("lbl"))).alias("lbl"))
+                      .localCheckpoint())
+        changed = (new_labels
+                   .join(labels.select("x", F.col("lbl").alias("old")), "x")
+                   .where(F.col("lbl") != F.col("old"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("x").alias("doc_id"),
+                         F.col("lbl").alias("cluster"))
+
+
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   bits: int = 16) -> DataFrame:
     """SimHash near-dup pairs (a, b, hamming), a < b, hamming <=

@@ -232,6 +232,29 @@ class Index:
         """Q4 GetIndexedWords (ImmutableIndex.cs:84-90): sorted dictionary."""
         return self.postings.select("term").orderBy("term")
 
+    def suggest(self, word: str, k: int = 5, max_dist: int = 2) -> DataFrame:
+        """Did-you-mean (term, df, dist): dictionary terms within
+        Levenshtein distance ``max_dist`` of the folded query word,
+        ranked (dist asc, df desc, term asc), top ``k`` — the spelling
+        suggester every search frontend runs when a term has df=0.
+
+        Scale shape: the dictionary is vocabulary-bound (tiny vs
+        postings); a |len(term) - len(word)| <= max_dist band is pushed
+        to the scan before the JVM-side levenshtein, and the top-k is a
+        TakeOrderedAndProject — one dictionary pass, no shuffle of
+        postings. (Beyond the reference: it has no suggester; the
+        natural pairing is with GetWordsMatching, IIndex.cs:52-62.)"""
+        w = self._fold(word)
+        d = F.levenshtein(F.col("term"), F.lit(w))
+        return (self.postings
+                .where(F.abs(F.length("term") - F.lit(len(w)))
+                       <= max_dist)
+                .select("term", "df", d.alias("dist"))
+                .where(F.col("dist") <= max_dist)
+                .orderBy(F.col("dist").asc(), F.col("df").desc(),
+                         F.col("term").asc())
+                .limit(k))
+
     # -- B1-B6: boolean query composition -------------------------------------
 
     def _route(self, token: str):
