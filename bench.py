@@ -97,6 +97,10 @@ def main() -> None:
     simhash64(docs.limit(50)).count()
     cosine_topk(emb.limit(50), 0, 3).collect()
     lsh_topk(emb.limit(50), 0, 3).collect()
+    from textindexing_spark.functions.quality import (
+        pii_scan as _pii, repetition_signals as _reps)
+    _reps(docs.limit(50)).count()
+    _pii(docs.limit(50)).count()
 
     timings: dict[str, float] = {}   # medians — the headline per row
     mins: dict[str, float] = {}
@@ -349,6 +353,19 @@ def main() -> None:
     timed("ann_cosine_topk", lambda: cosine_topk(emb, 0, 10).collect())
     timed("ann_lsh_topk", lambda: lsh_topk(emb, 0, 10).collect())
     timed("quality_score", lambda: quality_score(docs).count())
+
+    # round-4 curation/serving rows
+    from textindexing_spark.functions.quality import (
+        pii_scan, repetition_signals)
+    from textindexing_spark.operators.dedup import duplicate_clusters
+
+    timed("quality_signals", lambda: repetition_signals(docs).count())
+    timed("pii_scan", lambda: pii_scan(docs).count())
+    # composed: LSH candidates -> exact-Jaccard verify -> connected
+    # components (the full group-wise dedup pipeline end to end)
+    timed("dedup_clusters", lambda: duplicate_clusters(
+        near_duplicates(docs, threshold=0.5)).count())
+    timed("spell_suggest", lambda: idx.suggest("tabl").collect())
 
     # ANN recall quality (measured once, not timed): seeded-k-means
     # codebooks/cells vs the deterministic data-vector ones, recall@10

@@ -4,8 +4,9 @@
     spark-submit --master <cluster> --py-files /tmp/textindexing_spark.zip \\
         scripts/query_index_submit.py --index <root> \\
         --query "hash merge fast" \\
-        [--mode bm25|bool|expr|phrase|near] [--k 10] \\
-        [--filter-expr "scan AND NOT slow"] [--near-k 4] [--ordered]
+        [--mode bm25|bool|expr|phrase|near|suggest] [--k 10] \\
+        [--filter-expr "scan AND NOT slow"] [--near-k 4] [--ordered] \\
+        [--max-dist 2]
 
 --index points at a SegmentIndex root (has _meta.json; queried via
 block-max WAND), a boolean Index snapshot (postings/ + documents/;
@@ -34,11 +35,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--query", action="append", required=True,
                     help="repeatable")
     ap.add_argument("--mode", choices=("bm25", "bool", "expr",
-                                       "phrase", "near"),
+                                       "phrase", "near", "suggest"),
                     default="bm25",
                     help="expr = full boolean language (AND/OR/NOT, "
                          "parens); near = proximity over a positional "
-                         "index (--near-k window, --ordered)")
+                         "index (--near-k window, --ordered); suggest "
+                         "= did-you-mean dictionary terms within edit "
+                         "distance --max-dist")
+    ap.add_argument("--max-dist", type=int, default=2,
+                    help="suggest mode: max Levenshtein distance")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--filter-expr", default=None,
                     help="bm25 mode: boolean-language candidate filter")
@@ -99,7 +104,7 @@ def main(argv: list[str] | None = None) -> None:
         idx = (SegmentIndex.load(spark, args.index)
                .prepare_for_queries(query_groups=8))
         kind = "segments"
-        if args.mode in ("bool", "expr"):
+        if args.mode in ("bool", "expr", "suggest"):
             raise SystemExit(f"{args.mode} queries need an Index snapshot "
                              "(postings/ + documents/), not segments")
         if args.filter_expr:
@@ -123,6 +128,9 @@ def main(argv: list[str] | None = None) -> None:
                     for r in res.collect()]
         elif args.mode == "expr":
             rows = [r["doc_id"] for r in idx.search_expr(q).collect()]
+        elif args.mode == "suggest":
+            rows = [(r["term"], int(r["df"]), int(r["dist"])) for r in
+                    idx.suggest(q, args.k, args.max_dist).collect()]
         else:
             rows = [r["doc_id"] for r in idx.search_bool(q).collect()]
         print(json.dumps({

@@ -137,6 +137,18 @@ def test_cli_files_mode_builds_index(spark, tmp_path, capsys, monkeypatch):
     assert out["n_docs"] == 2
     assert out["n_terms"] == 5  # hello spark engine index merge
 
+    # query the CLI-built snapshot through the query CLI's suggest mode
+    # (did-you-mean): 'sprk' -> spark at edit distance 1
+    qspec = importlib.util.spec_from_file_location(
+        "query_index_submit", repo / "scripts" / "query_index_submit.py")
+    qcli = importlib.util.module_from_spec(qspec)
+    qspec.loader.exec_module(qcli)
+    qcli.main(["--index", str(tmp_path / "ix"), "--query", "sprk",
+               "--mode", "suggest", "--k", "3"])
+    sug = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sug["results"][0][0] == "spark"
+    assert sug["results"][0][2] == 1
+
 
 def test_glob_is_engine_semantics_not_hadoop(spark, tmp_path):
     """The glob follows the reference SearchPattern contract: case-

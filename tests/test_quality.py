@@ -72,6 +72,39 @@ def test_pii_scan_counts_and_redaction(spark):
     assert red[1] == "no pii here at all"
 
 
+# --- curate (composed pipeline) -----------------------------------------------
+
+def test_curate_filters_dedups_and_redacts(spark):
+    from textindexing_spark.functions.quality import curate
+
+    base = ("the quick brown fox jumps over a lazy dog while birds "
+            "sing in tall green trees near clear cold water")
+    near = base.replace("cold", "warm")
+    rows = [
+        (0, base),                               # survives (cluster keeper)
+        (1, near),                               # near-dup of 0 -> dropped
+        (2, "spam spam spam spam spam spam spam spam spam spam"),  # repeat
+        (3, "too short"),                        # < min_tokens
+        (4, "independent document about completely different topics "
+            "with plenty of distinct words mail me at a@b.co now"),
+    ]
+    out = curate(_docs(spark, rows), min_tokens=5,
+                 dedup_threshold=0.4).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [0, 4]
+    text4 = next(r["text"] for r in out if r["doc_id"] == 4)
+    assert "<EMAIL>" in text4 and "a@b.co" not in text4
+
+
+def test_curate_no_redact_preserves_text(spark):
+    from textindexing_spark.functions.quality import curate
+
+    rows = [(0, "mail x@y.io plus many other perfectly normal words "
+                "to stay above every quality threshold easily")]
+    out = curate(_docs(spark, rows), min_tokens=5, redact=False).collect()
+    assert "x@y.io" in out[0]["text"]
+
+
 # --- duplicate_clusters -------------------------------------------------------
 
 def _pairs(spark, pairs):

@@ -166,3 +166,43 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All input columns with ``text_col`` replaced by its redacted
     form — the in-pipeline scrubber (per-row, zero shuffle)."""
     return docs.withColumn(text_col, _redact_col(text_col))
+
+
+def curate(docs: DataFrame, *, min_tokens: int = 10,
+           max_dup_line_frac: float = 0.30,
+           max_top_2gram_frac: float = 0.20,
+           max_dup_3gram_frac: float = 0.30,
+           max_symbol_ratio: float = 0.50,
+           dedup_threshold: float = 0.5,
+           redact: bool = True) -> DataFrame:
+    """The composed training-data curation pipeline: Gopher-rule
+    repetition/length filters -> near-duplicate GROUP dedup (LSH
+    candidates -> exact-Jaccard verify -> connected components, keep the
+    min-id representative of each cluster) -> PII redaction. Returns the
+    surviving documents with all original columns (``text`` redacted
+    when ``redact``).
+
+    Order matters and is deliberate: quality filters run first (they
+    are per-doc and shrink the corpus before pairwise work), dedup runs
+    on survivors only, and redaction is a per-row projection on the
+    final survivors. Every stage is the scale-safe variant — no
+    all-pairs joins, no driver-side loops beyond the cluster fixpoint
+    counters."""
+    from textindexing_spark.operators.dedup import (
+        duplicate_clusters, near_duplicates)
+
+    sig = repetition_signals(docs)
+    keep = (sig.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top_2gram_frac") <= max_top_2gram_frac)
+        & (F.col("dup_3gram_frac") <= max_dup_3gram_frac)
+        & (F.col("symbol_ratio") <= max_symbol_ratio))
+        .select("doc_id"))
+    filtered = docs.join(keep, "doc_id", "left_semi")
+    clusters = duplicate_clusters(
+        near_duplicates(filtered, threshold=dedup_threshold))
+    losers = (clusters.where(F.col("doc_id") != F.col("cluster"))
+              .select("doc_id"))
+    survivors = filtered.join(losers, "doc_id", "left_anti")
+    return redact_pii(survivors) if redact else survivors
