@@ -300,6 +300,70 @@ def test_search_expr_flat_and_delegates_and_edge_cases(idx):
             parse_bool_expr(bad)
 
 
+def test_search_expr_quoted_phrases(spark, idx):
+    """Double-quoted spans in the boolean language resolve through an
+    attached positional tier: '"quick brown" AND NOT box' etc. A
+    one-word phrase is an exact term (no positional tier needed)."""
+    import pytest as _pt
+
+    from textindexing_spark.operators.phrase import PositionalSegmentIndex
+    from textindexing_spark.operators.query import parse_bool_expr
+
+    assert parse_bool_expr('"quick brown" AND dog') == \
+        ("and", [("phrase", "quick brown"), ("term", "dog")])
+    assert parse_bool_expr('"solo"') == ("term", "solo")
+    for bad in ['"unterminated phrase', '""']:
+        with _pt.raises(ValueError):
+            parse_bool_expr(bad)
+
+    # phrase nodes refuse to evaluate without a positional tier
+    with _pt.raises(ValueError, match="positional"):
+        idx.search_expr('"quick brown" AND dog').collect()
+
+    docs = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    pseg = PositionalSegmentIndex.build(spark, docs, n_shards=4).cache()
+    idx.attach_positional(pseg)
+    try:
+        from textindexing_spark.functions.tokenize import tokenize_text
+
+        o = _oracle()
+
+        def phrase_docs(*toks):
+            want = list(toks)
+            out = set()
+            for d, t in CORPUS:
+                seq = tokenize_text(t, "alnum", True)
+                if any(want == seq[i:i + len(want)]
+                       for i in range(len(seq))):
+                    out.add(d)
+            return out
+
+        cases = {
+            '"quick brown"': phrase_docs("quick", "brown"),
+            '"quick brown" AND dog':
+                phrase_docs("quick", "brown") & o.exact("dog"),
+            '"the fox" OR "a dog"':
+                phrase_docs("the", "fox") | phrase_docs("a", "dog"),
+            'fox AND NOT "the fox"':
+                o.exact("fox") - phrase_docs("the", "fox"),
+            '"no such phrase here"': set(),
+        }
+        for q, want in cases.items():
+            got = sorted(r["doc_id"]
+                         for r in idx.search_expr(q).collect())
+            assert got == sorted(want), q
+        # batched serving resolves phrases too
+        qs = list(cases)
+        got_many: dict[int, set] = {}
+        for r in idx.search_expr_many(qs).collect():
+            got_many.setdefault(r["query_id"], set()).add(r["doc_id"])
+        for qid, q in enumerate(qs):
+            assert got_many.get(qid, set()) == cases[q], q
+    finally:
+        idx._phrase_index = None
+        pseg.unpersist()
+
+
 def test_bm25_filter_expr(idx):
     """Filtered ranked retrieval: search_bm25(..., filter_expr=) returns
     exactly the unfiltered ranking restricted to the expression's doc

@@ -40,12 +40,15 @@ def parse_bool_expr(text: str | None):
 
     Operators are recognized UPPERCASE-ONLY (``AND OR NOT``) so the
     lowercase words stay searchable terms (the default tokenizer folds
-    terms to lowercase, so an uppercase term never exists). Returns None
-    for an empty query. Raises ValueError on malformed input (unbalanced
-    parens, dangling operator)."""
+    terms to lowercase, so an uppercase term never exists). Double-quoted
+    spans parse as ('phrase', inner_text) nodes — exact consecutive-token
+    match, e.g. ``"row scan" AND NOT slow`` (evaluation needs a positional
+    index attached, Index.attach_positional). Returns None for an empty
+    query. Raises ValueError on malformed input (unbalanced parens,
+    dangling operator, unterminated quote)."""
     import re
 
-    toks = re.findall(r"\(|\)|[^\s()]+", text or "")
+    toks = re.findall(r'"[^"]*"|\(|\)|[^\s()]+', text or "")
     pos = [0]
 
     def peek():
@@ -88,6 +91,17 @@ def parse_bool_expr(text: str | None):
             return node
         if t in (None, ")", "OR", "AND"):
             raise ValueError(f"unexpected {t!r}")
+        if t.startswith('"'):
+            if len(t) < 2 or not t.endswith('"'):
+                raise ValueError("unterminated quote")
+            inner = take()[1:-1].strip()
+            if not inner:
+                raise ValueError("empty phrase")
+            # a one-word phrase IS an exact term lookup — no positional
+            # index needed
+            if len(inner.split()) == 1:
+                return ("term", inner)
+            return ("phrase", inner)
         return ("term", take())
 
     if not toks:
@@ -118,6 +132,9 @@ class Index:
         # _df_cache because that mixes in wildcard-token memos whose
         # keys would corrupt wildcard df sums
         self._dict_df: dict[str, int] | None = None
+        # optional positional tier resolving "quoted phrase" nodes in
+        # the boolean language (attach_positional)
+        self._phrase_index = None
 
     # -- maintenance ---------------------------------------------------------
 
@@ -422,11 +439,27 @@ class Index:
             return self.search_bool(" ".join(toks))
         return self._eval_expr(ast).orderBy("doc_id")
 
+    def attach_positional(self, positional) -> "Index":
+        """Attach a positional tier (PositionalIndex or
+        PositionalSegmentIndex) so the boolean language resolves
+        double-quoted phrase nodes — ``'"row scan" AND NOT slow'``.
+        Phrase hits come from the positional tier's own search;
+        everything else stays on this index. Returns self."""
+        self._phrase_index = positional
+        return self
+
     def _eval_expr(self, node) -> DataFrame:
         """Evaluate one AST node to a distinct doc_id DataFrame."""
         kind = node[0]
         if kind == "term":
             return self._seed_docs(self._fold(node[1]))
+        if kind == "phrase":
+            if self._phrase_index is None:
+                raise ValueError(
+                    'quoted-phrase queries need a positional index: '
+                    'idx.attach_positional(PositionalSegmentIndex...)')
+            return (self._phrase_index.search_phrase(node[1])
+                    .select("doc_id"))
         if kind == "or":
             return reduce(DataFrame.unionByName,
                           (self._eval_expr(c) for c in node[1])).distinct()
