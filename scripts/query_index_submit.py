@@ -6,7 +6,7 @@
         --query "hash merge fast" \\
         [--mode bm25|bool|expr|phrase|near|suggest] [--k 10] \\
         [--filter-expr "scan AND NOT slow"] [--near-k 4] [--ordered] \\
-        [--max-dist 2]
+        [--max-dist 2] [--positional <pos_root>]
 
 --index points at a SegmentIndex root (has _meta.json; queried via
 block-max WAND), a boolean Index snapshot (postings/ + documents/;
@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> None:
                          "distance --max-dist")
     ap.add_argument("--max-dist", type=int, default=2,
                     help="suggest mode: max Levenshtein distance")
+    ap.add_argument("--positional", default=None,
+                    help="expr mode: PositionalSegmentIndex root to "
+                         "resolve double-quoted phrase nodes")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--filter-expr", default=None,
                     help="bm25 mode: boolean-language candidate filter")
@@ -114,6 +117,12 @@ def main(argv: list[str] | None = None) -> None:
         idx = Index.load(spark, args.index).cache()
         if args.mode != "bool":  # expr/bm25 serving: prefetch the dict
             idx = idx.prepare_for_queries()
+        if args.positional:
+            from textindexing_spark.operators.phrase import (
+                PositionalSegmentIndex)
+
+            idx.attach_positional(
+                PositionalSegmentIndex.load(spark, args.positional).cache())
         kind = "postings"
 
     for q in args.query:
