@@ -179,6 +179,56 @@ def test_snippet_case_folds(spark):
     assert len(out) == 1 and "Needle" in out[0]["snippet"]
 
 
+# --- curation-in-stream + describe ---------------------------------------------
+
+def test_streaming_ingestor_transform_filters_and_redacts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from textindexing_spark.functions.quality import redact_pii
+    from textindexing_spark.streaming.ingest import StreamingIngestor
+
+    rows = [
+        ("u://a", "write to me at someone@example.net about the index"),
+        ("u://b", "tiny"),                       # dropped by the filter
+        ("u://c", "perfectly ordinary document text here"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "url string, text string") \
+        .coalesce(1).write.parquet(src)
+
+    def curate_batch(pages):
+        keep = pages.where(
+            F.size(F.split(F.col("text"), "\\s+")) >= 3)
+        return redact_pii(keep)
+
+    ing = StreamingIngestor(spark, str(tmp_path / "idx"),
+                            transform=curate_batch)
+    ing.ingest_available(src, str(tmp_path / "ckpt"))
+    idx = ing.index()
+    terms = {r["term"] for r in idx.postings.collect()}
+    assert "tiny" not in terms          # filtered out before indexing
+    assert "email" in terms             # '<EMAIL>' tokenizes to 'email'
+    assert "someone" not in terms       # the address never got indexed
+    assert "index" in terms
+
+
+def test_index_describe(spark):
+    docs = _docs(spark, [
+        (0, "alpha beta alpha"),
+        (1, "alpha gamma"),
+        (2, ""),
+    ])
+    idx = build_index(spark, docs, IndexConfig())
+    d = idx.describe(top_terms=2)
+    assert d["n_docs"] == 2             # the empty doc is never indexed
+    assert d["n_terms"] == 3            # alpha beta gamma
+    assert d["n_postings"] == 4         # alpha x2, beta, gamma
+    assert d["n_tokens"] == 5
+    assert d["avgdl"] == pytest.approx(2.5)
+    assert d["head_terms"][0] == ("alpha", 2)
+    assert len(d["head_terms"]) == 2
+
+
 # --- domain_stats -------------------------------------------------------------
 
 def test_domain_stats_rollup(spark):

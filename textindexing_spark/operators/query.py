@@ -192,6 +192,31 @@ class Index:
             self._stats = (row["n"] or 0, float(row["avgdl"] or 0.0))
         return self._stats
 
+    def describe(self, top_terms: int = 10) -> dict:
+        """Index statistics in one dict: document count, average doc
+        length, dictionary size, postings/token volume, and the
+        ``top_terms`` heaviest terms by df (skew visibility — the
+        salting-threshold dial reads straight off this list). Two
+        driver-scale actions over the dictionary (an aggregate and a
+        top-k); never touches posting arrays."""
+        n_docs, avgdl = self.corpus_stats()
+        agg = self.postings.agg(
+            F.count("*").alias("n_terms"),
+            F.sum("df").alias("n_postings"),
+            F.sum("total_tf").alias("n_tokens")).collect()[0]
+        head = [(r["term"], int(r["df"]))
+                for r in self.postings
+                .orderBy(F.col("df").desc(), "term")
+                .select("term", "df").limit(top_terms).collect()]
+        return {
+            "n_docs": int(n_docs),
+            "avgdl": round(avgdl, 4),
+            "n_terms": int(agg["n_terms"] or 0),
+            "n_postings": int(agg["n_postings"] or 0),
+            "n_tokens": int(agg["n_tokens"] or 0),
+            "head_terms": head,
+        }
+
     # -- Q1-Q4: dictionary lookups -------------------------------------------
 
     def _fold(self, w: str) -> str:

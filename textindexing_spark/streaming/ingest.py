@@ -83,13 +83,22 @@ class StreamingIngestor:
                  quarantine_path: str | None = None,
                  bucketed: bool = True,
                  n_term_buckets: int = 64, n_doc_buckets: int = 64,
-                 compact_every: int | None = None):
+                 compact_every: int | None = None,
+                 transform=None):
         from textindexing_spark._pkg import ensure_shipped
 
         ensure_shipped(spark)
         self.spark = spark
         self.cfg = cfg or IndexConfig()
         self.compact_every = compact_every
+        # curation-in-stream hook: DataFrame -> DataFrame over each
+        # batch's readable pages BEFORE id assignment/indexing (e.g.
+        # quality.redact_pii, or a filter over repetition_signals).
+        # Rows the transform DROPS are skipped, not tombstoned — a
+        # previously indexed url whose recrawl now fails the filter
+        # keeps its old version; pair with reconcile_deletes or emit
+        # empty-text tombstones from the transform to remove instead.
+        self.transform = transform
         if bucketed:
             from textindexing_spark.sources.bucketed import (
                 BucketedIndexStore)
@@ -126,6 +135,8 @@ class StreamingIngestor:
             (bad.withColumn("error", F.lit("null url"))
                 .write.mode("append").parquet(self.quarantine_path))
         good = batch.where(F.col("url").isNotNull())
+        if self.transform is not None:
+            good = self.transform(good)
         docs = (self.url_ids.assign(good)
                 .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
         v = self._merge_docs(docs)
@@ -219,9 +230,9 @@ class StreamingSegmentIngestor(StreamingIngestor):
     def __init__(self, spark, index_root: str,
                  cfg: IndexConfig | None = None,
                  quarantine_path: str | None = None,
-                 n_shards: int = 64):
+                 n_shards: int = 64, transform=None):
         super().__init__(spark, index_root, cfg, quarantine_path,
-                         bucketed=False)
+                         bucketed=False, transform=transform)
         self.store = VersionedSegmentStore(spark, index_root, self.cfg)
         self.n_shards = n_shards
 
@@ -242,6 +253,8 @@ class StreamingSegmentIngestor(StreamingIngestor):
             (bad.withColumn("error", F.lit("null url"))
                 .write.mode("append").parquet(self.quarantine_path))
         good = batch.where(F.col("url").isNotNull())
+        if self.transform is not None:
+            good = self.transform(good)
         docs = (self.url_ids.assign(good)
                 .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
         v = self._merge_docs(docs)
@@ -272,12 +285,12 @@ class StreamingPositionalIngestor(StreamingSegmentIngestor):
     def __init__(self, spark, index_root: str,
                  cfg: IndexConfig | None = None,
                  quarantine_path: str | None = None,
-                 n_shards: int = 64):
+                 n_shards: int = 64, transform=None):
         from textindexing_spark.sources.catalog import (
             VersionedPositionalStore)
 
         super().__init__(spark, index_root, cfg, quarantine_path,
-                         n_shards=n_shards)
+                         n_shards=n_shards, transform=transform)
         self.store = VersionedPositionalStore(spark, index_root, self.cfg)
 
     def _merge_docs(self, docs: DataFrame) -> int:
