@@ -135,6 +135,35 @@ def test_clusters_matches_rebuild_after_merge_order(spark):
     assert out == {2: 2, 4: 2, 8: 2, 9: 2}
 
 
+def test_clusters_empty_pairs(spark):
+    assert duplicate_clusters(_pairs(spark, [])).count() == 0
+
+
+def test_clusters_match_union_find_on_random_graphs(spark):
+    """Seeded random graphs vs a pure-Python union-find (union by min
+    root => every tree's final root IS its component's minimum)."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        pairs = sorted({tuple(sorted(rng.sample(range(20), 2)))
+                        for _ in range(15)})
+        parent = list(range(20))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for p in pairs for n in p}
+        got = dict(duplicate_clusters(_pairs(spark, pairs)).collect())
+        assert got == want, seed
+
+
 # --- suggest ------------------------------------------------------------------
 
 def test_suggest_ranks_by_distance_then_df(spark):
@@ -155,6 +184,38 @@ def test_suggest_respects_max_dist(spark):
     docs = _docs(spark, [(0, "completely unrelated words")])
     idx = build_index(spark, docs, IndexConfig())
     assert idx.suggest("zzz", k=5, max_dist=1).count() == 0
+    assert idx.suggest("", k=5).count() == 0
+    assert idx.suggest(None, k=5).count() == 0
+
+
+def test_suggest_matches_bruteforce(spark):
+    """Ranking equals a pure-Python Levenshtein brute force over the
+    dictionary for several probes."""
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    docs = _docs(spark, [
+        (0, "grape graph grasp apple maple staple sample simple"),
+        (1, "grape apple apple maple tuple people"),
+    ])
+    idx = build_index(spark, docs, IndexConfig())
+    vocab = {r["term"]: int(r["df"])
+             for r in idx.postings.select("term", "df").collect()}
+    for probe in ("grape", "aple", "peple", "xx"):
+        want = sorted(
+            ((t, df, lev(t, probe)) for t, df in vocab.items()
+             if abs(len(t) - len(probe)) <= 2 and lev(t, probe) <= 2),
+            key=lambda x: (x[2], -x[1], x[0]))[:4]
+        got = [(r["term"], int(r["df"]), int(r["dist"]))
+               for r in idx.suggest(probe, k=4, max_dist=2).collect()]
+        assert got == want, probe
 
 
 # --- snippets -----------------------------------------------------------------

@@ -286,7 +286,10 @@ class Index:
         TakeOrderedAndProject — one dictionary pass, no shuffle of
         postings. (Beyond the reference: it has no suggester; the
         natural pairing is with GetWordsMatching, IIndex.cs:52-62.)"""
-        w = self._fold(word)
+        w = self._fold(word or "").strip()
+        if not w:
+            return self.spark.createDataFrame(
+                [], "term string, df bigint, dist int")
         d = F.levenshtein(F.col("term"), F.lit(w))
         return (self.postings
                 .where(F.abs(F.length("term") - F.lit(len(w)))
