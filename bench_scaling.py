@@ -354,8 +354,21 @@ Raw per-level JSON:
 {json.dumps(b, indent=1)}
 ```
 """
+    # preserve the LIVE tail of BENCH.md (round-over-round tables, run
+    # records, launch evidence) — those sections accumulate during the
+    # round and must survive a header regeneration; the static
+    # _LAUNCH_EVIDENCE block is only the fallback for a missing file
+    tail = _LAUNCH_EVIDENCE
+    marker = "## Headline suite round-over-round"
+    try:
+        with open(f"{REPO}/BENCH.md") as fh:
+            existing = fh.read()
+        if marker in existing:
+            tail = "\n" + existing[existing.index(marker):]
+    except FileNotFoundError:
+        pass
     with open(f"{REPO}/BENCH.md", "w") as fh:
-        fh.write(md + _LAUNCH_EVIDENCE)
+        fh.write(md + tail)
 
 
 # static transcripts — kept in the generator so a BENCH.md regeneration

@@ -47,6 +47,17 @@ def test_repetition_short_doc_zeroes(spark):
     assert r["n_tokens"] == 1
 
 
+def test_repetition_equal_ngram_sizes(spark):
+    # top_n == dup_n must not double-count the shared gram stream:
+    # "a b a b a b" 2-grams = 5 total, top 'a b' x3, repeated mass 5/5
+    r = repetition_signals(_docs(spark, [(0, "a b a b a b")]),
+                           top_n=2, dup_n=2).collect()[0]
+    assert r["top_2gram_frac"] == pytest.approx(1.0, abs=1e-6)
+    assert r["dup_2gram_frac"] == pytest.approx(1.0, abs=1e-6)
+    with pytest.raises(ValueError):
+        repetition_signals(_docs(spark, [(0, "x")]), top_n=0)
+
+
 def test_symbol_ratio(spark):
     # 4 symbols ($$, ==) over 2 tokens
     r = repetition_signals(_docs(spark, [(0, "ab $$ cd ==")])).collect()[0]

@@ -34,6 +34,29 @@ _TOKL = ("SELECT doc_id, regexp_extract_all(lower(text), "
 _BM25_TERMS = ("hash", "merge", "fast")
 _K1, _B = 1.2, 0.75
 
+# deterministic synthetic-PII corpus (the driver text carries no PII):
+# an email every 5th doc, an IPv4 every 7th, a phone every 11th —
+# mirrored verbatim by the Spark-side _pii_docs()
+_PII_CORPUS_SQL = """
+SELECT doc_id, text
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+          ELSE '' END AS text
+FROM documents
+"""
+
+# one SQL redaction expression shared by pii_scan and training_pipeline
+# (must mirror quality._redact_col: email -> ip -> phone, in that order)
+_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'), "
+    "'\\+[0-9]{7,12}|[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')")
+
 _index_cache: dict[tuple[int, str], object] = {}
 
 
@@ -878,39 +901,59 @@ FROM tok WHERE len(ts) > 0
 
 def _q_training_pipeline(spark, sf_dir):
     """Composed training-data pipeline — the flagship composition a
-    100 TB pretraining run executes end-to-end: exact dedup (keep the
-    min doc_id of each content-identical class) -> quality filter ->
-    language filter -> inverted-index build over the survivors,
-    reporting per-term stats. Every stage is the engine's own operator;
-    the oracle restates the whole pipeline in SQL."""
+    100 TB pretraining run executes end-to-end: PII redaction (over a
+    corpus with deterministic synthetic PII injected) -> Gopher-style
+    repetition filter -> exact dedup (keep the min doc_id of each
+    content-identical class) -> quality filter -> language filter ->
+    inverted-index build over the survivors, reporting per-term stats.
+    Every stage is the engine's own operator; the oracle restates the
+    whole pipeline in SQL — including that the injected addresses never
+    reach the index while their '<EMAIL>'/'<IP>'/'<PHONE>' markers do."""
     from textindexing_spark.functions.analysis import lang_id, quality_score
+    from textindexing_spark.functions.quality import (
+        redact_pii, repetition_signals)
     from textindexing_spark.operators.dedup import deduplicate
 
-    docs = _docs(spark, sf_dir)
+    docs = redact_pii(_pii_docs(spark, sf_dir))
     good = (quality_score(docs).where(F.col("quality") >= 0.68)
             .select("doc_id"))
     en = lang_id(docs).where("pred_lang = 'en'").select("doc_id")
+    rep = (repetition_signals(docs)
+           .where(F.col("top_2gram_frac") <= 0.12).select("doc_id"))
     survivors = (deduplicate(docs)
                  .join(good, "doc_id", "left_semi")
                  .join(en, "doc_id", "left_semi")
+                 .join(rep, "doc_id", "left_semi")
                  .select("doc_id", "text"))
     idx = build_index(spark, survivors, IndexConfig())
     return idx.postings.select("term", "df", "total_tf")
 
 
 _SQL_TRAINING_PIPELINE = f"""
-WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents
-              GROUP BY md5(text)),
-tok AS ({_TOKL}),
+WITH raw AS ({_PII_CORPUS_SQL}),
+c AS (SELECT doc_id, {_REDACT_SQL} AS text FROM raw),
+keep AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY md5(text)),
+tok AS (SELECT doc_id, regexp_extract_all(lower(text),
+        '[\\p{{L}}\\p{{Nd}}]+') AS ts FROM c),
 good AS (SELECT doc_id FROM tok WHERE len(ts) > 0 AND
          round((len(list_distinct(ts)) / len(ts)) * 0.5
                + (1.0 - len(list_filter(ts, t -> t IN ({_STOP_IN})))
                  / len(ts)) * 0.5, 6) >= 0.68),
 en AS (SELECT doc_id FROM tok WHERE len(ts) > 0 AND
        len(list_filter(ts, t -> t IN ({_STOP_IN}))) / len(ts) > 0.03),
-surv AS (SELECT d.doc_id, d.text FROM documents d
+g2 AS (SELECT doc_id, array_to_string(ts[i:i+1], ' ') AS gram
+       FROM tok, unnest(generate_series(1, greatest(len(ts) - 1, 0)))
+            AS t(i)),
+pd AS (SELECT doc_id, max(c2) AS top_c FROM
+       (SELECT doc_id, gram, count(*) AS c2 FROM g2 GROUP BY 1, 2)
+       GROUP BY doc_id),
+rep AS (SELECT t.doc_id FROM tok t LEFT JOIN pd ON t.doc_id = pd.doc_id
+        WHERE CASE WHEN len(t.ts) >= 2
+                   THEN round(pd.top_c * 2.0 / len(t.ts), 6)
+                   ELSE 0.0 END <= 0.12),
+surv AS (SELECT c.doc_id, c.text FROM c
          JOIN keep USING (doc_id) JOIN good USING (doc_id)
-         JOIN en USING (doc_id)),
+         JOIN en USING (doc_id) JOIN rep USING (doc_id)),
 toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
          '[\\p{{L}}\\p{{Nd}}]+')) AS term FROM surv),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
@@ -1485,18 +1528,6 @@ def _q_pii_scan(spark, sf_dir):
     return pii_scan(_pii_docs(spark, sf_dir))
 
 
-_PII_CORPUS_SQL = """
-SELECT doc_id, text
-  || CASE WHEN doc_id % 5 = 0
-          THEN ' contact user' || doc_id || '@example.com' ELSE '' END
-  || CASE WHEN doc_id % 7 = 0
-          THEN ' from 10.0.' || (doc_id % 256) || '.1' ELSE '' END
-  || CASE WHEN doc_id % 11 = 0
-          THEN ' call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
-          ELSE '' END AS text
-FROM documents
-"""
-
 _SQL_PII_SCAN = f"""
 WITH c AS ({_PII_CORPUS_SQL})
 SELECT doc_id,
@@ -1509,12 +1540,7 @@ SELECT doc_id,
   len(regexp_extract_all(text,
       '\\+[0-9]{{7,12}}|[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}'))::INT
     AS n_phones,
-  md5(regexp_replace(regexp_replace(regexp_replace(text,
-      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-      '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}',
-      '<IP>', 'g'),
-      '\\+[0-9]{{7,12}}|[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'))
-    AS redacted_hash
+  md5({_REDACT_SQL}) AS redacted_hash
 FROM c
 """
 

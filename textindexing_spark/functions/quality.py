@@ -104,7 +104,12 @@ def repetition_signals(docs: DataFrame, top_n: int = 2,
     100 TB shape: one explode + two hash aggregations (both map-side
     combinable) + one per-doc join; no stage's work grows faster than
     the token stream."""
-    grams = _gram_stream(docs, (top_n, dup_n))
+    if top_n < 1 or dup_n < 1:
+        raise ValueError("n-gram sizes must be >= 1")
+    # equal sizes share ONE tagged stream (a duplicated tag would
+    # double every count)
+    ns = (top_n, dup_n) if top_n != dup_n else (top_n,)
+    grams = _gram_stream(docs, ns)
     per_gram = grams.groupBy("doc_id", "n", "gram").agg(
         F.count("*").alias("c"))
     per_doc = per_gram.groupBy("doc_id").agg(
