@@ -212,6 +212,61 @@ def document_lengths(tokens: DataFrame) -> DataFrame:
         F.sum("tf").cast("bigint").alias("doc_len"))
 
 
+def term_spellings(docs: DataFrame, cfg: IndexConfig | None = None,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """docs(doc_id, text) -> (term, display_term): a stored display
+    spelling per dictionary term.
+
+    The reference keeps the FIRST-SEEN spelling as the dictionary key
+    under case-insensitive comparison — a later merge of "cat" does not
+    rename an existing "Cat" key (ImmutableIndex.cs:169-175). "First
+    merged" is meaningless in a distributed bulk build, so the engine's
+    deterministic analogue is: the spelling from the LOWEST doc_id
+    containing the term, ties broken by ordinal-smallest spelling —
+    stable under any partitioning and equal to the reference's answer
+    whenever documents are merged in doc_id order.
+
+    Opt-in side pass (the hot build shuffles folded terms only): the map
+    side reduces each Arrow batch to distinct (term, spelling) pairs with
+    their min doc_id — vocabulary-sized, not corpus-sized — and one
+    map-combinable min-agg picks the winner, so the pass stays one
+    cheap shuffle at any corpus size.
+    """
+    from textindexing_spark._pkg import ensure_shipped
+    from textindexing_spark.functions.tokenize import _folder
+
+    ensure_shipped(docs.sparkSession)
+    cfg = cfg or IndexConfig()
+    tokenizer = cfg.tokenizer
+    fold = _folder(cfg.case_insensitive)
+
+    def _sp(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            spell_lists = tokenize_series(pdf[text_col], tokenizer,
+                                          case_insensitive=False)
+            n = spell_lists.map(len).to_numpy(np.int64)
+            doc_ids = np.repeat(pdf[id_col].to_numpy(np.int64), n)
+            spells = [s for lst in spell_lists for s in lst]
+            terms = [fold(s) for s in spells] if fold else spells
+            b = pd.DataFrame({"term": terms, "spelling": spells,
+                              "doc_id": doc_ids})
+            yield b.groupby(["term", "spelling"], as_index=False,
+                            sort=False)["doc_id"].min()
+
+    pairs = (docs.select(F.col(id_col).alias(id_col),
+                         F.col(text_col).alias(text_col))
+             .mapInPandas(_sp,
+                          schema="term string, spelling string, "
+                                 "doc_id bigint"))
+    first = F.min(F.struct(F.col("doc_id"), F.col("spelling")))
+    return (pairs.groupBy("term").agg(first.alias("_first"))
+            .select("term", F.col("_first.spelling").alias("display_term")))
+
+
 def build_index(spark, docs: DataFrame, cfg: IndexConfig | None = None,
                 id_col: str = "doc_id", text_col: str = "text"):
     """Build an Index over docs(doc_id, text, ...). See class Index."""
