@@ -208,3 +208,23 @@ def test_list_directory_is_content_free(spark, corpus_dir):
         ls.explain("formatted")
     assert ("ReadSchema: struct<path:string,modificationTime:timestamp,"
             "length:bigint>") in buf.getvalue()
+
+
+def test_batch_and_stream_urls_identical_with_special_chars(spark, tmp_path):
+    """input_file_name() percent-encodes ('my file.txt' ->
+    'my%20file.txt'); binaryFile's path column does not. Un-decoded,
+    the same file would get two UrlIdTable identities and globs over
+    the stream would match the encoded basename."""
+    src = tmp_path / "enc"
+    src.mkdir()
+    (src / "my file+x.txt").write_text("one", encoding="utf-8")
+    batch_url = read_directory(spark, str(src),
+                               "my *.txt").collect()[0]["url"]
+    q = (stream_directory(spark, str(src), "my *.txt")
+         .writeStream.format("memory").queryName("urlenc")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT url FROM urlenc").collect()
+    assert len(got) == 1  # the glob must see the DECODED basename
+    assert got[0]["url"] == batch_url
+    assert batch_url.endswith("/my file+x.txt")

@@ -315,3 +315,22 @@ def test_domain_stats_rollup(spark):
         "more text!")
     assert out["a.com"]["n_langs"] == 1
     assert out["b.org"]["n_docs"] == 1
+
+
+def test_top_ngram_frac_capped_for_overlapping_repeats(spark):
+    # 'ok ok ok': the 2-gram 'ok ok' occurs twice over 3 tokens; the
+    # uncapped count*n/n_tokens formula gives 4/3 — the signal must be
+    # a [0, 1] fraction
+    out = repetition_signals(_docs(spark, [(0, "ok ok ok")])).collect()[0]
+    assert out["top_2gram_frac"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_null_text_signals_match_empty_text(spark):
+    # NULL and '' are the same 'no content' case: all-zero signals,
+    # never NULLs that silently vanish from both sides of a filter
+    rows = [(0, None), (1, "")]
+    out = {r["doc_id"]: r for r in
+           repetition_signals(_docs(spark, rows)).collect()}
+    for c in ("n_lines", "dup_line_frac", "n_tokens", "symbol_ratio",
+              "top_2gram_frac", "dup_3gram_frac"):
+        assert out[0][c] == out[1][c] == 0, c

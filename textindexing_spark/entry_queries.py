@@ -1491,8 +1491,9 @@ SELECT b.doc_id, len(lines)::INT AS n_lines,
   ELSE 0.0 END AS dup_line_frac,
   len(ts)::INT AS n_tokens,
   round(n_sym / greatest(len(ts)::DOUBLE, 1.0), 6) AS symbol_ratio,
-  CASE WHEN len(ts) >= 2 THEN round(top_c * 2.0 / len(ts), 6)
-       ELSE 0.0 END AS top_2gram_frac,
+  CASE WHEN len(ts) >= 2 THEN
+    round(least(top_c * 2.0 / len(ts), 1.0), 6)
+  ELSE 0.0 END AS top_2gram_frac,
   CASE WHEN coalesce(dup_total, 0) > 0 THEN
     round(coalesce(dup_rep, 0)::DOUBLE / dup_total, 6)
   ELSE 0.0 END AS dup_3gram_frac

@@ -242,13 +242,17 @@ def domain_stats(pages: DataFrame) -> DataFrame:
                  F.countDistinct("lang").cast("bigint").alias("n_langs")))
 
 
-def keywords(docs: DataFrame, k: int = 5) -> DataFrame:
+def keywords(docs: DataFrame, k: int = 5,
+             n_docs: int | None = None) -> DataFrame:
     """(doc_id, term, tf, tfidf, rank) — top-k TF-IDF keywords per
     document (corpus characterization / tag extraction). One tokenize
-    pass: tf from the per-doc token bag, df from the same exploded
-    frame, idf = ln((N+1)/(df+1)) + 1 (smoothed, always positive), rank
-    by tfidf desc with term-asc tie-break (deterministic). 100 TB shape:
-    one explode + two hash aggregations + a per-doc top-k window over
+    pass: tf from the per-doc token bag; df AND the corpus size N both
+    derive from that same tf frame (N = countDistinct(doc_id), a 1-row
+    broadcast joined in — NO eager job, NO second corpus scan; pass
+    ``n_docs`` to pin N from precomputed stats instead). idf =
+    ln((N+1)/(df+1)) + 1 (smoothed, always positive), rank by tfidf
+    desc with term-asc tie-break (deterministic). 100 TB shape: one
+    explode + two hash aggregations + a per-doc top-k window over
     <=|vocab_doc| rows — the df side is a broadcast-sized dimension
     (vocabulary-bound)."""
     from pyspark.sql import Window
@@ -258,13 +262,18 @@ def keywords(docs: DataFrame, k: int = 5) -> DataFrame:
           .select("doc_id", F.explode("ts").alias("term"))
           .groupBy("doc_id", "term")
           .agg(F.count("*").alias("tf")))
-    n_docs = (docs.select(tokens_col("text").alias("ts"))
-              .where(F.size("ts") > 0).count())
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log((F.lit(float(n_docs) + 1.0)) /
-                (F.col("df") + 1.0)) + F.lit(1.0)
-    scored = (tf.join(F.broadcast(df), "term")
-              .withColumn("tfidf", F.round(F.col("tf") * idf, 6)))
+    if n_docs is not None:
+        nd = F.lit(float(n_docs))
+        dim = F.broadcast(df)
+    else:
+        nd = F.col("n_docs").cast("double")
+        dim = F.broadcast(df.crossJoin(
+            tf.select(F.countDistinct("doc_id").alias("n_docs"))))
+    idf = F.log((nd + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)
+    scored = (tf.join(dim, "term")
+              .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+              .drop("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -92,9 +92,11 @@ def repetition_signals(docs: DataFrame, top_n: int = 2,
 
     - ``dup_line_frac``: fraction of non-blank lines that are repeats of
       an earlier line (1 - distinct/total);
-    - ``top_ngram_frac``: fraction of the doc's tokens covered by its
-      single most frequent ``top_n``-gram (most_frequent_count * n /
-      n_tokens) — boilerplate detector;
+    - ``top_ngram_frac``: tokens attributed to the single most frequent
+      ``top_n``-gram as a fraction of the doc's tokens
+      (most_frequent_count * n / n_tokens, capped at 1.0 — overlapping
+      occurrences double-count the shared tokens, so the uncapped value
+      is an upper bound on true coverage) — boilerplate detector;
     - ``dup_ngram_frac``: fraction of ``dup_n``-gram occurrences whose
       gram occurs more than once — degenerate-loop detector;
     - ``symbol_ratio``: non-letter/digit/whitespace chars per token.
@@ -106,6 +108,11 @@ def repetition_signals(docs: DataFrame, top_n: int = 2,
     the token stream."""
     if top_n < 1 or dup_n < 1:
         raise ValueError("n-gram sizes must be >= 1")
+    # NULL text behaves exactly like empty text (all-zero signals):
+    # without this, split/size null-propagate and a NULL-text doc gets
+    # NULL in every column — silently vanishing from BOTH sides of any
+    # threshold filter.
+    docs = docs.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     # equal sizes share ONE tagged stream (a duplicated tag would
     # double every count)
     ns = (top_n, dup_n) if top_n != dup_n else (top_n,)
@@ -122,7 +129,10 @@ def repetition_signals(docs: DataFrame, top_n: int = 2,
            .join(per_doc, "doc_id", "left"))
     top_frac = F.when(
         F.col("n_tokens") >= top_n,
-        F.round(F.col("top_c") * top_n / F.col("n_tokens"), 6)
+        # least(1.0): overlapping repeats ("ok ok ok" -> 2 * 2 / 3)
+        # double-count shared tokens; the signal is a [0, 1] fraction
+        F.round(F.least(F.col("top_c") * top_n / F.col("n_tokens"),
+                        F.lit(1.0)), 6)
     ).otherwise(F.lit(0.0))
     dup_frac = F.when(
         F.coalesce(F.col("dup_total"), F.lit(0)) > 0,

@@ -69,12 +69,7 @@ def centroid_sims(embeddings: DataFrame,
     cross-engine-reproducible oracle mode); pass ``centroids`` (cid, ce —
     e.g. ``train_ivf_centroids``) for k-means-trained cells. Broadcast
     join either way: no shuffle of the embedding table."""
-    if centroids is not None:
-        cents = centroids.select("cid", F.col("ce"))
-    else:
-        cents = (embeddings.where(F.col("vec_id").isin(list(centroid_ids)))
-                 .select(F.col("vec_id").alias("cid"),
-                         F.col("embedding").alias("ce")))
+    cents = _resolved_centroids(embeddings, centroid_ids, centroids)
     j = embeddings.crossJoin(F.broadcast(cents))
     dot = F.expr(DOT.format(a="embedding", b="ce"))
     nc = F.sqrt(F.expr(DOT.format(a="ce", b="ce")))
@@ -420,7 +415,9 @@ def _resolved_centroids(embeddings: DataFrame,
                         centroid_ids: tuple[int, ...],
                         centroids: DataFrame | None) -> DataFrame:
     """(cid, ce) — trained centroids if given, else the deterministic
-    data-vector centroids (same resolution rule as centroid_sims)."""
+    data-vector centroids. THE single resolution rule: centroid_sims
+    (and through it ivf_assign/ivf_topk/ivf_pq_topk) and the residual
+    path (ivf_residuals/ivfadc_topk) all route here."""
     if centroids is not None:
         return centroids.select("cid", "ce")
     return (embeddings.where(F.col("vec_id").isin(list(centroid_ids)))

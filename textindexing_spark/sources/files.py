@@ -89,6 +89,23 @@ def _norm_url(col):
     return F.regexp_replace(col, "^file:/+", "file:///")
 
 
+def _unquote_url_udf():
+    """Undo input_file_name()'s percent-encoding (URI form: %20 for
+    space, %25 for a literal %, never '+'-for-space) so the stream path
+    yields the same raw-path url binaryFile's ``path`` column gives —
+    one UrlIdTable identity per file across bulk and watch phases.
+    urllib.parse.unquote, NOT F.url_decode: url_decode is form-decoding
+    and would corrupt a literal '+' in a file name into a space.
+    (Constructed lazily: pandas_udf needs an active session.)"""
+    @pandas_udf("string")
+    def unq(urls: pd.Series) -> pd.Series:
+        from urllib.parse import unquote
+
+        return urls.map(lambda u: None if u is None else unquote(u))
+
+    return unq
+
+
 def _prune_glob(pattern: str) -> str | None:
     """A case-insensitive Hadoop-glob SUPERSET of the engine glob, for
     listing-time pruning — or None when the pattern contains characters
@@ -191,7 +208,7 @@ def stream_directory(spark: SparkSession, root: str, pattern: str = "*",
            .option("wholetext", "true")
            .load(root))
     pages = raw.select(
-        _norm_url(F.input_file_name()).alias("url"),
+        _norm_url(_unquote_url_udf()(F.input_file_name())).alias("url"),
         F.current_timestamp().alias("warc_ts"),
         F.encode(F.col("value"), "UTF-8").alias("html"),
         F.col("value").alias("text"),
