@@ -872,3 +872,17 @@ def test_keywords_tfidf_matches_pandas_oracle(spark):
         want.extend((d, w, t, s, i + 1)
                     for i, (w, t, s) in enumerate(scored))
     assert sorted(got) == sorted(want)
+
+
+def test_keywords_pinned_n_docs_matches_derived(spark):
+    """keywords(n_docs=...) (precomputed corpus size, zero extra work)
+    must score identically to the derived-N path when the pin equals
+    the true count."""
+    from textindexing_spark.functions.analysis import keywords
+
+    docs = spark.createDataFrame(
+        [(0, "spark merge fast"), (1, "merge fast fast scan"),
+         (2, "scan unique")], "doc_id bigint, text string")
+    derived = sorted(map(tuple, keywords(docs, k=2).collect()))
+    pinned = sorted(map(tuple, keywords(docs, k=2, n_docs=3).collect()))
+    assert derived == pinned
