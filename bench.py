@@ -366,6 +366,10 @@ def main() -> None:
     timed("dedup_clusters", lambda: duplicate_clusters(
         near_duplicates(docs, threshold=0.5)).count())
     timed("spell_suggest", lambda: idx.suggest("tabl").collect())
+    # facets over a boolean-language result set: hit-set semi-join +
+    # one stack/hash-agg pass counting BOTH facet columns
+    timed("facet_counts", lambda: idx.facet_counts(
+        "data AND NOT index", docs, by=["lang", "source"], k=5).collect())
 
     # ANN recall quality (measured once, not timed): seeded-k-means
     # codebooks/cells vs the deterministic data-vector ones, recall@10

@@ -419,6 +419,12 @@ class Index:
             self._fold(t) for t in (query_text or "").split(" ") if t))
         if not tokens:
             return self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
+        return self._bool_docs(tokens).orderBy("doc_id")
+
+    def _bool_docs(self, tokens: list[str]) -> DataFrame:
+        """``search_bool``'s plan without the final presentation sort —
+        the doc-SET form consumers that re-aggregate (facet_counts) or
+        re-join build on. ``tokens``: folded, deduped, non-empty."""
         if len(tokens) > 1 and self.cfg.bool_seed_broadcast_max > 0:
             dfs = self._token_dfs(tokens)
             rarest = min(tokens, key=lambda t: dfs[t])
@@ -437,8 +443,7 @@ class Index:
         return (matched.groupBy("doc_id")
                 .agg(F.count_distinct("qi").alias("_nq"))
                 .where(F.col("_nq") == len(tokens))
-                .select("doc_id")
-                .orderBy("doc_id"))
+                .select("doc_id"))
 
     def search_expr(self, query_text: str) -> DataFrame:
         """Full boolean query language over the index: ``AND`` / ``OR``
@@ -456,16 +461,26 @@ class Index:
         ``NOT x`` is well-defined. Every join is on doc_id and
         AQE-broadcastable when one side is small; a flat all-positive
         AND delegates to ``search_bool``'s one-aggregation plan."""
+        docs = self._expr_docs(query_text)
+        if docs is None:
+            return self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
+        return docs.orderBy("doc_id")
+
+    def _expr_docs(self, query_text: str) -> DataFrame | None:
+        """``search_expr``'s doc SET (distinct doc_id, no presentation
+        sort); None for an empty/blank query. Flat all-positive ANDs
+        take ``_bool_docs``'s one-aggregation plan."""
         ast = parse_bool_expr(query_text)
         if ast is None:
-            return self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
+            return None
         if ast[0] == "term" or (
                 ast[0] == "and"
                 and all(c[0] == "term" for c in ast[1])):
             toks = [ast[1]] if ast[0] == "term" else \
                 [c[1] for c in ast[1]]
-            return self.search_bool(" ".join(toks))
-        return self._eval_expr(ast).orderBy("doc_id")
+            tokens = list(dict.fromkeys(self._fold(t) for t in toks))
+            return self._bool_docs(tokens)
+        return self._eval_expr(ast)
 
     def attach_positional(self, positional) -> "Index":
         """Attach a positional tier (PositionalIndex or
@@ -620,6 +635,52 @@ class Index:
                 .where(F.col("_nq") == F.col("_need"))
                 .select("query_id", "doc_id")
                 .orderBy("query_id", "doc_id"))
+
+    def facet_counts(self, query_text: str | None, meta: DataFrame,
+                     by: str | list[str], k: int = 10) -> DataFrame:
+        """(facet, value, n_docs, rank) — top-``k`` facet buckets over
+        the result set of a boolean-language query (``search_expr``
+        semantics; None/blank query facets the WHOLE corpus — the
+        browse-page case). ``meta`` is any (doc_id, ...) dimension table
+        — e.g. the source documents table's lang / source columns; ``by``
+        names one facet column or several. NULL facet values count as
+        their own bucket (value NULL), ranked after non-null ties.
+
+        Scale shape: the query's doc set semi-joins ``meta`` on doc_id
+        (AQE broadcasts the hit set when small), then ONE melt (stack)
+        + hash aggregation counts every requested facet column in a
+        single pass over the matched rows — facet dimensions are
+        low-cardinality, so the aggregate output is tiny regardless of
+        corpus size, and the per-facet top-k window runs over that tiny
+        frame, not the data."""
+        from pyspark.sql import Window
+
+        cols = [by] if isinstance(by, str) else list(by)
+        if not cols:
+            raise ValueError("need at least one facet column")
+        bad = [c for c in cols + ["doc_id"] if c not in meta.columns]
+        if bad:
+            raise ValueError(f"columns not in meta: {bad}")
+        if any(not c.replace("_", "").isalnum() for c in cols):
+            raise ValueError(f"facet column names must be identifiers: "
+                             f"{cols}")
+        rows = meta
+        if query_text is not None and (query_text or "").strip():
+            hits = self._expr_docs(query_text)
+            # hits is already distinct by construction; dup right-side
+            # rows wouldn't change a left-semi anyway
+            rows = meta.join(hits, "doc_id", "left_semi")
+        pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
+        melted = rows.select(F.expr(
+            f"stack({len(cols)}, {pairs}) as (facet, value)"))
+        counts = melted.groupBy("facet", "value").agg(
+            F.count("*").alias("n_docs"))
+        w = Window.partitionBy("facet").orderBy(
+            F.col("n_docs").desc(), F.col("value").asc_nulls_last())
+        return (counts.withColumn("rank",
+                                  F.row_number().over(w).cast("int"))
+                .where(F.col("rank") <= int(k))
+                .orderBy("facet", "rank"))
 
     # -- T3 + M5: BM25 ranked retrieval ---------------------------------------
 
