@@ -370,6 +370,12 @@ def main() -> None:
     # one stack/hash-agg pass counting BOTH facet columns
     timed("facet_counts", lambda: idx.facet_counts(
         "data AND NOT index", docs, by=["lang", "source"], k=5).collect())
+    # analyzer chain: stopword+accent+stem rewrite of every document
+    # (one Arrow projection, no shuffle)
+    from textindexing_spark.functions.analyze import normalize_docs
+    timed("normalize_docs", lambda: normalize_docs(
+        docs, stopwords=("the", "a", "an", "of", "to"), accents=True,
+        stem="light").count())
 
     # ANN recall quality (measured once, not timed): seeded-k-means
     # codebooks/cells vs the deterministic data-vector ones, recall@10

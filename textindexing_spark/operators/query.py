@@ -112,6 +112,64 @@ def parse_bool_expr(text: str | None):
     return node
 
 
+def unparse_bool_expr(node) -> str:
+    """AST -> query text that ``parse_bool_expr`` parses back to the
+    same AST (non-atomic children parenthesized; multi-word phrases
+    re-quoted)."""
+    def wrap(child):
+        t = unparse_bool_expr(child)
+        return t if child[0] in ("term", "phrase") else f"({t})"
+
+    kind = node[0]
+    if kind == "term":
+        return node[1]
+    if kind == "phrase":
+        return f'"{node[1]}"'
+    if kind == "not":
+        return "NOT " + wrap(node[1])
+    op = " AND " if kind == "and" else " OR "
+    return op.join(wrap(c) for c in node[1])
+
+
+def expand_synonyms(query_text: str, synonyms: dict[str, list[str]],
+                    fold=str.lower) -> str:
+    """Query-time synonym expansion for the boolean language: each term
+    node whose folded form has an entry in ``synonyms`` becomes an OR
+    over the term and its synonyms — ``fast AND car`` with
+    ``{"fast": ["quick"], "car": ["auto"]}`` rewrites to
+    ``(fast OR quick) AND (car OR auto)``. Pure string -> string (feed
+    the result to ``search_expr`` / ``search_expr_many``); phrases and
+    wildcard tokens pass through unexpanded; NOT operands DO expand
+    (``NOT fast`` excludes the synonyms too — the set-algebra reading).
+
+    Scale: query rewrite only — the expanded OR evaluates through
+    ``search_expr``'s union-distinct plan, so each synonym costs one
+    pruned dictionary scan, nothing corpus-wide. Synonym tables at
+    serving scale are driver-side dicts (vocabulary-bound, same budget
+    class as the stats prefetch)."""
+    syn = {fold(k): list(v) for k, v in (synonyms or {}).items()}
+
+    def rewrite(node):
+        kind = node[0]
+        if kind == "term":
+            alts = syn.get(fold(node[1]))
+            if not alts or "*" in node[1]:
+                return node
+            seen = list(dict.fromkeys([node[1]] + alts))
+            return ("or", [("term", t) for t in seen]) \
+                if len(seen) > 1 else node
+        if kind == "phrase":
+            return node
+        if kind == "not":
+            return ("not", rewrite(node[1]))
+        return (kind, [rewrite(c) for c in node[1]])
+
+    ast = parse_bool_expr(query_text)
+    if ast is None or not syn:
+        return query_text or ""
+    return unparse_bool_expr(rewrite(ast))
+
+
 class Index:
     """A queryable inverted index (≙ IReadOnlyIndex + IIndex)."""
 
