@@ -431,14 +431,23 @@ class SegmentIndex:
         return math.log(1.0 + (self.n_docs - df_t + 0.5) / (df_t + 0.5))
 
     def search_bm25(self, query_text: str, k: int | None = None,
-                    prune: bool = True) -> DataFrame:
+                    prune: bool = True,
+                    after: tuple[float, int] | None = None) -> DataFrame:
         """Block-max-WAND top-k: per-shard pruned evaluation + global
-        top-k reduce. Returns (doc_id, score) ordered score desc, doc_id."""
+        top-k reduce. Returns (doc_id, score) ordered score desc, doc_id.
+
+        ``after=(score, doc_id)``: keyset pagination — return the top-k
+        ranked strictly after the cursor (pass the previous page's last
+        row VERBATIM: raw double score, not a rounded display value).
+        Deep paging stays O(k) rows per page per shard — never the
+        offset-style k·page_number — because eligibility is enforced
+        inside the shard-local WAND heap."""
         from textindexing_spark._pkg import ensure_shipped
         from textindexing_spark.functions.tokenize import tokenize_text
 
         ensure_shipped(self.spark)
         k = k or self.cfg.default_k
+        after = _cursor(after)
         terms = sorted(set(tokenize_text(query_text, self.cfg.tokenizer,
                                          self.cfg.case_insensitive)))
         out_schema = "doc_id bigint, score double"
@@ -467,7 +476,8 @@ class SegmentIndex:
                         token, s, drow["doc_ids"].iloc[0],
                         drow["doc_lens"].iloc[0])
                     for d, sc in _wand_shard(sub, dl_ids, dl_vals, idfs,
-                                             k, k1, b, avgdl, prune):
+                                             k, k1, b, avgdl, prune,
+                                             after):
                         ids_out.append(d)
                         scores_out.append(sc)
             return pd.DataFrame(
@@ -488,7 +498,8 @@ class SegmentIndex:
                 .limit(k))
 
     def search_bm25_many(self, queries, k: int | None = None,
-                         prune: bool = True) -> DataFrame:
+                         prune: bool = True,
+                         after: dict | None = None) -> DataFrame:
         """Batched block-max WAND: evaluate a whole QUERY SET in ONE
         Spark job. Per-query jobs pay the full shard-task scheduling
         cost for a handful of result rows (the round-1 query-side
@@ -500,7 +511,11 @@ class SegmentIndex:
         ``queries``: list of query strings (each its own query_id) or a
         {query_id: query_text} dict. Returns (query_id, doc_id, score)
         ordered by query_id, score desc, doc_id — per query identical to
-        ``search_bm25``."""
+        ``search_bm25``.
+
+        ``after``: optional {query_id: (score, doc_id)} keyset cursors —
+        per-query pagination inside the same single batched job (queries
+        without a cursor return page 1)."""
         from pyspark.sql import Window as W
 
         from textindexing_spark._pkg import ensure_shipped
@@ -526,6 +541,7 @@ class SegmentIndex:
             return self.spark.createDataFrame([], out_schema)
         k1, b, avgdl = self.cfg.bm25.k1, self.cfg.bm25.b, self.avgdl
         token = self._serve_token
+        cursors = {qid: _cursor(c) for qid, c in (after or {}).items()}
 
         def group_topk_many(seg, docs):
             import pandas as pd
@@ -545,7 +561,8 @@ class SegmentIndex:
                             continue
                         for d, sc in _wand_shard(sub, dl_ids, dl_vals,
                                                  idfs, k, k1, b, avgdl,
-                                                 prune):
+                                                 prune,
+                                                 cursors.get(qid)):
                             out["query_id"].append(qid)
                             out["doc_id"].append(d)
                             out["score"].append(sc)
@@ -636,9 +653,34 @@ class _TermIter:
             self._load(self.bi + 1)
 
 
-def _wand_shard(seg, dl_ids, dl_vals, idfs, k, k1, b, avgdl, prune):
+def _cursor(after):
+    """Normalize a keyset cursor to (score: float, doc_id: int). Accepts
+    the previous page's last Row (or any mapping with score/doc_id) —
+    the recommended form, immune to tuple-order mistakes — or a bare
+    (score, doc_id) tuple."""
+    if after is None:
+        return None
+    try:
+        return (float(after["score"]), int(after["doc_id"]))
+    except (TypeError, KeyError, IndexError, ValueError):
+        pass
+    score, doc_id = after
+    return (float(score), int(doc_id))
+
+
+def _wand_shard(seg, dl_ids, dl_vals, idfs, k, k1, b, avgdl, prune,
+                after=None):
     """Block-max WAND over one shard's compressed segments.
-    Returns the shard's top-k [(doc_id, score)] (score desc, doc asc)."""
+    Returns the shard's top-k [(doc_id, score)] (score desc, doc asc).
+
+    ``after=(score, doc_id)``: keyset-pagination cursor — only docs
+    ranked strictly AFTER it (score < s, or score == s and doc_id > d)
+    may enter the heap. The filter applies BEFORE the shard-local top-k
+    cut (a post-filter would be wrong: a shard that contributed many
+    page-1 docs would have its page-2 docs truncated away), and every
+    ineligible doc it rejects still tightened nothing — but θ rises on
+    eligible docs only, so pruning stays sound for the page's true
+    top-k."""
     dl_lookup_ids = dl_ids
     iters = []
     for gaps, tfs, blocks, term in zip(seg["gaps"], seg["tfs"],
@@ -699,13 +741,17 @@ def _wand_shard(seg, dl_ids, dl_vals, idfs, k, k1, b, avgdl, prune):
             for it in live:
                 if not it.done and it.cur == pivot_doc:
                     it.advance()
-            entry = (score, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, entry)
-            elif entry > heap[0]:
-                heapq.heapreplace(heap, entry)
-            if len(heap) >= k:
-                theta = heap[0][0]
+            eligible = after is None or (
+                score < after[0]
+                or (score == after[0] and pivot_doc > after[1]))
+            if eligible:
+                entry = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+                if len(heap) >= k:
+                    theta = heap[0][0]
         else:
             # align everything before the pivot up to pivot_doc
             for it in live[:pivot]:

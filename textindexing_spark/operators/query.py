@@ -775,7 +775,8 @@ class Index:
         return scored.groupBy("doc_id").agg(F.sum("w").alias("score"))
 
     def search_bm25(self, query_text: str, k: int | None = None,
-                    filter_expr: str | None = None) -> DataFrame:
+                    filter_expr: str | None = None,
+                    after: tuple[float, int] | None = None) -> DataFrame:
         """BM25 top-k: score desc, doc_id asc tie-break — Spark executes
         orderBy+limit as TakeOrderedAndProject (per-partition heaps +
         driver-side k-way merge), the distributed top-k reduce.
@@ -789,7 +790,14 @@ class Index:
         eligibility is, the standard filtered-search contract. An empty
         or whitespace-only ``filter_expr`` means NO filter (same as
         None) — a dynamically-built constraint string that ends up empty
-        must not silently empty the results."""
+        must not silently empty the results.
+
+        ``after=(score, doc_id)``: keyset pagination — the top-k ranked
+        strictly after the cursor (pass the previous page's last row
+        VERBATIM: raw double score, not a rounded display value). The
+        cursor becomes a plain predicate ahead of TakeOrderedAndProject,
+        so every page costs the same one top-k reduce — never the
+        offset-style score-all-then-skip."""
         k = k or self.cfg.default_k
         scores = self.bm25_scores(query_text)
         if filter_expr is not None:
@@ -797,6 +805,13 @@ class Index:
             if ast is not None:  # None = empty text = unfiltered
                 scores = scores.join(self._eval_expr(ast), "doc_id",
                                      "left_semi")
+        if after is not None:
+            from textindexing_spark.operators.bm25 import _cursor
+
+            s, d = _cursor(after)
+            scores = scores.where(
+                (F.col("score") < s)
+                | ((F.col("score") == s) & (F.col("doc_id") > d)))
         return (scores
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
