@@ -6,7 +6,10 @@
         --query "hash merge fast" \\
         [--mode bm25|bool|expr|phrase|near|suggest] [--k 10] \\
         [--filter-expr "scan AND NOT slow"] [--near-k 4] [--ordered] \\
-        [--max-dist 2] [--positional <pos_root>]
+        [--max-dist 2] [--positional <pos_root>] \\
+        [--after "<score>:<doc_id>"] [--synonyms '{"fast":["quick"]}'] \\
+        [--stopwords the,a,of] [--fold-accents] [--stem light] \\
+        [--facet lang --facet source --facet-table <parquet>]
 
 --index points at a SegmentIndex root (has _meta.json; queried via
 block-max WAND), a boolean Index snapshot (postings/ + documents/;
@@ -54,7 +57,32 @@ def main(argv: list[str] | None = None) -> None:
                     help="near mode: window size in token positions")
     ap.add_argument("--ordered", action="store_true",
                     help="near mode: terms must appear in query order")
+    ap.add_argument("--after", default=None,
+                    help="bm25 keyset-pagination cursor 'score:doc_id' "
+                         "(the previous page's last row, raw score)")
+    ap.add_argument("--synonyms", default=None,
+                    help="JSON dict term->[synonyms]; each term in a "
+                         "bool/expr query expands to an OR")
+    ap.add_argument("--stopwords", default=None,
+                    help="comma-separated stopwords dropped from the "
+                         "query by the analyzer chain (use against an "
+                         "index built over normalize_docs output)")
+    ap.add_argument("--fold-accents", action="store_true",
+                    help="analyzer chain: strip accents from query terms")
+    ap.add_argument("--stem", choices=("light",), default=None,
+                    help="analyzer chain: S-stemmer on query terms")
+    ap.add_argument("--facet", action="append", default=None,
+                    help="facet column over the result set (repeatable; "
+                         "bool/expr modes, needs --facet-table)")
+    ap.add_argument("--facet-table", default=None,
+                    help="parquet with doc_id + the --facet columns")
     args = ap.parse_args(argv)
+    if args.after and args.mode != "bm25":
+        raise SystemExit("--after applies to --mode bm25 only")
+    if args.facet and args.mode not in ("bool", "expr"):
+        raise SystemExit("--facet applies to --mode bool/expr")
+    if bool(args.facet) != bool(args.facet_table):
+        raise SystemExit("--facet and --facet-table go together")
     if args.filter_expr and args.mode != "bm25":
         raise SystemExit("--filter-expr applies to --mode bm25 only "
                          "(fold the filter into the expression for "
@@ -125,28 +153,63 @@ def main(argv: list[str] | None = None) -> None:
                 PositionalSegmentIndex.load(spark, args.positional).cache())
         kind = "postings"
 
+    after = None
+    if args.after:
+        s, _, d = args.after.partition(":")
+        after = (float(s), int(d))
+    synonyms = json.loads(args.synonyms) if args.synonyms else None
+    analyzer_kw = None
+    if args.stopwords or args.fold_accents or args.stem:
+        analyzer_kw = dict(
+            stopwords=tuple(w for w in
+                            (args.stopwords or "").split(",") if w),
+            accents=args.fold_accents, stem=args.stem)
+    meta = (spark.read.parquet(args.facet_table)
+            if args.facet_table else None)
+
     for q in args.query:
+        executed = q
+        if analyzer_kw is not None:
+            from textindexing_spark.functions.analyze import normalize_query
+
+            executed = normalize_query(executed, **analyzer_kw)
+        if synonyms and args.mode in ("bool", "expr"):
+            from textindexing_spark.operators.query import expand_synonyms
+
+            executed = expand_synonyms(executed, synonyms)
         t0 = time.perf_counter()
         if args.mode == "bm25":
             if kind == "postings" and args.filter_expr:
-                res = idx.search_bm25(q, args.k,
-                                      filter_expr=args.filter_expr)
+                res = idx.search_bm25(executed, args.k,
+                                      filter_expr=args.filter_expr,
+                                      after=after)
             else:
-                res = idx.search_bm25(q, args.k)
+                res = idx.search_bm25(executed, args.k, after=after)
             rows = [(r["doc_id"], round(r["score"], 4))
                     for r in res.collect()]
         elif args.mode == "expr":
-            rows = [r["doc_id"] for r in idx.search_expr(q).collect()]
+            rows = [r["doc_id"]
+                    for r in idx.search_expr(executed).collect()]
         elif args.mode == "suggest":
             rows = [(r["term"], int(r["df"]), int(r["dist"])) for r in
-                    idx.suggest(q, args.k, args.max_dist).collect()]
+                    idx.suggest(executed, args.k, args.max_dist).collect()]
         else:
-            rows = [r["doc_id"] for r in idx.search_bool(q).collect()]
-        print(json.dumps({
+            rows = [r["doc_id"]
+                    for r in idx.search_bool(executed).collect()]
+        out = {
             "query": q, "mode": args.mode, "index_kind": kind,
             "n_results": len(rows), "results": rows[:args.k],
             "latency_ms": round((time.perf_counter() - t0) * 1000, 1),
-        }))
+        }
+        if executed != q:
+            out["executed_query"] = executed
+        if meta is not None:
+            out["facets"] = [
+                (r["facet"], r["value"], int(r["n_docs"]))
+                for r in idx.facet_counts(executed, meta,
+                                          by=args.facet,
+                                          k=args.k).collect()]
+        print(json.dumps(out))
     spark.stop()
 
 

@@ -1,0 +1,104 @@
+"""Query-CLI coverage for the round-4 serving features: keyset
+pagination, synonym expansion, analyzer-chain query rewrite, facets."""
+
+import importlib.util
+import json
+import pathlib
+
+import pytest
+
+from textindexing_spark import IndexConfig, build_index
+
+CORPUS = [
+    (0, "fast merge scan", "en", "web"),
+    (1, "quick merge scan", "en", "books"),
+    (2, "rapid merge scan", "de", "web"),
+    (3, "slow merge scan", "en", "web"),
+    (4, "fast merge scan extra fast", "fr", None),
+]
+
+
+def _cli():
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "query_index_submit", repo / "scripts" / "query_index_submit.py")
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    return cli
+
+
+@pytest.fixture(scope="module")
+def snapshot(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    docs = spark.createDataFrame(
+        CORPUS, "doc_id bigint, text string, lang string, source string")
+    ix = build_index(spark, docs.select("doc_id", "text"), IndexConfig())
+    ix.snapshot(str(root / "ix"))
+    docs.write.mode("overwrite").parquet(str(root / "meta"))
+    return root
+
+
+def test_cli_synonyms_and_facets(spark, snapshot, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    _cli().main([
+        "--index", str(snapshot / "ix"), "--mode", "expr",
+        "--query", "fast AND merge",
+        "--synonyms", json.dumps({"fast": ["quick", "rapid"]}),
+        "--facet", "lang", "--facet", "source",
+        "--facet-table", str(snapshot / "meta")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["results"] == [0, 1, 2, 4]
+    assert out["executed_query"] == \
+        "(fast OR quick OR rapid) AND merge"
+    facets = {(f, v): n for f, v, n in out["facets"]}
+    assert facets[("lang", "en")] == 2
+    assert facets[("lang", "de")] == 1
+    assert facets[("source", "web")] == 2
+    assert facets[("source", None)] == 1
+
+
+def test_cli_bm25_pagination(spark, snapshot, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    cli = _cli()
+    cli.main(["--index", str(snapshot / "ix"), "--mode", "bm25",
+              "--query", "fast merge", "--k", "2"])
+    p1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(p1["results"]) == 2
+    # the CLI rounds scores for display; re-derive the RAW cursor from
+    # the engine (the documented contract: pass the raw double)
+    from textindexing_spark import Index
+    ix = Index.load(spark, str(snapshot / "ix"))
+    rows = ix.search_bm25("fast merge", 2).collect()
+    cursor = f'{rows[-1]["score"]}:{rows[-1]["doc_id"]}'
+    cli.main(["--index", str(snapshot / "ix"), "--mode", "bm25",
+              "--query", "fast merge", "--k", "2", "--after", cursor])
+    p2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ids1 = [d for d, _ in p1["results"]]
+    ids2 = [d for d, _ in p2["results"]]
+    assert not set(ids1) & set(ids2)
+    full = [r["doc_id"] for r in ix.search_bm25("fast merge", 10).collect()]
+    assert ids1 + ids2 == full[:len(ids1) + len(ids2)]
+
+
+def test_cli_analyzer_rewrite(spark, snapshot, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    _cli().main(["--index", str(snapshot / "ix"), "--mode", "bool",
+                 "--query", "the Fást merge", "--stopwords", "the,a",
+                 "--fold-accents"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["executed_query"] == "fast merge"
+    assert out["results"] == [0, 4]
+
+
+def test_cli_flag_validation(snapshot):
+    cli = _cli()
+    with pytest.raises(SystemExit):
+        cli.main(["--index", str(snapshot / "ix"), "--query", "x",
+                  "--mode", "bool", "--after", "1.0:3"])
+    with pytest.raises(SystemExit):
+        cli.main(["--index", str(snapshot / "ix"), "--query", "x",
+                  "--mode", "bm25", "--facet", "lang",
+                  "--facet-table", "/tmp/nope"])
+    with pytest.raises(SystemExit):
+        cli.main(["--index", str(snapshot / "ix"), "--query", "x",
+                  "--mode", "expr", "--facet", "lang"])
