@@ -61,8 +61,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="bm25 keyset-pagination cursor 'score:doc_id' "
                          "(the previous page's last row, raw score)")
     ap.add_argument("--synonyms", default=None,
-                    help="JSON dict term->[synonyms]; each term in a "
-                         "bool/expr query expands to an OR")
+                    help="JSON dict term->[synonyms]; each term in an "
+                         "expr query expands to an OR (expr mode only: "
+                         "the expansion emits boolean-language text)")
     ap.add_argument("--stopwords", default=None,
                     help="comma-separated stopwords dropped from the "
                          "query by the analyzer chain (use against an "
@@ -73,14 +74,24 @@ def main(argv: list[str] | None = None) -> None:
                     help="analyzer chain: S-stemmer on query terms")
     ap.add_argument("--facet", action="append", default=None,
                     help="facet column over the result set (repeatable; "
-                         "bool/expr modes, needs --facet-table)")
+                         "expr mode only, needs --facet-table)")
     ap.add_argument("--facet-table", default=None,
                     help="parquet with doc_id + the --facet columns")
     args = ap.parse_args(argv)
     if args.after and args.mode != "bm25":
         raise SystemExit("--after applies to --mode bm25 only")
-    if args.facet and args.mode not in ("bool", "expr"):
-        raise SystemExit("--facet applies to --mode bool/expr")
+    if args.after and len(args.query) > 1:
+        # a cursor belongs to ONE query's ranking; silently filtering
+        # other queries by it would drop their top hits
+        raise SystemExit("--after takes exactly one --query")
+    if args.synonyms and args.mode != "expr":
+        # the expansion emits boolean-language text; search_bool would
+        # AND the literal tokens '(fast' / 'OR' / 'quick)'
+        raise SystemExit("--synonyms applies to --mode expr only")
+    if args.facet and args.mode != "expr":
+        # facet_counts evaluates boolean-LANGUAGE semantics; they must
+        # match the semantics that produced the result rows
+        raise SystemExit("--facet applies to --mode expr only")
     if bool(args.facet) != bool(args.facet_table):
         raise SystemExit("--facet and --facet-table go together")
     if args.filter_expr and args.mode != "bm25":
@@ -167,29 +178,49 @@ def main(argv: list[str] | None = None) -> None:
     meta = (spark.read.parquet(args.facet_table)
             if args.facet_table else None)
 
+    filter_expr = args.filter_expr
+    if analyzer_kw is not None and filter_expr:
+        # the filter queries the same normalized index — an unrewritten
+        # filter term ("ponies") would never match stored terms ("pony")
+        from textindexing_spark.functions.analyze import normalize_query
+
+        filter_expr = normalize_query(filter_expr, **analyzer_kw)
+
     for q in args.query:
         executed = q
         if analyzer_kw is not None:
             from textindexing_spark.functions.analyze import normalize_query
 
             executed = normalize_query(executed, **analyzer_kw)
-        if synonyms and args.mode in ("bool", "expr"):
+        if synonyms:  # expr mode (validated above)
             from textindexing_spark.operators.query import expand_synonyms
 
             executed = expand_synonyms(executed, synonyms)
+        raw_last = None
         t0 = time.perf_counter()
         if args.mode == "bm25":
-            if kind == "postings" and args.filter_expr:
+            if kind == "postings" and filter_expr:
                 res = idx.search_bm25(executed, args.k,
-                                      filter_expr=args.filter_expr,
+                                      filter_expr=filter_expr,
                                       after=after)
             else:
                 res = idx.search_bm25(executed, args.k, after=after)
+            collected = res.collect()
+            if collected:
+                raw_last = collected[-1]
             rows = [(r["doc_id"], round(r["score"], 4))
-                    for r in res.collect()]
+                    for r in collected]
         elif args.mode == "expr":
-            rows = [r["doc_id"]
-                    for r in idx.search_expr(executed).collect()]
+            if meta is not None:
+                # persist the hit SET so results + facets cost one
+                # query evaluation, not two
+                hits = idx._expr_docs(executed)
+                hits = hits.persist() if hits is not None else None
+                rows = sorted(r["doc_id"] for r in hits.collect()) \
+                    if hits is not None else []
+            else:
+                rows = [r["doc_id"]
+                        for r in idx.search_expr(executed).collect()]
         elif args.mode == "suggest":
             rows = [(r["term"], int(r["df"]), int(r["dist"])) for r in
                     idx.suggest(executed, args.k, args.max_dist).collect()]
@@ -203,12 +234,21 @@ def main(argv: list[str] | None = None) -> None:
         }
         if executed != q:
             out["executed_query"] = executed
+        if raw_last is not None:
+            # scores above are rounded for display; pagination needs the
+            # RAW double — repr() round-trips it exactly
+            out["next_after"] = (f'{raw_last["score"]!r}:'
+                                 f'{raw_last["doc_id"]}')
         if meta is not None:
-            out["facets"] = [
+            # hits None = empty query = empty result set: no buckets
+            # (facet_counts(None, hits=None) would facet the CORPUS)
+            out["facets"] = [] if hits is None else [
                 (r["facet"], r["value"], int(r["n_docs"]))
-                for r in idx.facet_counts(executed, meta,
-                                          by=args.facet,
-                                          k=args.k).collect()]
+                for r in idx.facet_counts(None, meta, by=args.facet,
+                                          k=args.k,
+                                          hits=hits).collect()]
+            if hits is not None:
+                hits.unpersist()
         print(json.dumps(out))
     spark.stop()
 

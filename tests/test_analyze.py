@@ -101,9 +101,20 @@ def test_normalize_query_structure_preserved():
 def test_unparse_roundtrip():
     for text in ["fast", "fast AND car", "(a OR b) AND NOT c",
                  '"row scan" AND NOT slow', "NOT (a OR b)",
-                 "a b c", 'x OR (y AND "two words")']:
+                 "a b c", 'x OR (y AND "two words")',
+                 '"AND" fast', 'x OR "NOT"']:
         ast = parse_bool_expr(text)
         assert parse_bool_expr(unparse_bool_expr(ast)) == ast, text
+
+
+def test_expand_synonyms_rejects_grammar_injection():
+    for bad in ["NOT", "two words", "pa(ren", 'quo"te', ""]:
+        with pytest.raises(ValueError):
+            expand_synonyms("fast", {"fast": [bad]})
+    # an operator-literal TERM ('"AND"') survives expansion re-quoted
+    out = expand_synonyms('"AND" fast', {"and": ["also"]})
+    assert out == '("AND" OR also) AND fast'
+    assert parse_bool_expr(out)
 
 
 def test_expand_synonyms_rewrite():

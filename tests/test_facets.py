@@ -108,6 +108,16 @@ def test_facets_absent_term_yields_empty(idx, docs):
     assert idx.facet_counts("nonexistent", docs, by="lang").count() == 0
 
 
+def test_facets_precomputed_hits_param(idx, docs):
+    """hits= skips query evaluation: a serving request facets the doc
+    set it already computed (one evaluation per request, not two)."""
+    q = "fox AND NOT dog"
+    hits = idx.search_expr(q)
+    via_hits = _got(idx.facet_counts(None, docs, by="lang", hits=hits))
+    via_query = _got(idx.facet_counts(q, docs, by="lang"))
+    assert via_hits == via_query and via_hits
+
+
 def test_facets_validates_columns(idx, docs):
     with pytest.raises(ValueError):
         idx.facet_counts("fox", docs, by="missing_col")

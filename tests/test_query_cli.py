@@ -64,18 +64,17 @@ def test_cli_bm25_pagination(spark, snapshot, capsys, monkeypatch):
               "--query", "fast merge", "--k", "2"])
     p1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(p1["results"]) == 2
-    # the CLI rounds scores for display; re-derive the RAW cursor from
-    # the engine (the documented contract: pass the raw double)
-    from textindexing_spark import Index
-    ix = Index.load(spark, str(snapshot / "ix"))
-    rows = ix.search_bm25("fast merge", 2).collect()
-    cursor = f'{rows[-1]["score"]}:{rows[-1]["doc_id"]}'
+    # the CLI's OWN output must drive its pagination: next_after carries
+    # the raw (repr round-tripped) score, not the rounded display value
     cli.main(["--index", str(snapshot / "ix"), "--mode", "bm25",
-              "--query", "fast merge", "--k", "2", "--after", cursor])
+              "--query", "fast merge", "--k", "2",
+              "--after", p1["next_after"]])
     p2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     ids1 = [d for d, _ in p1["results"]]
     ids2 = [d for d, _ in p2["results"]]
     assert not set(ids1) & set(ids2)
+    from textindexing_spark import Index
+    ix = Index.load(spark, str(snapshot / "ix"))
     full = [r["doc_id"] for r in ix.search_bm25("fast merge", 10).collect()]
     assert ids1 + ids2 == full[:len(ids1) + len(ids2)]
 
@@ -95,7 +94,13 @@ def test_cli_flag_validation(snapshot):
     with pytest.raises(SystemExit):
         cli.main(["--index", str(snapshot / "ix"), "--query", "x",
                   "--mode", "bool", "--after", "1.0:3"])
-    with pytest.raises(SystemExit):
+    with pytest.raises(SystemExit):  # cursor belongs to ONE ranking
+        cli.main(["--index", str(snapshot / "ix"), "--query", "x",
+                  "--query", "y", "--mode", "bm25", "--after", "1.0:3"])
+    with pytest.raises(SystemExit):  # synonyms emit expr-language text
+        cli.main(["--index", str(snapshot / "ix"), "--query", "x",
+                  "--mode", "bool", "--synonyms", '{"x": ["y"]}'])
+    with pytest.raises(SystemExit):  # facet semantics = expr semantics
         cli.main(["--index", str(snapshot / "ix"), "--query", "x",
                   "--mode", "bm25", "--facet", "lang",
                   "--facet-table", "/tmp/nope"])

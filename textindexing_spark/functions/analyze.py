@@ -150,7 +150,7 @@ def normalize_query(query_text: str | None, *, tokenizer: str = "alnum",
     operators (AND/OR/NOT), parentheses, quotes, and wildcard markers
     (*) pass through untouched, so the output feeds ``search_expr``
     too. A stopword query word disappears (same as index side)."""
-    import pandas as pd
+    from textindexing_spark.functions.tokenize import tokenize_text
 
     analyze = make_term_analyzer(
         stopwords=stopwords, accents=accents, stem=stem,
@@ -163,8 +163,7 @@ def normalize_query(query_text: str | None, *, tokenizer: str = "alnum",
         if raw in ("AND", "OR", "NOT") or not core:
             out.append(raw)
             continue
-        toks = tokenize_series(pd.Series([core]), tokenizer,
-                               case_insensitive)[0]
+        toks = tokenize_text(core, tokenizer, case_insensitive)
         terms = analyze(toks)
         if not terms:
             # the word was stopworded away; keep any structural chars

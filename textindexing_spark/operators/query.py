@@ -114,15 +114,19 @@ def parse_bool_expr(text: str | None):
 
 def unparse_bool_expr(node) -> str:
     """AST -> query text that ``parse_bool_expr`` parses back to the
-    same AST (non-atomic children parenthesized; multi-word phrases
-    re-quoted)."""
+    same AST (non-atomic children parenthesized; multi-word phrases —
+    and terms that collide with the uppercase operators, which can only
+    have come from a quoted literal — re-quoted)."""
     def wrap(child):
         t = unparse_bool_expr(child)
         return t if child[0] in ("term", "phrase") else f"({t})"
 
     kind = node[0]
     if kind == "term":
-        return node[1]
+        # '"AND" x' parses to ('term', 'AND'); unquoted it would
+        # re-parse as the operator
+        return f'"{node[1]}"' if node[1] in ("AND", "OR", "NOT") \
+            else node[1]
     if kind == "phrase":
         return f'"{node[1]}"'
     if kind == "not":
@@ -148,6 +152,15 @@ def expand_synonyms(query_text: str, synonyms: dict[str, list[str]],
     serving scale are driver-side dicts (vocabulary-bound, same budget
     class as the stats prefetch)."""
     syn = {fold(k): list(v) for k, v in (synonyms or {}).items()}
+    for alts in syn.values():
+        for a in alts:
+            # a synonym VALUE must be a single plain term — an operator
+            # word, space, or structural char would inject grammar into
+            # the rewritten query ({"fast": ["NOT"]} -> dangling NOT)
+            if (not a or a in ("AND", "OR", "NOT")
+                    or any(ch in a for ch in ' ()"')):
+                raise ValueError(f"synonym values must be single plain "
+                                 f"terms, got {a!r}")
 
     def rewrite(node):
         kind = node[0]
@@ -695,7 +708,8 @@ class Index:
                 .orderBy("query_id", "doc_id"))
 
     def facet_counts(self, query_text: str | None, meta: DataFrame,
-                     by: str | list[str], k: int = 10) -> DataFrame:
+                     by: str | list[str], k: int = 10,
+                     hits: DataFrame | None = None) -> DataFrame:
         """(facet, value, n_docs, rank) — top-``k`` facet buckets over
         the result set of a boolean-language query (``search_expr``
         semantics; None/blank query facets the WHOLE corpus — the
@@ -710,7 +724,12 @@ class Index:
         single pass over the matched rows — facet dimensions are
         low-cardinality, so the aggregate output is tiny regardless of
         corpus size, and the per-facet top-k window runs over that tiny
-        frame, not the data."""
+        frame, not the data.
+
+        ``hits``: a precomputed (doc_id) result set to facet INSTEAD of
+        evaluating ``query_text`` — pass the (ideally persisted) doc set
+        a serving request already computed for its result rows, so the
+        request costs one query evaluation, not two."""
         from pyspark.sql import Window
 
         cols = [by] if isinstance(by, str) else list(by)
@@ -722,12 +741,14 @@ class Index:
         if any(not c.replace("_", "").isalnum() for c in cols):
             raise ValueError(f"facet column names must be identifiers: "
                              f"{cols}")
-        rows = meta
-        if query_text is not None and (query_text or "").strip():
+        if hits is None and query_text is not None \
+                and (query_text or "").strip():
             hits = self._expr_docs(query_text)
+        rows = meta
+        if hits is not None:
             # hits is already distinct by construction; dup right-side
             # rows wouldn't change a left-semi anyway
-            rows = meta.join(hits, "doc_id", "left_semi")
+            rows = meta.join(hits.select("doc_id"), "doc_id", "left_semi")
         pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
         melted = rows.select(F.expr(
             f"stack({len(cols)}, {pairs}) as (facet, value)"))
@@ -797,7 +818,15 @@ class Index:
         VERBATIM: raw double score, not a rounded display value). The
         cursor becomes a plain predicate ahead of TakeOrderedAndProject,
         so every page costs the same one top-k reduce — never the
-        offset-style score-all-then-skip."""
+        offset-style score-all-then-skip.
+
+        Determinism caveat: the tie test (``score == s``) assumes the
+        page-2 job recomputes bit-identical sums. This path's
+        ``F.sum(w)`` combine order follows shuffle arrival, which a
+        multi-executor cluster does not pin — single-JVM local runs are
+        stable, but CLUSTER serving should paginate on the WAND path
+        (``SegmentIndex.search_bm25``), whose per-doc sums run in fixed
+        per-shard Python order and are reproducible by construction."""
         k = k or self.cfg.default_k
         scores = self.bm25_scores(query_text)
         if filter_expr is not None:
