@@ -132,6 +132,33 @@ def test_expand_synonyms_rewrite():
     assert expand_synonyms("fast", {}) == "fast"
 
 
+def test_analyzer_as_streaming_transform(spark, tmp_path):
+    """normalize_docs drops straight into the streaming ingest hook:
+    every micro-batch is analyzed before indexing, so the live index
+    holds analyzed terms — the same contract as a batch build over
+    normalize_docs output."""
+    from functools import partial
+
+    from textindexing_spark.streaming.ingest import StreamingIngestor
+
+    rows = [("u://a", "The Ponies of Café X"),
+            ("u://b", "a naïve pony arrives")]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "url string, text string") \
+        .coalesce(1).write.parquet(src)
+    ing = StreamingIngestor(
+        spark, str(tmp_path / "idx"),
+        transform=partial(normalize_docs, stopwords=EN_STOP,
+                          accents=True, stem="light"))
+    ing.ingest_available(src, str(tmp_path / "ckpt"))
+    terms = {r["term"] for r in ing.index().postings.collect()}
+    assert terms == {"pony", "cafe", "x", "naive", "arrive"}
+    # query side uses the identical chain
+    nq = normalize_query("the Ponies", stopwords=EN_STOP, accents=True,
+                         stem="light")
+    assert ing.index().search_bool(nq).count() == 2
+
+
 def test_expand_synonyms_search_equivalence(spark):
     corpus = [(0, "fast lane"), (1, "quick lane"), (2, "rapid transit"),
               (3, "slow lane")]
