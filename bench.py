@@ -376,6 +376,17 @@ def main() -> None:
     timed("normalize_docs", lambda: normalize_docs(
         docs, stopwords=("the", "a", "an", "of", "to"), accents=True,
         stem="light").count())
+    # BM25F: title field = a short deterministic slice of the text (the
+    # sf tables carry no html column; the field MERGE cost is what the
+    # row measures and it is text-source-agnostic)
+    from textindexing_spark.operators.fields import search_bm25f
+    tix = held["tix"] = build_index(
+        spark, docs.select("doc_id", F.substring("text", 1, 40)
+                           .alias("text")), IndexConfig()).cache()
+    timed("bm25f_queries", lambda: [
+        search_bm25f({"title": (tix, 3.0), "body": (idx, 1.0)},
+                     q, 10).collect()
+        for q in ("data index", "merge fast", "scan row")])
 
     # ANN recall quality (measured once, not timed): seeded-k-means
     # codebooks/cells vs the deterministic data-vector ones, recall@10

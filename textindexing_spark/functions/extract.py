@@ -52,6 +52,40 @@ def extract_text(html: bytes | None) -> str:
     return text.strip("\n ")
 
 
+_TITLE_RE = re.compile(rb"<title\b[^>]*>(.*?)</title>",
+                       re.DOTALL | re.IGNORECASE)
+
+
+def extract_title(html: bytes | None) -> str:
+    """First <title> element's text (tag-stripped, entity-unescaped,
+    whitespace-trimmed); "" when absent — the TITLE FIELD for
+    field-weighted retrieval (operators/fields.py). The body extractor
+    deliberately drops <title> (it is chrome, not content), so the two
+    fields never double-count a token."""
+    if not html:
+        return ""
+    m = _TITLE_RE.search(html)
+    if not m:
+        return ""
+    body = _TAG_RE.sub(b"", m.group(1))
+    for ent, ch in _ENTITIES:
+        body = body.replace(ent, ch)
+    return body.decode("utf-8", errors="replace").strip()
+
+
+def extract_title_udf():
+    """Arrow-vectorized pandas UDF: html BINARY -> title STRING."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _title(html: pd.Series) -> pd.Series:
+        return html.map(extract_title)
+
+    return _title
+
+
 def extract_text_udf():
     """Arrow-vectorized pandas UDF: html BINARY -> text STRING."""
     import pandas as pd
