@@ -55,6 +55,14 @@ def main(argv: list[str] | None = None) -> None:
                     help="document shards for the compressed BM25 segments")
     ap.add_argument("--skip-segments", action="store_true",
                     help="stop after the boolean index (postings+documents)")
+    ap.add_argument("--stopwords", default=None,
+                    help="comma-separated stopwords: index through the "
+                         "analyzer chain (query with the same flags on "
+                         "the query CLI)")
+    ap.add_argument("--fold-accents", action="store_true",
+                    help="analyzer chain: strip accents before indexing")
+    ap.add_argument("--stem", choices=("light",), default=None,
+                    help="analyzer chain: S-stemmer before indexing")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession, functions as F
@@ -109,7 +117,17 @@ def main(argv: list[str] | None = None) -> None:
                    F.expr("bit_xor(h)").alias("x"),
                    F.sum(F.col("h").cast("decimal(38,0)")).alias("s"))
               .collect()[0])
+    analyzer_kw = None
+    if args.stopwords or args.fold_accents or args.stem:
+        analyzer_kw = dict(
+            stopwords=tuple(sorted(
+                w for w in (args.stopwords or "").split(",") if w)),
+            accents=args.fold_accents, stem=args.stem)
     fingerprint = f"{args.input}:{fp_row['n']}:{fp_row['x']}:{fp_row['s']}"
+    if analyzer_kw is not None:
+        # different analyzer settings produce a different index: a
+        # --resume must not reuse stages built under other settings
+        fingerprint += f":analyze={sorted(analyzer_kw.items())}"
     pipe = StagePipeline(spark, args.output,
                          fingerprint if args.resume else
                          f"{fingerprint}:{time.time_ns()}")
@@ -121,9 +139,14 @@ def main(argv: list[str] | None = None) -> None:
         texted = extract_text_column(current)
         # dense collision-free doc ids (persisted dimension — a url keeps
         # its id across incremental builds)
-        return (url_ids.assign(texted)
-                .select("doc_id", "url",
-                        F.coalesce("text", F.lit("")).alias("text")))
+        out = (url_ids.assign(texted)
+               .select("doc_id", "url",
+                       F.coalesce("text", F.lit("")).alias("text")))
+        if analyzer_kw is not None:
+            from textindexing_spark.functions.analyze import normalize_docs
+
+            out = normalize_docs(out, **analyzer_kw)
+        return out
 
     docs = pipe.stage("docs", stage_docs, pages)
 

@@ -4,7 +4,8 @@
     spark-submit --master <cluster> --py-files /tmp/textindexing_spark.zip \\
         scripts/query_index_submit.py --index <root> \\
         --query "hash merge fast" \\
-        [--mode bm25|bool|expr|phrase|near|suggest] [--k 10] \\
+        [--mode bm25|bm25f|bool|expr|phrase|near|suggest] [--k 10] \\
+        [--title-index <root> --title-weight 3.0] \\
         [--filter-expr "scan AND NOT slow"] [--near-k 4] [--ordered] \\
         [--max-dist 2] [--positional <pos_root>] \\
         [--after "<score>:<doc_id>"] [--synonyms '{"fast":["quick"]}'] \\
@@ -37,7 +38,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", action="append", required=True,
                     help="repeatable")
-    ap.add_argument("--mode", choices=("bm25", "bool", "expr",
+    ap.add_argument("--mode", choices=("bm25", "bm25f", "bool", "expr",
                                        "phrase", "near", "suggest"),
                     default="bm25",
                     help="expr = full boolean language (AND/OR/NOT, "
@@ -77,7 +78,14 @@ def main(argv: list[str] | None = None) -> None:
                          "expr mode only, needs --facet-table)")
     ap.add_argument("--facet-table", default=None,
                     help="parquet with doc_id + the --facet columns")
+    ap.add_argument("--title-index", default=None,
+                    help="bm25f mode: Index snapshot of the TITLE field "
+                         "(--index is the body field)")
+    ap.add_argument("--title-weight", type=float, default=3.0,
+                    help="bm25f mode: title field weight (body = 1.0)")
     args = ap.parse_args(argv)
+    if args.mode == "bm25f" and not args.title_index:
+        raise SystemExit("--mode bm25f needs --title-index")
     if args.after and args.mode != "bm25":
         raise SystemExit("--after applies to --mode bm25 only")
     if args.after and len(args.query) > 1:
@@ -146,7 +154,7 @@ def main(argv: list[str] | None = None) -> None:
         idx = (SegmentIndex.load(spark, args.index)
                .prepare_for_queries(query_groups=8))
         kind = "segments"
-        if args.mode in ("bool", "expr", "suggest"):
+        if args.mode in ("bool", "expr", "suggest", "bm25f"):
             raise SystemExit(f"{args.mode} queries need an Index snapshot "
                              "(postings/ + documents/), not segments")
         if args.filter_expr:
@@ -177,6 +185,12 @@ def main(argv: list[str] | None = None) -> None:
             accents=args.fold_accents, stem=args.stem)
     meta = (spark.read.parquet(args.facet_table)
             if args.facet_table else None)
+    if args.mode == "bm25f":
+        # load the title field ONCE; repeated --query amortizes it
+        bm25f_fields = {
+            "title": (Index.load(spark, args.title_index).cache(),
+                      args.title_weight),
+            "body": (idx, 1.0)}
 
     filter_expr = args.filter_expr
     if analyzer_kw is not None and filter_expr:
@@ -198,7 +212,13 @@ def main(argv: list[str] | None = None) -> None:
             executed = expand_synonyms(executed, synonyms)
         raw_last = None
         t0 = time.perf_counter()
-        if args.mode == "bm25":
+        if args.mode == "bm25f":
+            from textindexing_spark.operators.fields import search_bm25f
+
+            rows = [(r["doc_id"], round(r["score"], 4)) for r in
+                    search_bm25f(bm25f_fields, executed,
+                                 args.k).collect()]
+        elif args.mode == "bm25":
             if kind == "postings" and filter_expr:
                 res = idx.search_bm25(executed, args.k,
                                       filter_expr=filter_expr,

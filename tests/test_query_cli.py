@@ -89,6 +89,50 @@ def test_cli_analyzer_rewrite(spark, snapshot, capsys, monkeypatch):
     assert out["results"] == [0, 4]
 
 
+def test_cli_bm25f_mode(spark, snapshot, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    titles = spark.createDataFrame(
+        [(0, "fast guide"), (1, "other"), (2, "other"), (3, "other"),
+         (4, "misc")], "doc_id bigint, text string")
+    tix = build_index(spark, titles, IndexConfig())
+    tix.snapshot(str(tmp_path / "tix"))
+    _cli().main(["--index", str(snapshot / "ix"), "--mode", "bm25f",
+                 "--title-index", str(tmp_path / "tix"),
+                 "--title-weight", "8.0", "--query", "fast", "--k", "3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # doc 0: 'fast' in title AND body — must outrank the body-only hits
+    assert out["results"][0][0] == 0
+    assert {d for d, _ in out["results"]} == {0, 4}
+
+
+def test_cli_bm25f_validation(snapshot):
+    with pytest.raises(SystemExit):  # bm25f needs the title index
+        _cli().main(["--index", str(snapshot / "ix"), "--mode", "bm25f",
+                     "--query", "fast"])
+
+
+def test_build_cli_analyzer_flags(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "a.txt").write_text("The Ponies of Café X", encoding="utf-8")
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "build_index_submit", repo / "scripts" / "build_index_submit.py")
+    bcli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bcli)
+    bcli.main(["--input", str(src), "--input-format", "files",
+               "--glob", "*.txt", "--output", str(tmp_path / "ix"),
+               "--shards", "2", "--skip-segments",
+               "--stopwords", "the,of,a", "--fold-accents",
+               "--stem", "light"])
+    capsys.readouterr()
+    from textindexing_spark import Index
+    ix = Index.load(spark, str(tmp_path / "ix"))
+    assert {r["term"] for r in ix.postings.collect()} == \
+        {"pony", "cafe", "x"}
+
+
 def test_cli_flag_validation(snapshot):
     cli = _cli()
     with pytest.raises(SystemExit):
