@@ -34,11 +34,26 @@ def __getattr__(name):
         from textindexing_spark.operators import bm25
 
         return getattr(bm25, name)
+    if name in ("search_bm25f", "bm25f_scores", "field_docs_from_pages"):
+        from textindexing_spark.operators import fields
+
+        return getattr(fields, name)
+    if name in ("expand_synonyms", "parse_bool_expr", "unparse_bool_expr"):
+        from textindexing_spark.operators import query
+
+        return getattr(query, name)
+    if name in ("normalize_docs", "normalize_query", "make_term_analyzer"):
+        from textindexing_spark.functions import analyze
+
+        return getattr(analyze, name)
     raise AttributeError(name)
 
 
 __all__ = ["IndexConfig", "build_index", "tokenize_documents", "Index",
            "SegmentIndex", "build_segments_from_docs", "build_segments",
-           "segment_index_from"]
+           "segment_index_from", "search_bm25f", "bm25f_scores",
+           "field_docs_from_pages", "expand_synonyms", "parse_bool_expr",
+           "unparse_bool_expr", "normalize_docs", "normalize_query",
+           "make_term_analyzer"]
 
 __version__ = "0.1.0"
