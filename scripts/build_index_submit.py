@@ -121,7 +121,8 @@ def main(argv: list[str] | None = None) -> None:
     if args.stopwords or args.fold_accents or args.stem:
         analyzer_kw = dict(
             stopwords=tuple(sorted(
-                w for w in (args.stopwords or "").split(",") if w)),
+                w.strip() for w in (args.stopwords or "").split(",")
+                if w.strip())),
             accents=args.fold_accents, stem=args.stem)
     fingerprint = f"{args.input}:{fp_row['n']}:{fp_row['x']}:{fp_row['s']}"
     if analyzer_kw is not None:

@@ -86,6 +86,8 @@ def main(argv: list[str] | None = None) -> None:
     args = ap.parse_args(argv)
     if args.mode == "bm25f" and not args.title_index:
         raise SystemExit("--mode bm25f needs --title-index")
+    if args.title_index and args.mode != "bm25f":
+        raise SystemExit("--title-index applies to --mode bm25f only")
     if args.after and args.mode != "bm25":
         raise SystemExit("--after applies to --mode bm25 only")
     if args.after and len(args.query) > 1:
@@ -180,17 +182,22 @@ def main(argv: list[str] | None = None) -> None:
     analyzer_kw = None
     if args.stopwords or args.fold_accents or args.stem:
         analyzer_kw = dict(
-            stopwords=tuple(w for w in
-                            (args.stopwords or "").split(",") if w),
+            stopwords=tuple(w.strip() for w in
+                            (args.stopwords or "").split(",")
+                            if w.strip()),
             accents=args.fold_accents, stem=args.stem)
     meta = (spark.read.parquet(args.facet_table)
             if args.facet_table else None)
     if args.mode == "bm25f":
-        # load the title field ONCE; repeated --query amortizes it
+        from textindexing_spark.operators.fields import bm25f_corpus_stats
+
+        # load the title field and the merged corpus stats ONCE;
+        # repeated --query amortizes both
         bm25f_fields = {
             "title": (Index.load(spark, args.title_index).cache(),
                       args.title_weight),
             "body": (idx, 1.0)}
+        bm25f_stats = bm25f_corpus_stats(bm25f_fields)
 
     filter_expr = args.filter_expr
     if analyzer_kw is not None and filter_expr:
@@ -216,8 +223,8 @@ def main(argv: list[str] | None = None) -> None:
             from textindexing_spark.operators.fields import search_bm25f
 
             rows = [(r["doc_id"], round(r["score"], 4)) for r in
-                    search_bm25f(bm25f_fields, executed,
-                                 args.k).collect()]
+                    search_bm25f(bm25f_fields, executed, args.k,
+                                 corpus_stats=bm25f_stats).collect()]
         elif args.mode == "bm25":
             if kind == "postings" and filter_expr:
                 res = idx.search_bm25(executed, args.k,

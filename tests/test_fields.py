@@ -140,6 +140,59 @@ def test_field_docs_from_pages_end_to_end(spark):
     assert top[0]["doc_id"] == 0
 
 
+def test_extract_title_ignores_noncontent_literals():
+    html = (b'<script>x="<title>Buy now</title>";</script>'
+            b'<!-- <title>stale</title> -->'
+            b'<title>Real Page Title</title>')
+    assert extract_title(html) == "Real Page Title"
+
+
+def test_zero_weight_rejected(field_indexes):
+    tix, bix = field_indexes
+    with pytest.raises(ValueError):
+        bm25f_scores({"title": (tix, 0.0), "body": (bix, 1.0)}, "engine")
+
+
+def test_precomputed_corpus_stats_identical(field_indexes):
+    from textindexing_spark.operators.fields import bm25f_corpus_stats
+
+    tix, bix = field_indexes
+    fields = {"title": (tix, 2.5), "body": (bix, 1.0)}
+    stats = bm25f_corpus_stats(fields)
+    a = sorted(map(tuple, bm25f_scores(fields, "engine").collect()))
+    b = sorted(map(tuple, bm25f_scores(
+        fields, "engine", corpus_stats=stats).collect()))
+    assert a == b
+
+
+def test_snapshot_persists_config(spark, tmp_path):
+    """Index.load restores the build-time tokenizer/case/BM25 config —
+    without this, the bm25f cross-field validation could never fire on
+    loaded snapshots (they'd all claim the default config)."""
+    from textindexing_spark import Index
+    from textindexing_spark.config import BM25Params
+
+    docs = spark.createDataFrame([(0, "Schrœdinger's cat")],
+                                 "doc_id bigint, text string")
+    cfg = IndexConfig(tokenizer="punctuation", case_insensitive="invariant",
+                      bm25=BM25Params(k1=0.9, b=0.4))
+    build_index(spark, docs, cfg).snapshot(str(tmp_path / "snap"))
+    loaded = Index.load(spark, str(tmp_path / "snap"))
+    assert loaded.cfg.tokenizer == "punctuation"
+    assert loaded.cfg.case_insensitive == "invariant"
+    assert (loaded.cfg.bm25.k1, loaded.cfg.bm25.b) == (0.9, 0.4)
+    # an explicit cfg still wins
+    forced = Index.load(spark, str(tmp_path / "snap"), IndexConfig())
+    assert forced.cfg.tokenizer == "alnum"
+    # and mismatched loaded snapshots now trip the bm25f validation
+    other = build_index(
+        spark, docs, IndexConfig()).snapshot(str(tmp_path / "snap2"))
+    with pytest.raises(ValueError):
+        bm25f_scores({"a": (loaded, 1.0),
+                      "b": (Index.load(spark, str(tmp_path / "snap2")),
+                            1.0)}, "cat")
+
+
 def test_config_mismatch_rejected(spark, field_indexes):
     tix, _ = field_indexes
     other = build_index(

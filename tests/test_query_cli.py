@@ -81,8 +81,9 @@ def test_cli_bm25_pagination(spark, snapshot, capsys, monkeypatch):
 
 def test_cli_analyzer_rewrite(spark, snapshot, capsys, monkeypatch):
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    # naturally-written list with spaces: ' the' must still stop 'the'
     _cli().main(["--index", str(snapshot / "ix"), "--mode", "bool",
-                 "--query", "the Fást merge", "--stopwords", "the,a",
+                 "--query", "the Fást merge", "--stopwords", "the, a",
                  "--fold-accents"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["executed_query"] == "fast merge"
@@ -108,6 +109,10 @@ def test_cli_bm25f_mode(spark, snapshot, tmp_path, capsys, monkeypatch):
 def test_cli_bm25f_validation(snapshot):
     with pytest.raises(SystemExit):  # bm25f needs the title index
         _cli().main(["--index", str(snapshot / "ix"), "--mode", "bm25f",
+                     "--query", "fast"])
+    with pytest.raises(SystemExit):  # title index silently ignored = bug
+        _cli().main(["--index", str(snapshot / "ix"), "--mode", "bm25",
+                     "--title-index", str(snapshot / "ix"),
                      "--query", "fast"])
 
 

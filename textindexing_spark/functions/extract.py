@@ -54,6 +54,11 @@ def extract_text(html: bytes | None) -> str:
 
 _TITLE_RE = re.compile(rb"<title\b[^>]*>(.*?)</title>",
                        re.DOTALL | re.IGNORECASE)
+# script/style bodies and comments can contain '<title>' LITERALS that
+# must not win over the real element — strip them before searching
+_NONCONTENT_RE = re.compile(
+    rb"<(script|style)\b[^>]*>.*?</\1>|<!--.*?-->",
+    re.DOTALL | re.IGNORECASE)
 
 
 def extract_title(html: bytes | None) -> str:
@@ -64,7 +69,7 @@ def extract_title(html: bytes | None) -> str:
     fields never double-count a token."""
     if not html:
         return ""
-    m = _TITLE_RE.search(html)
+    m = _TITLE_RE.search(_NONCONTENT_RE.sub(b"", html))
     if not m:
         return ""
     body = _TAG_RE.sub(b"", m.group(1))

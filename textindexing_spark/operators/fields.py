@@ -51,30 +51,52 @@ def field_docs_from_pages(pages: DataFrame) -> dict[str, DataFrame]:
     from a pages-shaped table (doc_id, html, text). The body field is
     the golden/extracted text; the title field extracts <title> from
     the raw html (one Arrow projection)."""
-    from textindexing_spark.functions.extract import extract_title_udf
+    from textindexing_spark.functions.extract import (
+        extract_text_column, extract_title_udf)
 
+    # body honors the repo's extraction contract: text==NULL + html
+    # present => extract on the fly (a NULL body would silently drop
+    # the doc from the body index)
+    with_body = extract_text_column(pages)
     return {
         "title": pages.select(
             "doc_id", extract_title_udf()(F.col("html")).alias("text")),
-        "body": pages.select("doc_id", "text"),
+        "body": with_body.select("doc_id", "text"),
     }
 
 
 def bm25f_scores(fields: dict[str, tuple[Index, float]],
-                 query_text: str) -> DataFrame:
+                 query_text: str,
+                 corpus_stats: tuple[int, float] | None = None
+                 ) -> DataFrame:
     """(doc_id, score) for every doc matching >= 1 query term in >= 1
-    field. ``fields``: {name: (Index, weight)} — all indexes must share
-    one doc_id space and one tokenizer/case configuration (validated)."""
+    field. ``fields``: {name: (Index, weight)} — weights must be > 0
+    (drop a field instead of zero-weighting it: a 0 weight would still
+    inflate df~ with tf~=0 matches), and all indexes must share one
+    doc_id space and one tokenizer/case/BM25-parameter configuration
+    (validated; ``Index.load`` restores the persisted config so loaded
+    snapshots carry their build-time settings).
+
+    ``corpus_stats=(n_docs, avgdl~)``: pass the value a serving session
+    computed once (see ``bm25f_corpus_stats``) to skip the per-call
+    documents-dimension aggregation — the analogue of
+    ``Index.corpus_stats`` memoization."""
     if not fields:
         raise ValueError("need at least one field")
+    if any(w <= 0 for _, w in fields.values()):
+        raise ValueError("field weights must be > 0 (drop the field "
+                         "instead of zero-weighting it)")
     idxs = [ix for ix, _ in fields.values()]
     spark = idxs[0].spark
     cfg = idxs[0].cfg
     for ix in idxs[1:]:
-        if (ix.cfg.tokenizer, ix.cfg.case_insensitive) != (
-                cfg.tokenizer, cfg.case_insensitive):
-            raise ValueError("field indexes disagree on tokenizer/case "
-                             "config — their terms would not align")
+        if (ix.cfg.tokenizer, ix.cfg.case_insensitive,
+                ix.cfg.bm25.k1, ix.cfg.bm25.b) != (
+                cfg.tokenizer, cfg.case_insensitive,
+                cfg.bm25.k1, cfg.bm25.b):
+            raise ValueError("field indexes disagree on tokenizer/case/"
+                             "BM25 config — terms or scores would not "
+                             "align")
     from textindexing_spark.functions.tokenize import tokenize_text
 
     terms = sorted(set(tokenize_text(query_text, cfg.tokenizer,
@@ -98,15 +120,11 @@ def bm25f_scores(fields: dict[str, tuple[Index, float]],
 
     # dl~ over the union of the field documents dims (2-column frames);
     # a doc absent from a field contributes 0 to that field's term
-    dls = [ix.documents.select(
-               "doc_id",
-               (F.col("doc_len").cast("double") * float(w)).alias("wdl"))
-           for ix, w in fields.values()]
-    dl = (reduce(DataFrame.unionByName, dls)
-          .groupBy("doc_id").agg(F.sum("wdl").alias("dlw")))
-    stats = dl.agg(F.count("*").alias("n"),
-                   F.avg("dlw").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(stats["n"] or 0), float(stats["avgdl"] or 0.0)
+    dl = _weighted_dl(fields)
+    if corpus_stats is not None:
+        n_docs, avgdl = int(corpus_stats[0]), float(corpus_stats[1])
+    else:
+        n_docs, avgdl = bm25f_corpus_stats(fields)
     if n_docs == 0:
         return spark.createDataFrame([], out_schema)
 
@@ -127,9 +145,30 @@ def bm25f_scores(fields: dict[str, tuple[Index, float]],
             .groupBy("doc_id").agg(F.sum("w").alias("score")))
 
 
+def _weighted_dl(fields) -> DataFrame:
+    dls = [ix.documents.select(
+               "doc_id",
+               (F.col("doc_len").cast("double") * float(w)).alias("wdl"))
+           for ix, w in fields.values()]
+    return (reduce(DataFrame.unionByName, dls)
+            .groupBy("doc_id").agg(F.sum("wdl").alias("dlw")))
+
+
+def bm25f_corpus_stats(fields: dict[str, tuple[Index, float]]
+                       ) -> tuple[int, float]:
+    """(n_docs, avgdl~) over the union of the field corpora — compute
+    ONCE per serving session / weight setting and pass to
+    ``bm25f_scores(corpus_stats=...)``."""
+    row = _weighted_dl(fields).agg(
+        F.count("*").alias("n"), F.avg("dlw").alias("avgdl")).collect()[0]
+    return int(row["n"] or 0), float(row["avgdl"] or 0.0)
+
+
 def search_bm25f(fields: dict[str, tuple[Index, float]],
-                 query_text: str, k: int = 10) -> DataFrame:
+                 query_text: str, k: int = 10,
+                 corpus_stats: tuple[int, float] | None = None
+                 ) -> DataFrame:
     """BM25F top-k: score desc, doc_id asc (TakeOrderedAndProject)."""
-    return (bm25f_scores(fields, query_text)
+    return (bm25f_scores(fields, query_text, corpus_stats=corpus_stats)
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(int(k)))

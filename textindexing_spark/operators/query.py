@@ -928,6 +928,19 @@ class Index:
         path = path or tempfile.mkdtemp(prefix="tix_snapshot_")
         self.postings.write.mode("overwrite").parquet(f"{path}/postings")
         self.documents.write.mode("overwrite").parquet(f"{path}/documents")
+        # persist the QUERY-relevant config: a loaded index must fold
+        # query terms and score BM25 exactly as it was built (same
+        # local-open convention as SegmentIndex._meta.json)
+        import json
+
+        try:
+            with open(f"{path}/_index_cfg.json", "w") as fh:
+                json.dump({"tokenizer": self.cfg.tokenizer,
+                           "case_insensitive": self.cfg.case_insensitive,
+                           "bm25": {"k1": self.cfg.bm25.k1,
+                                    "b": self.cfg.bm25.b}}, fh)
+        except OSError:
+            pass  # non-local path: caller supplies cfg at load()
         return Index(self.spark,
                      self.spark.read.parquet(f"{path}/postings"),
                      self.spark.read.parquet(f"{path}/documents"),
@@ -937,6 +950,20 @@ class Index:
 
     @classmethod
     def load(cls, spark, path: str, cfg: IndexConfig | None = None) -> "Index":
+        """An explicit ``cfg`` wins; else the snapshot's persisted
+        config is restored (pre-cfg snapshots fall back to defaults)."""
+        import json
+        import os
+
+        if cfg is None and os.path.exists(f"{path}/_index_cfg.json"):
+            from textindexing_spark.config import BM25Params
+
+            with open(f"{path}/_index_cfg.json") as fh:
+                m = json.load(fh)
+            cfg = IndexConfig(
+                tokenizer=m["tokenizer"],
+                case_insensitive=m["case_insensitive"],
+                bm25=BM25Params(k1=m["bm25"]["k1"], b=m["bm25"]["b"]))
         return cls(spark,
                    spark.read.parquet(f"{path}/postings"),
                    spark.read.parquet(f"{path}/documents"),
