@@ -366,6 +366,9 @@ def main() -> None:
     timed("dedup_clusters", lambda: duplicate_clusters(
         near_duplicates(docs, threshold=0.5)).count())
     timed("spell_suggest", lambda: idx.suggest("tabl").collect())
+    # exact-substring dedup: corpus-wide repeated 8-gram span detection
+    from textindexing_spark.operators.dedup import repeated_spans
+    timed("repeated_spans", lambda: repeated_spans(docs, k=8).count())
     # facets over a boolean-language result set: hit-set semi-join +
     # one stack/hash-agg pass counting BOTH facet columns
     timed("facet_counts", lambda: idx.facet_counts(

@@ -1,0 +1,94 @@
+"""Exact-substring (cross-document repeated k-gram) dedup: spans vs a
+brute-force Python oracle; strip reconstruction semantics."""
+
+import re
+
+import pytest
+
+from textindexing_spark.operators.dedup import (
+    repeated_spans, strip_repeated_spans)
+
+_TOK = re.compile(r"[^\W_]+", re.UNICODE)
+
+BOILER = "this site uses cookies to improve your experience ok"  # 9 toks
+CORPUS = [
+    (0, f"alpha beta gamma. {BOILER} unique tail zero"),
+    (1, f"{BOILER} middle words here. {BOILER} again closing"),
+    (2, "completely unrelated document body nothing shared at all"),
+    (3, f"Prefix words. {BOILER.upper()} and a different ending"),  # case
+    (4, "short doc"),  # < k tokens: never shingled
+    # within-document repetition also counts toward min_count
+    (5, "repeat me now please again soon. repeat me now please again "
+        "soon. distinct finale"),
+]
+
+
+def _toks(t):
+    return [w.lower() for w in _TOK.findall(t)]
+
+
+def _oracle_spans(k=6, min_count=2):
+    grams = {}
+    for d, t in CORPUS:
+        ts = _toks(t)
+        for i in range(len(ts) - k + 1):
+            grams.setdefault(tuple(ts[i:i + k]), []).append((d, i))
+    flagged = {}
+    for g, occ in grams.items():
+        if len(occ) >= min_count:
+            for d, i in occ:
+                flagged.setdefault(d, set()).add(i)
+    spans = []
+    for d, poss in flagged.items():
+        run = None
+        for p in sorted(poss):
+            if run and p <= run[1] + k:
+                run[1] = p
+            else:
+                if run:
+                    spans.append((d, run[0], run[1] + k))
+                run = [p, p]
+        spans.append((d, run[0], run[1] + k))
+    return sorted(spans)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+
+
+def test_spans_match_bruteforce_oracle(docs):
+    for k, mc in ((6, 2), (4, 2), (6, 3)):
+        got = sorted((r["doc_id"], r["start"], r["end"]) for r in
+                     repeated_spans(docs, k=k, min_count=mc).collect())
+        assert got == _oracle_spans(k, mc), (k, mc)
+
+
+def test_spans_cover_expected_docs(docs):
+    got = {r["doc_id"] for r in repeated_spans(docs, k=6).collect()}
+    # boilerplate docs 0/1/3 (case-insensitive), self-repeating doc 5;
+    # never the unrelated doc 2 or the too-short doc 4
+    assert got == {0, 1, 3, 5}
+
+
+def test_strip_removes_all_occurrences_keeps_rest(spark, docs):
+    cleaned = {r["doc_id"]: r["text"] for r in
+               strip_repeated_spans(docs, k=6).collect()}
+    boiler_toks = BOILER.split()
+    for d in (0, 1, 3):
+        low = cleaned[d].lower().split()
+        for j in range(len(low) - len(boiler_toks) + 1):
+            assert low[j:j + len(boiler_toks)] != boiler_toks, d
+    # unaffected docs keep ALL their tokens (space-joined, case kept)
+    assert cleaned[2] == CORPUS[2][1].replace(".", "").replace(",", "")
+    assert cleaned[4] == "short doc"
+    # surviving tokens keep original case (doc 3's span was uppercase)
+    assert cleaned[3].startswith("Prefix words")
+    assert "unique tail zero" in cleaned[0]
+
+
+def test_strip_accepts_precomputed_spans(spark, docs):
+    spans = repeated_spans(docs, k=6)
+    a = sorted(map(tuple, strip_repeated_spans(docs, spans).collect()))
+    b = sorted(map(tuple, strip_repeated_spans(docs, k=6).collect()))
+    assert a == b

@@ -389,3 +389,91 @@ def simhash_both(docs: DataFrame, id_col: str = "doc_id",
     return summed.select("doc_id",
                          acc16.cast("bigint").alias("simhash16"),
                          acc64.cast("bigint").alias("simhash64"))
+
+
+def repeated_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, start, end) — maximal token-position spans (end
+    exclusive) covered by any ``k``-token shingle that occurs >=
+    ``min_count`` times in the WHOLE corpus (across or within
+    documents): exact-substring duplicate detection, the method of Lee
+    et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed for Spark. Doc-level near-dup (MinHash/LSH)
+    misses boilerplate shared by otherwise-different pages — repeated
+    headers, license blocks, navigation — which this catches exactly.
+
+    Plan (no Python anywhere):
+
+    1. per row, ONE pass builds the positional shingle-hash array
+       (transform over sequence + xxhash64 of the k-slice) and
+       posexplode streams (doc_id, pos, h);
+    2. duplicated-shingle detection is a map-side-combinable count
+       aggregation on h plus a semi-join back — both shuffle the
+       (doc, pos, h) stream by hash key, never the documents;
+    3. surviving positions merge into maximal spans per doc with one
+       gaps-and-islands window (partitioned by doc_id: each doc's
+       positions sort locally) — two positions merge when they overlap
+       or touch (pos <= prev + k).
+
+    At 100 TB the shingle-hash aggregation is the canonical word-count
+    shape (partial counts combine map-side; the key space is hashes, so
+    skew is bounded by true content duplication — exactly the thing
+    being measured)."""
+    from pyspark.sql import Window
+
+    sh = (f"transform(sequence(0, size(ts) - {k}), "
+          f"i -> xxhash64(concat_ws(chr(31), slice(ts, i + 1, {k}))))")
+    pos = (docs.select(F.col(id_col).alias("doc_id"),
+                       tokens_col(text_col).alias("ts"))
+           .where(F.size("ts") >= k)
+           .select("doc_id", F.posexplode(F.expr(sh)).alias("pos", "h")))
+    dup = (pos.groupBy("h").agg(F.count("*").alias("c"))
+           .where(F.col("c") >= int(min_count)).select("h"))
+    hits = pos.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (hits
+            .withColumn("_new", F.when(
+                F.col("pos") > F.lag("pos").over(w) + k, 1).otherwise(0))
+            .withColumn("_run", F.sum("_new").over(w)))
+    return (runs.groupBy("doc_id", "_run")
+            .agg(F.min("pos").alias("start"),
+                 (F.max("pos") + k).alias("end"))
+            .select("doc_id", "start", "end"))
+
+
+def strip_repeated_spans(docs: DataFrame, spans: DataFrame | None = None,
+                         k: int = 8, min_count: int = 2,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Remove every flagged span's tokens from ``text_col`` (all other
+    columns pass through). ``spans`` defaults to
+    ``repeated_spans(docs, k, min_count)``. Token-level reconstruction:
+    the cleaned text is the surviving tokens joined by single spaces
+    (inter-token whitespace/punctuation is not preserved — the standard
+    contract for token-based pipeline stages; run this BEFORE stages
+    that tokenize anyway). Removes ALL occurrences, the strict form of
+    Lee et al.'s ExactSubstr dedup — on corpora where one canonical
+    copy should survive, exempt it by anti-joining its doc ids out of
+    ``spans`` first.
+
+    Per-doc span lists ride a (usually broadcastable) join; the token
+    filter is a per-row lambda with index — pure Catalyst. Matching is
+    case-insensitive (spans come from the folded shingle stream) but
+    the surviving tokens keep their ORIGINAL case — the two token
+    extractions use the same character-class regex, so positions
+    align."""
+    if spans is None:
+        spans = repeated_spans(docs, k=k, min_count=min_count,
+                               id_col=id_col, text_col=text_col)
+    per_doc = (spans.groupBy(F.col("doc_id").alias(id_col))
+               .agg(F.collect_list(F.struct("start", "end")).alias("_sp")))
+    raw_tokens = F.expr(
+        "regexp_extract_all({col}, '[\\\\p{{L}}\\\\p{{Nd}}]+', 0)"
+        .format(col=text_col))
+    keep = ("filter(ts, (t, i) -> _sp IS NULL OR "
+            "!exists(_sp, s -> i >= s.start AND i < s.end))")
+    return (docs.join(per_doc, id_col, "left")
+            .withColumn("ts", raw_tokens)
+            .withColumn(text_col, F.concat_ws(" ", F.expr(keep)))
+            .drop("_sp", "ts"))
