@@ -87,6 +87,39 @@ def test_strip_removes_all_occurrences_keeps_rest(spark, docs):
     assert "unique tail zero" in cleaned[0]
 
 
+def test_curate_strip_boilerplate_stage(spark):
+    """curate(strip_boilerplate=k): the shared banner is stripped before
+    quality filtering, so two docs that differ ONLY in the banner no
+    longer near-dup-match each other, and the banner never reaches the
+    survivors' text."""
+    from textindexing_spark.functions.quality import curate
+
+    from textindexing_spark.operators.dedup import ngram_jaccard_pairs
+
+    banner = " ".join(f"w{i}" for i in range(30))
+    # remainders need >= 11 distinct tokens: a once-occurring 2-gram
+    # over n tokens scores 2/n on top_2gram_frac vs the 0.20 default
+    rows = [
+        (0, f"{banner} totally original research about engines and "
+            "trains moving quickly through mountain passes"),
+        (1, f"{banner} different prose describing cooking recipes "
+            "with fresh basil tomatoes garlic butter sauce"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in curate(docs, min_tokens=5, redact=False,
+                           strip_boilerplate=6).collect()}
+    assert set(out) == {0, 1}          # neither doc lost to near-dup
+    for t in out.values():
+        assert "w0 w1" not in t        # banner gone
+    # control (exhaustive verifier, no LSH recall involved): WITHOUT the
+    # strip, the 30-token shared banner makes the pair a near-duplicate
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 1
+    stripped = curate(docs, min_tokens=0, redact=False,
+                      strip_boilerplate=6)
+    assert ngram_jaccard_pairs(stripped, threshold=0.5).count() == 0
+
+
 def test_strip_accepts_precomputed_spans(spark, docs):
     spans = repeated_spans(docs, k=6)
     a = sorted(map(tuple, strip_repeated_spans(docs, spans).collect()))

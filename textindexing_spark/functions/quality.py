@@ -189,23 +189,32 @@ def curate(docs: DataFrame, *, min_tokens: int = 10,
            max_dup_3gram_frac: float = 0.30,
            max_symbol_ratio: float = 0.50,
            dedup_threshold: float = 0.5,
+           strip_boilerplate: int | None = None,
            redact: bool = True) -> DataFrame:
-    """The composed training-data curation pipeline: Gopher-rule
-    repetition/length filters -> near-duplicate GROUP dedup (LSH
-    candidates -> exact-Jaccard verify -> connected components, keep the
-    min-id representative of each cluster) -> PII redaction. Returns the
+    """The composed training-data curation pipeline: [optional
+    exact-substring boilerplate strip ->] Gopher-rule repetition/length
+    filters -> near-duplicate GROUP dedup (LSH candidates ->
+    exact-Jaccard verify -> connected components, keep the min-id
+    representative of each cluster) -> PII redaction. Returns the
     surviving documents with all original columns (``text`` redacted
     when ``redact``).
 
-    Order matters and is deliberate: quality filters run first (they
-    are per-doc and shrink the corpus before pairwise work), dedup runs
-    on survivors only, and redaction is a per-row projection on the
-    final survivors. Every stage is the scale-safe variant — no
-    all-pairs joins, no driver-side loops beyond the cluster fixpoint
-    counters."""
-    from textindexing_spark.operators.dedup import (
-        duplicate_clusters, near_duplicates)
+    ``strip_boilerplate=k`` removes corpus-wide repeated k-gram spans
+    (``operators.dedup.strip_repeated_spans``) BEFORE everything else —
+    shared headers/footers otherwise both pollute the quality signals
+    and glue unrelated pages together in the near-dup graph.
 
+    Order matters and is deliberate: the boilerplate strip rewrites
+    text corpus-wide first, quality filters run next (they are per-doc
+    and shrink the corpus before pairwise work), dedup runs on
+    survivors only, and redaction is a per-row projection on the final
+    survivors. Every stage is the scale-safe variant — no all-pairs
+    joins, no driver-side loops beyond the cluster fixpoint counters."""
+    from textindexing_spark.operators.dedup import (
+        duplicate_clusters, near_duplicates, strip_repeated_spans)
+
+    if strip_boilerplate is not None:
+        docs = strip_repeated_spans(docs, k=int(strip_boilerplate))
     sig = repetition_signals(docs)
     keep = (sig.where(
         (F.col("n_tokens") >= min_tokens)
