@@ -79,12 +79,36 @@ def test_strip_removes_all_occurrences_keeps_rest(spark, docs):
         low = cleaned[d].lower().split()
         for j in range(len(low) - len(boiler_toks) + 1):
             assert low[j:j + len(boiler_toks)] != boiler_toks, d
-    # unaffected docs keep ALL their tokens (space-joined, case kept)
-    assert cleaned[2] == CORPUS[2][1].replace(".", "").replace(",", "")
-    assert cleaned[4] == "short doc"
+    # span-FREE docs keep their original text byte-for-byte
+    # (punctuation, case — downstream char-sensitive stages see it)
+    assert cleaned[2] == CORPUS[2][1]
+    assert cleaned[4] == CORPUS[4][1]
     # surviving tokens keep original case (doc 3's span was uppercase)
     assert cleaned[3].startswith("Prefix words")
     assert "unique tail zero" in cleaned[0]
+
+
+def test_strip_positions_align_when_lower_changes_token_count(spark):
+    """Java lower() splits 'İ' into 'i' + a combining mark; positions
+    must index the RAW token stream or every span lands one token off
+    in such docs."""
+    boiler = "alpha beta gamma delta epsilon zeta"
+    rows = [(0, f"İstanbul haberleri {boiler} kalan metin"),
+            (1, f"unrelated opener {boiler} different tail")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cleaned = {r["doc_id"]: r["text"] for r in
+               strip_repeated_spans(docs, k=6).collect()}
+    assert cleaned[0] == "İstanbul haberleri kalan metin"
+    assert cleaned[1] == "unrelated opener different tail"
+
+
+def test_repeated_spans_validates_params(docs):
+    with pytest.raises(ValueError):
+        repeated_spans(docs, k=0)
+    with pytest.raises(ValueError):
+        repeated_spans(docs, min_count=1)
+    with pytest.raises(ValueError):  # internal-column collision guard
+        strip_repeated_spans(docs.withColumn("__tix_sp", docs.doc_id))
 
 
 def test_curate_strip_boilerplate_stage(spark):
@@ -120,8 +144,30 @@ def test_curate_strip_boilerplate_stage(spark):
     assert ngram_jaccard_pairs(stripped, threshold=0.5).count() == 0
 
 
+def test_curate_redacts_before_strip(spark):
+    """With strip_boilerplate on, redaction runs FIRST: the strip's
+    token-level rebuild would otherwise destroy the @ / . characters
+    the PII regexes need, shipping the address unredacted."""
+    from textindexing_spark.functions.quality import curate
+
+    banner = " ".join(f"w{i}" for i in range(30))
+    rows = [(0, f"{banner} mail me at alice@example.net about trains "
+                "moving quickly through scenic mountain passes"),
+            (1, f"{banner} different prose describing cooking recipes "
+                "with fresh basil tomatoes garlic butter sauce")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in curate(docs, min_tokens=5, redact=True,
+                           strip_boilerplate=6).collect()}
+    assert "alice" not in out[0] and "example" not in out[0]
+    assert "EMAIL" in out[0]  # the placeholder's tokens survive
+
+
 def test_strip_accepts_precomputed_spans(spark, docs):
     spans = repeated_spans(docs, k=6)
-    a = sorted(map(tuple, strip_repeated_spans(docs, spans).collect()))
+    a = sorted(map(tuple,
+                   strip_repeated_spans(docs, spans=spans).collect()))
     b = sorted(map(tuple, strip_repeated_spans(docs, k=6).collect()))
     assert a == b
+    with pytest.raises(TypeError):  # spans is keyword-only: the k-shaped
+        strip_repeated_spans(docs, 6)  # positional call must not bind it

@@ -200,20 +200,31 @@ def curate(docs: DataFrame, *, min_tokens: int = 10,
     when ``redact``).
 
     ``strip_boilerplate=k`` removes corpus-wide repeated k-gram spans
-    (``operators.dedup.strip_repeated_spans``) BEFORE everything else —
-    shared headers/footers otherwise both pollute the quality signals
-    and glue unrelated pages together in the near-dup graph.
+    (``operators.dedup.strip_repeated_spans``) early — shared
+    headers/footers otherwise both pollute the quality signals and glue
+    unrelated pages together in the near-dup graph. Span-carrying docs
+    are rebuilt token-level, so when the strip is on, PII redaction
+    runs BEFORE it (the redaction regexes need the real @ . -
+    characters); docs without spans keep their original text and every
+    signal untouched. Caveat: a span-carrying doc's line/symbol signals
+    are computed over its normalized form (such docs are
+    boilerplate-heavy by definition — the population the strip exists
+    for).
 
-    Order matters and is deliberate: the boilerplate strip rewrites
-    text corpus-wide first, quality filters run next (they are per-doc
-    and shrink the corpus before pairwise work), dedup runs on
-    survivors only, and redaction is a per-row projection on the final
-    survivors. Every stage is the scale-safe variant — no all-pairs
-    joins, no driver-side loops beyond the cluster fixpoint counters."""
+    Order matters and is deliberate: redaction (a per-row projection)
+    and the boilerplate strip rewrite text first, quality filters run
+    next (they are per-doc and shrink the corpus before pairwise work),
+    and dedup runs on survivors only. Every stage is the scale-safe
+    variant — no all-pairs joins, no driver-side loops beyond the
+    cluster fixpoint counters."""
     from textindexing_spark.operators.dedup import (
         duplicate_clusters, near_duplicates, strip_repeated_spans)
 
+    redact_last = redact
     if strip_boilerplate is not None:
+        if redact:
+            docs = redact_pii(docs)
+            redact_last = False
         docs = strip_repeated_spans(docs, k=int(strip_boilerplate))
     sig = repetition_signals(docs)
     keep = (sig.where(
@@ -229,4 +240,4 @@ def curate(docs: DataFrame, *, min_tokens: int = 10,
     losers = (clusters.where(F.col("doc_id") != F.col("cluster"))
               .select("doc_id"))
     survivors = filtered.join(losers, "doc_id", "left_anti")
-    return redact_pii(survivors) if redact else survivors
+    return redact_pii(survivors) if redact_last else survivors

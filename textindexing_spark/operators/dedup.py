@@ -22,7 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-TOKENS_EXPR = "regexp_extract_all(lower({col}), '[\\\\p{{L}}\\\\p{{Nd}}]+', 0)"
+# ONE tokenizer character class, two forms: folded (dedup hashing) and
+# raw-case (positional streams that must align with reconstruction)
+RAW_TOKENS_EXPR = "regexp_extract_all({col}, '[\\\\p{{L}}\\\\p{{Nd}}]+', 0)"
+TOKENS_EXPR = RAW_TOKENS_EXPR.replace("({col}", "(lower({col})")
 
 
 def tokens_col(col: str = "text"):
@@ -401,31 +404,48 @@ def repeated_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
     et al. 2021 ("Deduplicating Training Data Makes Language Models
     Better") re-expressed for Spark. Doc-level near-dup (MinHash/LSH)
     misses boilerplate shared by otherwise-different pages — repeated
-    headers, license blocks, navigation — which this catches exactly.
+    headers, license blocks, navigation — which this targets.
+
+    Positions index the RAW-case token array (``RAW_TOKENS_EXPR`` —
+    folding happens inside the shingle key, never in the positional
+    stream, so ``strip_repeated_spans``'s indexes align by construction
+    even where lower() changes the token count, e.g. 'İ' -> 'i'+U+0307).
+    Matching is case-insensitive and keyed on a 128-bit composite
+    (xxhash64 under two distinct separators): collisions are
+    negligible at any realistic corpus size (~1e13 shingles => ~1e-13
+    expected colliding pairs), which is what lets the detector skip a
+    string-compare verify pass.
 
     Plan (no Python anywhere):
 
-    1. per row, ONE pass builds the positional shingle-hash array
-       (transform over sequence + xxhash64 of the k-slice) and
+    1. per row, ONE pass builds the positional shingle-key array
+       (transform over sequence + two xxhash64 of the k-slice) and
        posexplode streams (doc_id, pos, h);
     2. duplicated-shingle detection is a map-side-combinable count
-       aggregation on h plus a semi-join back — both shuffle the
-       (doc, pos, h) stream by hash key, never the documents;
+       aggregation on the key plus a semi-join back — both shuffle the
+       (doc, pos, h) stream by content key, never the documents;
     3. surviving positions merge into maximal spans per doc with one
        gaps-and-islands window (partitioned by doc_id: each doc's
        positions sort locally) — two positions merge when they overlap
        or touch (pos <= prev + k).
 
-    At 100 TB the shingle-hash aggregation is the canonical word-count
+    At 100 TB the shingle-key aggregation is the canonical word-count
     shape (partial counts combine map-side; the key space is hashes, so
     skew is bounded by true content duplication — exactly the thing
     being measured)."""
     from pyspark.sql import Window
 
-    sh = (f"transform(sequence(0, size(ts) - {k}), "
-          f"i -> xxhash64(concat_ws(chr(31), slice(ts, i + 1, {k}))))")
+    if k < 1:
+        raise ValueError("shingle size k must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 would flag every "
+                         "position and strip would erase the corpus)")
+    sh = (f"transform(sequence(0, size(ts) - {k}), i -> struct("
+          f"xxhash64(lower(concat_ws(chr(31), slice(ts, i + 1, {k})))), "
+          f"xxhash64(lower(concat_ws(chr(30), slice(ts, i + 1, {k}))))))")
     pos = (docs.select(F.col(id_col).alias("doc_id"),
-                       tokens_col(text_col).alias("ts"))
+                       F.expr(RAW_TOKENS_EXPR.format(col=text_col))
+                       .alias("ts"))
            .where(F.size("ts") >= k)
            .select("doc_id", F.posexplode(F.expr(sh)).alias("pos", "h")))
     dup = (pos.groupBy("h").agg(F.count("*").alias("c"))
@@ -442,38 +462,47 @@ def repeated_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
             .select("doc_id", "start", "end"))
 
 
-def strip_repeated_spans(docs: DataFrame, spans: DataFrame | None = None,
+def strip_repeated_spans(docs: DataFrame, *,
+                         spans: DataFrame | None = None,
                          k: int = 8, min_count: int = 2,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:
-    """Remove every flagged span's tokens from ``text_col`` (all other
-    columns pass through). ``spans`` defaults to
-    ``repeated_spans(docs, k, min_count)``. Token-level reconstruction:
-    the cleaned text is the surviving tokens joined by single spaces
-    (inter-token whitespace/punctuation is not preserved — the standard
-    contract for token-based pipeline stages; run this BEFORE stages
-    that tokenize anyway). Removes ALL occurrences, the strict form of
-    Lee et al.'s ExactSubstr dedup — on corpora where one canonical
-    copy should survive, exempt it by anti-joining its doc ids out of
-    ``spans`` first.
+    """Remove every flagged span's tokens from ``text_col``; all other
+    columns pass through, and docs WITHOUT spans keep their original
+    text byte-for-byte (punctuation, newlines, case — so downstream
+    per-character stages like PII regexes and line statistics still see
+    the real text for the untouched majority). ``spans`` (keyword-only)
+    defaults to ``repeated_spans(docs, k, min_count)``.
+
+    Span-carrying docs are rebuilt token-level: surviving RAW-case
+    tokens joined by single spaces — inter-token whitespace/punctuation
+    in THOSE docs is not preserved (the standard contract for
+    token-based pipeline stages; order character-sensitive stages
+    before this one, as ``curate(strip_boilerplate=...)`` does with
+    redaction). Removes ALL occurrences, the strict form of Lee et
+    al.'s ExactSubstr dedup — to keep one canonical copy, anti-join its
+    doc ids out of ``spans`` first.
 
     Per-doc span lists ride a (usually broadcastable) join; the token
-    filter is a per-row lambda with index — pure Catalyst. Matching is
-    case-insensitive (spans come from the folded shingle stream) but
-    the surviving tokens keep their ORIGINAL case — the two token
-    extractions use the same character-class regex, so positions
-    align."""
+    filter is a per-row lambda with index — pure Catalyst. Position
+    alignment with ``repeated_spans`` is by construction: both read the
+    ONE ``RAW_TOKENS_EXPR`` token stream."""
     if spans is None:
         spans = repeated_spans(docs, k=k, min_count=min_count,
                                id_col=id_col, text_col=text_col)
+    clash = {"__tix_sp", "__tix_ts"} & set(docs.columns)
+    if clash:
+        raise ValueError(f"docs already has internal column(s) {clash}")
     per_doc = (spans.groupBy(F.col("doc_id").alias(id_col))
-               .agg(F.collect_list(F.struct("start", "end")).alias("_sp")))
-    raw_tokens = F.expr(
-        "regexp_extract_all({col}, '[\\\\p{{L}}\\\\p{{Nd}}]+', 0)"
-        .format(col=text_col))
-    keep = ("filter(ts, (t, i) -> _sp IS NULL OR "
-            "!exists(_sp, s -> i >= s.start AND i < s.end))")
+               .agg(F.collect_list(F.struct("start", "end"))
+                    .alias("__tix_sp")))
+    keep = ("filter(__tix_ts, (t, i) -> "
+            "!exists(__tix_sp, s -> i >= s.start AND i < s.end))")
+    cleaned = F.when(
+        F.col("__tix_sp").isNull(), F.col(text_col)
+    ).otherwise(F.concat_ws(" ", F.expr(keep)))
     return (docs.join(per_doc, id_col, "left")
-            .withColumn("ts", raw_tokens)
-            .withColumn(text_col, F.concat_ws(" ", F.expr(keep)))
-            .drop("_sp", "ts"))
+            .withColumn("__tix_ts",
+                        F.expr(RAW_TOKENS_EXPR.format(col=text_col)))
+            .withColumn(text_col, cleaned)
+            .drop("__tix_sp", "__tix_ts"))
