@@ -369,6 +369,11 @@ def main() -> None:
     # exact-substring dedup: corpus-wide repeated 8-gram span detection
     from textindexing_spark.operators.dedup import repeated_spans
     timed("repeated_spans", lambda: repeated_spans(docs, k=8).count())
+    # mixture building: plan agg + broadcast-rate hash sampling
+    from textindexing_spark.functions.sampling import mixture_sample
+    _shares = {f"src{i}": 1.0 for i in range(8)}
+    timed("mixture_sample", lambda: mixture_sample(
+        docs, _shares, 100_000).count())
     # facets over a boolean-language result set: hit-set semi-join +
     # one stack/hash-agg pass counting BOTH facet columns
     timed("facet_counts", lambda: idx.facet_counts(

@@ -46,6 +46,11 @@ def __getattr__(name):
         from textindexing_spark.functions import analyze
 
         return getattr(analyze, name)
+    if name in ("hash_sample", "hash_split", "mixture_plan",
+                "mixture_sample"):
+        from textindexing_spark.functions import sampling
+
+        return getattr(sampling, name)
     raise AttributeError(name)
 
 
@@ -54,6 +59,7 @@ __all__ = ["IndexConfig", "build_index", "tokenize_documents", "Index",
            "segment_index_from", "search_bm25f", "bm25f_scores",
            "field_docs_from_pages", "expand_synonyms", "parse_bool_expr",
            "unparse_bool_expr", "normalize_docs", "normalize_query",
-           "make_term_analyzer"]
+           "make_term_analyzer", "hash_sample", "hash_split",
+           "mixture_plan", "mixture_sample"]
 
 __version__ = "0.1.0"
