@@ -20,6 +20,7 @@ present in >=1 posting list; a snapshot is frozen against later merges
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
@@ -43,9 +44,13 @@ def parse_bool_expr(text: str | None):
     terms to lowercase, so an uppercase term never exists). Double-quoted
     spans parse as ('phrase', inner_text) nodes — exact consecutive-token
     match, e.g. ``"row scan" AND NOT slow`` (evaluation needs a positional
-    index attached, Index.attach_positional). Returns None for an empty
-    query. Raises ValueError on malformed input (unbalanced parens,
-    dangling operator, unterminated quote)."""
+    index attached, Index.attach_positional). A ``~`` suffix makes a
+    fuzzy term node — ``merg~`` (edit distance <= 2, the conventional
+    default) or ``merg~1`` — parsed as ('fuzzy', (word, dist)); the
+    tokenizers never emit ``~`` so the suffix is unambiguous query
+    syntax. Returns None for an empty query. Raises ValueError on
+    malformed input (unbalanced parens, dangling operator, unterminated
+    quote, malformed fuzzy suffix)."""
     import re
 
     toks = re.findall(r'"[^"]*"|\(|\)|[^\s()]+', text or "")
@@ -102,7 +107,15 @@ def parse_bool_expr(text: str | None):
             if len(inner.split()) == 1:
                 return ("term", inner)
             return ("phrase", inner)
-        return ("term", take())
+        tok = take()
+        if "~" in tok:
+            m = re.fullmatch(r"([^~*]+)~([0-2]?)", tok)
+            if m is None:
+                raise ValueError(
+                    f"malformed fuzzy term {tok!r}: expected word~ "
+                    f"or word~d with d in 0..2, no wildcards")
+            return ("fuzzy", (m.group(1), int(m.group(2) or 2)))
+        return ("term", tok)
 
     if not toks:
         return None
@@ -119,7 +132,7 @@ def unparse_bool_expr(node) -> str:
     have come from a quoted literal — re-quoted)."""
     def wrap(child):
         t = unparse_bool_expr(child)
-        return t if child[0] in ("term", "phrase") else f"({t})"
+        return t if child[0] in ("term", "phrase", "fuzzy") else f"({t})"
 
     kind = node[0]
     if kind == "term":
@@ -127,12 +140,40 @@ def unparse_bool_expr(node) -> str:
         # re-parse as the operator
         return f'"{node[1]}"' if node[1] in ("AND", "OR", "NOT") \
             else node[1]
+    if kind == "fuzzy":
+        return f"{node[1][0]}~{node[1][1]}"
     if kind == "phrase":
         return f'"{node[1]}"'
     if kind == "not":
         return "NOT " + wrap(node[1])
     op = " AND " if kind == "and" else " OR "
     return op.join(wrap(c) for c in node[1])
+
+
+def _lev_within(a: str, b: str, cap: int) -> bool:
+    """Banded Levenshtein predicate: dist(a, b) <= cap. O(len*cap) —
+    used only for driver-side fuzzy expansion over a prefetched
+    dictionary (vocabulary-bound work); the distributed path uses
+    Catalyst's levenshtein."""
+    if abs(len(a) - len(b)) > cap:
+        return False
+    if a == b:
+        return True
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo, hi = max(1, i - cap), min(len(b), i + cap)
+        if lo > 1:
+            cur[lo - 1] = cap + 1  # outside the band
+        for j in range(lo, hi + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        if hi < len(b):
+            cur[hi + 1:] = [cap + 1] * (len(b) - hi)
+        if min(cur[lo - 1:hi + 1]) > cap:
+            return False
+        prev = cur
+    return prev[len(b)] <= cap
 
 
 def expand_synonyms(query_text: str, synonyms: dict[str, list[str]],
@@ -171,7 +212,7 @@ def expand_synonyms(query_text: str, synonyms: dict[str, list[str]],
             seen = list(dict.fromkeys([node[1]] + alts))
             return ("or", [("term", t) for t in seen]) \
                 if len(seen) > 1 else node
-        if kind == "phrase":
+        if kind in ("phrase", "fuzzy"):
             return node
         if kind == "not":
             return ("not", rewrite(node[1]))
@@ -371,6 +412,41 @@ class Index:
                          F.col("term").asc())
                 .limit(k))
 
+    def fuzzy_terms(self, word: str, max_dist: int = 2,
+                    max_expansions: int = 50) -> list[str]:
+        """Dictionary terms within Levenshtein ``max_dist`` of the folded
+        ``word`` — the expansion set behind fuzzy query nodes
+        (``merg~1``). Capped at ``max_expansions`` terms ranked
+        (df desc, term asc): a short word at dist 2 can brush a huge
+        swath of the dictionary, and an uncapped expansion would turn
+        one sloppy token into an unbounded OR (same guard as Lucene's
+        FuzzyQuery maxExpansions).
+
+        Scale shape: with the serving dictionary prefetched
+        (``prepare_for_queries``) the expansion is resolved entirely
+        driver-side against the (term, df) snapshot — a fuzzy query
+        costs ZERO extra Spark jobs; cold sessions fall back to one
+        pruned dictionary scan (length band pushed ahead of the
+        JVM-side levenshtein), never touching posting arrays."""
+        w = self._fold(word or "").strip()
+        if not w:
+            return []
+        if self._dict_df is not None:
+            hits = [(t, df) for t, df in self._dict_df.items()
+                    if abs(len(t) - len(w)) <= max_dist
+                    and _lev_within(w, t, max_dist)]
+        else:
+            hits = [(r["term"], int(r["df"])) for r in
+                    self.postings
+                    .where(F.abs(F.length("term") - F.lit(len(w)))
+                           <= max_dist)
+                    .select("term", "df")
+                    .where(F.levenshtein(F.col("term"), F.lit(w))
+                           <= max_dist)
+                    .collect()]
+        hits.sort(key=lambda td: (-td[1], td[0]))
+        return [t for t, _ in hits[:max_expansions]]
+
     # -- B1-B6: boolean query composition -------------------------------------
 
     def _route(self, token: str):
@@ -519,8 +595,10 @@ class Index:
     def search_expr(self, query_text: str) -> DataFrame:
         """Full boolean query language over the index: ``AND`` / ``OR``
         / ``NOT`` (uppercase-only operators), parentheses, implicit AND
-        on adjacency, and the same ``term*``/``*term`` wildcard routing
-        as ``search_bool`` — e.g. ``"(alpha OR beta*) AND NOT gamma"``.
+        on adjacency, the same ``term*``/``*term`` wildcard routing
+        as ``search_bool``, and ``word~``/``word~d`` fuzzy terms
+        (Levenshtein expansion over the dictionary, ``fuzzy_terms``) —
+        e.g. ``"(alpha OR beta*) AND NOT gamma"``, ``"merg~1 AND hash"``.
         Extends the reference's AND-only demo composition
         (IndexerViewModel.cs:73-108). Returns (doc_id) ordered asc.
 
@@ -567,6 +645,18 @@ class Index:
         kind = node[0]
         if kind == "term":
             return self._seed_docs(self._fold(node[1]))
+        if kind == "fuzzy":
+            word, dist = node[1]
+            terms = self.fuzzy_terms(word, dist)
+            if not terms:
+                return self.spark.createDataFrame([], _EMPTY_DOCS_SCHEMA)
+            # OR over the expansion set = ONE isin scan (the expansion
+            # terms are distinct dictionary words, so distinct only
+            # after the union, exactly like a wildcard token)
+            return (self.postings.where(F.col("term").isin(terms))
+                    .select(F.explode("postings").alias("p"))
+                    .select(F.col("p.doc_id").alias("doc_id"))
+                    .distinct())
         if kind == "phrase":
             if self._phrase_index is None:
                 raise ValueError(
@@ -772,6 +862,11 @@ class Index:
 
         terms = sorted(set(tokenize_text(query_text, self.cfg.tokenizer,
                                          self.cfg.case_insensitive)))
+        return self._bm25_scores_for_terms(terms)
+
+    def _bm25_scores_for_terms(self, terms: list[str]) -> DataFrame:
+        """``bm25_scores`` for an already-folded term list (the shared
+        scoring plan under text queries and more_like_this)."""
         if not terms:
             return self.spark.createDataFrame(
                 [], "doc_id bigint, score double")
@@ -841,6 +936,55 @@ class Index:
             scores = scores.where(
                 (F.col("score") < s)
                 | ((F.col("score") == s) & (F.col("doc_id") > d)))
+        return (scores
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k))
+
+    def more_like_this(self, text: str, k: int | None = None,
+                       k_terms: int = 10, min_df: int = 2,
+                       max_df_ratio: float = 0.25,
+                       exclude_doc_id: int | None = None) -> DataFrame:
+        """Query-by-example (the Lucene MoreLikeThis pattern): given a
+        document's TEXT, select its ``k_terms`` most characteristic
+        terms by tf·idf — skipping terms rarer than ``min_df`` (noise)
+        or present in more than ``max_df_ratio`` of the corpus
+        (stopword guard) — and rank the corpus by BM25 over that term
+        set. Returns (doc_id, score) top-``k``, score desc / doc_id asc;
+        ``exclude_doc_id`` drops the source document itself when the
+        text came from the corpus.
+
+        Takes text rather than a doc_id because the inverted layout has
+        no per-document forward index — recovering one doc's term
+        vector from postings would scan every posting array, while the
+        caller holding the document (the universal serving shape:
+        "find pages like this one") makes term selection FREE: tf is
+        counted driver-side on the one document, df resolves through
+        the memoized/prefetched dictionary (``_token_dfs`` — zero Spark
+        jobs in a prepared serving session), so the whole query costs
+        exactly one scoring job, same as ``search_bm25``."""
+        from collections import Counter
+
+        from textindexing_spark.functions.tokenize import tokenize_text
+
+        k = k or self.cfg.default_k
+        tf = Counter(tokenize_text(text or "", self.cfg.tokenizer,
+                                   self.cfg.case_insensitive))
+        if not tf:
+            return self.spark.createDataFrame(
+                [], "doc_id bigint, score double")
+        n_docs, _ = self.corpus_stats()
+        dfs = self._token_dfs(sorted(tf))
+        df_cap = max_df_ratio * n_docs
+        weighted = sorted(
+            ((cnt * math.log(1.0 + (n_docs - dfs[t] + 0.5)
+                             / (dfs[t] + 0.5)), t)
+             for t, cnt in tf.items()
+             if min_df <= dfs[t] <= df_cap),
+            key=lambda wt: (-wt[0], wt[1]))
+        selected = [t for _, t in weighted[:k_terms]]
+        scores = self._bm25_scores_for_terms(sorted(selected))
+        if exclude_doc_id is not None:
+            scores = scores.where(F.col("doc_id") != int(exclude_doc_id))
         return (scores
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
