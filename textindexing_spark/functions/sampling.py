@@ -128,3 +128,116 @@ def mixture_sample(docs: DataFrame, shares: dict[str, float],
     return (docs.join(rates, source_col)
             .where(u < F.col("rate"))
             .drop("rate"))
+
+
+def chunk_tokens(docs: DataFrame, window: int, overlap: int = 0,
+                 id_col: str = "doc_id", text_col: str = "text"
+                 ) -> DataFrame:
+    """Split each document's whitespace-token stream into training
+    windows of ``window`` tokens starting every ``window - overlap``
+    tokens — (id, chunk_id, start, n_tokens, chunk_text), the
+    context-window chunking step ahead of sequence packing. The tail
+    chunk keeps its partial window; a trailing start whose tokens are
+    all inside the previous chunk is dropped (with overlap, the last
+    stride can be fully covered — emitting it would duplicate tokens).
+
+    Pure Catalyst — split/slice/posexplode, no Python, no shuffle: a
+    narrow per-row projection at any corpus size."""
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if not 0 <= overlap < window:
+        raise ValueError(f"overlap must be in [0, window), got {overlap}")
+    step = window - overlap
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.size(F.col("_toks"))
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(step)),
+        lambda s: (s == 0) | (s < n - overlap))
+    return (docs
+            .select(F.col(id_col), toks.alias("_toks"))
+            # trim leaves [''] for blank text: a 1-element array of the
+            # empty token, not an empty array
+            .where((n > 1) | (F.element_at("_toks", 1) != ""))
+            .select(id_col, "_toks",
+                    F.posexplode(starts).alias("chunk_id", "start"))
+            .select(id_col, "chunk_id", "start",
+                    F.slice("_toks", F.col("start") + 1, window)
+                    .alias("_chunk"))
+            .select(id_col, "chunk_id", "start",
+                    F.size("_chunk").alias("n_tokens"),
+                    F.array_join("_chunk", " ").alias("chunk_text")))
+
+
+def pack_sequences(chunks: DataFrame, budget: int,
+                   n_buckets: int | None = None, seed: int = 0,
+                   id_cols: tuple[str, ...] = ("doc_id", "chunk_id"),
+                   size_col: str = "n_tokens") -> DataFrame:
+    """Pack chunks into training sequences of at most ``budget`` tokens
+    (first-fit-decreasing): adds ``seq_id`` (which sequence) and
+    ``seq_pos`` (order within it) to every input row. A chunk larger
+    than ``budget`` fails loudly — truncation belongs upstream in
+    ``chunk_tokens``.
+
+    Scale shape: bin packing is made embarrassingly parallel by
+    hash-bucketing chunks on their ids (ONE shuffle), then packing each
+    bucket independently in an Arrow-batched applyInPandas — no global
+    coordination, and the only packing loss vs a single global FFD is
+    each bucket's final partially-filled bin, negligible when buckets
+    hold thousands of chunks. Every assignment is a pure function of
+    (ids, seed, n_buckets): bucket = xxhash64(ids, seed), in-bucket
+    order = (size desc, ids asc), so the output is deterministic on any
+    cluster size or input partitioning."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    spark = chunks.sparkSession
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in chunks.schema.fields]
+        + ["seq_id bigint", "seq_pos int"])
+    keys = [str(c) for c in id_cols]
+    size = str(size_col)
+    cap = int(budget)
+
+    def _pack(pdf):
+        import pandas as pd
+
+        bucket = int(pdf["_bucket"].iloc[0])
+        pdf = pdf.sort_values(
+            by=[size] + keys, ascending=[False] + [True] * len(keys),
+            kind="mergesort").reset_index(drop=True)
+        too_big = pdf[size].iloc[0] if len(pdf) else 0
+        if too_big > cap:
+            raise ValueError(
+                f"chunk of {too_big} tokens exceeds the packing "
+                f"budget {cap} — split it upstream (chunk_tokens "
+                f"window <= budget)")
+        remaining: list[int] = []  # capacity left per open bin
+        counts: list[int] = []  # rows already placed per bin
+        seq_ids, seq_pos = [], []
+        for sz in pdf[size]:
+            sz = int(sz)
+            for b, room in enumerate(remaining):
+                if sz <= room:
+                    break
+            else:
+                b = len(remaining)
+                remaining.append(cap)
+                counts.append(0)
+            remaining[b] -= sz
+            seq_ids.append((bucket << 32) | b)
+            seq_pos.append(counts[b])
+            counts[b] += 1
+        pdf = pdf.drop(columns=["_bucket"])
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["seq_pos"] = pd.Series(seq_pos, dtype="int32")
+        return pdf
+
+    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys],
+                               F.lit(int(seed))),
+                    F.lit(int(n_buckets)))
+    return (chunks.withColumn("_bucket", bucket)
+            .groupBy("_bucket").applyInPandas(_pack, out_schema))
