@@ -374,6 +374,23 @@ def main() -> None:
     _shares = {f"src{i}": 1.0 for i in range(8)}
     timed("mixture_sample", lambda: mixture_sample(
         docs, _shares, 100_000).count())
+    # context-window chunking (pure Catalyst) + FFD sequence packing
+    # (one shuffle, bucket-parallel applyInPandas)
+    from textindexing_spark.functions.sampling import (chunk_tokens,
+                                                       pack_sequences)
+    timed("chunk_pack", lambda: pack_sequences(
+        chunk_tokens(docs, 128, overlap=16), 1024, n_buckets=16).count())
+    # fuzzy terms: expansion resolves driver-side against the prepared
+    # dictionary snapshot — each query is one pruned-scan set plan
+    timed("fuzzy_queries", lambda: [
+        idx.search_expr(e).collect()
+        for e in ("merg~1", "tabel~1 AND scan", "indx~2 OR quer~2")])
+    # more-like-this: term selection driver-side, ONE scoring job each
+    _mlt_rows = docs.orderBy("doc_id").limit(3).collect()
+    timed("mlt_queries", lambda: [
+        idx.more_like_this(r["text"], 10,
+                           exclude_doc_id=r["doc_id"]).collect()
+        for r in _mlt_rows])
     # facets over a boolean-language result set: hit-set semi-join +
     # one stack/hash-agg pass counting BOTH facet columns
     timed("facet_counts", lambda: idx.facet_counts(

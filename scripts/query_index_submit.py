@@ -4,7 +4,7 @@
     spark-submit --master <cluster> --py-files /tmp/textindexing_spark.zip \\
         scripts/query_index_submit.py --index <root> \\
         --query "hash merge fast" \\
-        [--mode bm25|bm25f|bool|expr|phrase|near|suggest] [--k 10] \\
+        [--mode bm25|bm25f|bool|expr|phrase|near|suggest|mlt] [--k 10] \\
         [--title-index <root> --title-weight 3.0] \\
         [--filter-expr "scan AND NOT slow"] [--near-k 4] [--ordered] \\
         [--max-dist 2] [--positional <pos_root>] \\
@@ -16,9 +16,11 @@
 block-max WAND), a boolean Index snapshot (postings/ + documents/;
 bm25 runs the Catalyst path with optional --filter-expr candidate
 filtering, bool runs AND-with-wildcards, expr runs the full boolean
-language), or a PositionalSegmentIndex save (has _pos_meta.json;
---mode phrase runs exact-phrase search, --mode near runs NEAR/k
-proximity — both batched into ONE job when --query repeats).
+language incl. word~d fuzzy terms, mlt ranks by similarity to the
+--query TEXT — query-by-example), or a PositionalSegmentIndex save
+(has _pos_meta.json; --mode phrase runs exact-phrase search, --mode
+near runs NEAR/k proximity — both batched into ONE job when --query
+repeats).
 Prints one JSON line per query with results and latency. Accepts
 multiple --query flags; repeated queries amortize the index open (the
 serving pattern).
@@ -39,13 +41,23 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--query", action="append", required=True,
                     help="repeatable")
     ap.add_argument("--mode", choices=("bm25", "bm25f", "bool", "expr",
-                                       "phrase", "near", "suggest"),
+                                       "phrase", "near", "suggest",
+                                       "mlt"),
                     default="bm25",
                     help="expr = full boolean language (AND/OR/NOT, "
-                         "parens); near = proximity over a positional "
-                         "index (--near-k window, --ordered); suggest "
-                         "= did-you-mean dictionary terms within edit "
-                         "distance --max-dist")
+                         "parens, word~d fuzzy terms); near = proximity "
+                         "over a positional index (--near-k window, "
+                         "--ordered); suggest = did-you-mean dictionary "
+                         "terms within edit distance --max-dist; mlt = "
+                         "more-like-this (--query is the example TEXT)")
+    ap.add_argument("--exclude-doc", type=int, default=None,
+                    help="mlt mode: drop this doc_id from the results "
+                         "(the source document of the example text)")
+    ap.add_argument("--mlt-min-df", type=int, default=2,
+                    help="mlt mode: skip example terms rarer than this")
+    ap.add_argument("--mlt-max-df-ratio", type=float, default=0.25,
+                    help="mlt mode: skip example terms in more than "
+                         "this fraction of the corpus (stopword guard)")
     ap.add_argument("--max-dist", type=int, default=2,
                     help="suggest mode: max Levenshtein distance")
     ap.add_argument("--positional", default=None,
@@ -108,6 +120,14 @@ def main(argv: list[str] | None = None) -> None:
         raise SystemExit("--filter-expr applies to --mode bm25 only "
                          "(fold the filter into the expression for "
                          "--mode expr)")
+    if args.exclude_doc is not None and args.mode != "mlt":
+        raise SystemExit("--exclude-doc applies to --mode mlt only")
+    if args.mode == "mlt" and (args.stopwords or args.fold_accents
+                               or args.stem):
+        # the analyzer rewrite parses boolean grammar; an mlt example is
+        # arbitrary document text (normalize it upstream if the index
+        # was built from analyzer-normalized documents)
+        raise SystemExit("analyzer flags do not apply to --mode mlt")
 
     from pyspark.sql import SparkSession
 
@@ -156,7 +176,7 @@ def main(argv: list[str] | None = None) -> None:
         idx = (SegmentIndex.load(spark, args.index)
                .prepare_for_queries(query_groups=8))
         kind = "segments"
-        if args.mode in ("bool", "expr", "suggest", "bm25f"):
+        if args.mode in ("bool", "expr", "suggest", "bm25f", "mlt"):
             raise SystemExit(f"{args.mode} queries need an Index snapshot "
                              "(postings/ + documents/), not segments")
         if args.filter_expr:
@@ -251,6 +271,13 @@ def main(argv: list[str] | None = None) -> None:
         elif args.mode == "suggest":
             rows = [(r["term"], int(r["df"]), int(r["dist"])) for r in
                     idx.suggest(executed, args.k, args.max_dist).collect()]
+        elif args.mode == "mlt":
+            rows = [(r["doc_id"], round(r["score"], 4)) for r in
+                    idx.more_like_this(
+                        executed, args.k,
+                        min_df=args.mlt_min_df,
+                        max_df_ratio=args.mlt_max_df_ratio,
+                        exclude_doc_id=args.exclude_doc).collect()]
         else:
             rows = [r["doc_id"]
                     for r in idx.search_bool(executed).collect()]

@@ -156,3 +156,37 @@ def test_cli_flag_validation(snapshot):
     with pytest.raises(SystemExit):
         cli.main(["--index", str(snapshot / "ix"), "--query", "x",
                   "--mode", "expr", "--facet", "lang"])
+
+
+def test_cli_mlt_mode(spark, snapshot, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    _cli().main([
+        "--index", str(snapshot / "ix"), "--mode", "mlt",
+        "--query", CORPUS[0][1], "--exclude-doc", "0", "--k", "3",
+        "--mlt-min-df", "1", "--mlt-max-df-ratio", "1.0"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ids = [d for d, _ in out["results"]]
+    assert 0 not in ids
+    # doc 4 shares 'fast' (the example's rarest = highest-weighted term)
+    # plus 'merge' and 'scan', so it outranks the merge-scan-only docs
+    assert ids[0] == 4
+    assert all(isinstance(s, float) for _, s in out["results"])
+
+
+def test_cli_fuzzy_expr_mode(spark, snapshot, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    _cli().main([
+        "--index", str(snapshot / "ix"), "--mode", "expr",
+        "--query", "fst~1 AND merge"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["results"] == [0, 4]  # fst~1 -> fast
+
+
+def test_cli_mlt_validation(snapshot):
+    cli = _cli()
+    with pytest.raises(SystemExit):  # exclude-doc is mlt-only
+        cli.main(["--index", str(snapshot / "ix"), "--query", "x",
+                  "--mode", "bool", "--exclude-doc", "1"])
+    with pytest.raises(SystemExit):  # analyzer flags never rewrite mlt text
+        cli.main(["--index", str(snapshot / "ix"), "--query", "x",
+                  "--mode", "mlt", "--stem", "light"])
