@@ -144,3 +144,52 @@ def test_search_near_pushes_term_filters(spark, tmp_path):
     assert "EqualTo(term,word2)" in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "exists" in p.lower()  # the HOF window check stayed JVM-side
+
+
+def test_fuzzy_expr_pushes_in_filter(snap):
+    """A fuzzy node evaluates as ONE pruned isin scan over its
+    expansion set (pushed In filter), never a full-dictionary
+    levenshtein scan in the QUERY plan (expansion happens ahead of
+    planning); an empty expansion short-circuits."""
+    p = _plan(snap.search_expr("word1~1"))
+    assert "In(term, [" in p or "EqualTo(term," in p
+    assert "levenshtein" not in p
+    df = snap.search_expr("zzz_never_a_term~0")
+    assert "Scan parquet" not in _plan(df)
+    assert df.count() == 0
+
+
+def test_more_like_this_single_scoring_plan(snap):
+    """more_like_this = driver-side term selection + the bm25_scores
+    plan: pruned postings scan, broadcast dim join, one top-k reduce."""
+    row = snap.documents.limit(1).collect()[0]
+    text = "word1 word2 word3 word4"
+    p = _plan(snap.more_like_this(text, 5, min_df=1, max_df_ratio=1.0))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "In(term, [" in p or "EqualTo(term," in p
+
+
+def test_chunk_tokens_no_exchange(spark):
+    from textindexing_spark.functions.sampling import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id bigint, text string")
+    p = _plan(chunk_tokens(docs, 4, overlap=1))
+    assert "Exchange" not in p  # pure per-row projection
+    assert "EvalPython" not in p  # no Python stage
+
+
+def test_pack_sequences_one_exchange(spark):
+    from textindexing_spark.functions.sampling import (chunk_tokens,
+                                                       pack_sequences)
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id bigint, text string")
+    import re
+
+    p = _plan(pack_sequences(chunk_tokens(docs, 4), 8, n_buckets=2))
+    # exactly one Exchange NODE (formatted output names each node twice:
+    # once in the tree, once in the detail section): the bucket shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "FlatMapGroupsInPandas" in p
