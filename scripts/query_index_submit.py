@@ -4,7 +4,8 @@
     spark-submit --master <cluster> --py-files /tmp/textindexing_spark.zip \\
         scripts/query_index_submit.py --index <root> \\
         --query "hash merge fast" \\
-        [--mode bm25|bm25f|bool|expr|phrase|near|suggest|mlt] [--k 10] \\
+        [--mode bm25|bm25f|bool|expr|phrase|near|suggest|complete|mlt] \\
+        [--k 10] \\
         [--title-index <root> --title-weight 3.0] \\
         [--filter-expr "scan AND NOT slow"] [--near-k 4] [--ordered] \\
         [--max-dist 2] [--positional <pos_root>] \\
@@ -42,14 +43,16 @@ def main(argv: list[str] | None = None) -> None:
                     help="repeatable")
     ap.add_argument("--mode", choices=("bm25", "bm25f", "bool", "expr",
                                        "phrase", "near", "suggest",
-                                       "mlt"),
+                                       "complete", "mlt"),
                     default="bm25",
                     help="expr = full boolean language (AND/OR/NOT, "
                          "parens, word~d fuzzy terms); near = proximity "
                          "over a positional index (--near-k window, "
                          "--ordered); suggest = did-you-mean dictionary "
-                         "terms within edit distance --max-dist; mlt = "
-                         "more-like-this (--query is the example TEXT)")
+                         "terms within edit distance --max-dist; "
+                         "complete = prefix auto-complete ranked by df; "
+                         "mlt = more-like-this (--query is the example "
+                         "TEXT)")
     ap.add_argument("--exclude-doc", type=int, default=None,
                     help="mlt mode: drop this doc_id from the results "
                          "(the source document of the example text)")
@@ -176,7 +179,8 @@ def main(argv: list[str] | None = None) -> None:
         idx = (SegmentIndex.load(spark, args.index)
                .prepare_for_queries(query_groups=8))
         kind = "segments"
-        if args.mode in ("bool", "expr", "suggest", "bm25f", "mlt"):
+        if args.mode in ("bool", "expr", "suggest", "complete", "bm25f",
+                         "mlt"):
             raise SystemExit(f"{args.mode} queries need an Index snapshot "
                              "(postings/ + documents/), not segments")
         if args.filter_expr:
@@ -271,6 +275,9 @@ def main(argv: list[str] | None = None) -> None:
         elif args.mode == "suggest":
             rows = [(r["term"], int(r["df"]), int(r["dist"])) for r in
                     idx.suggest(executed, args.k, args.max_dist).collect()]
+        elif args.mode == "complete":
+            rows = [(r["term"], int(r["df"])) for r in
+                    idx.complete(executed, args.k).collect()]
         elif args.mode == "mlt":
             rows = [(r["doc_id"], round(r["score"], 4)) for r in
                     idx.more_like_this(

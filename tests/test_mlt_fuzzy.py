@@ -200,3 +200,19 @@ def test_more_like_this_stopword_guard(idx, oracle):
 def test_more_like_this_empty_text(idx):
     assert idx.more_like_this("").count() == 0
     assert idx.more_like_this("   ").count() == 0
+
+
+# -- prefix auto-complete ---------------------------------------------------
+
+def test_complete_matches_bruteforce(idx, oracle):
+    want = sorted(((t, len(d)) for t, d in oracle.postings.items()
+                   if t.startswith("s")),
+                  key=lambda td: (-td[1], td[0]))
+    got = [(r["term"], r["df"]) for r in idx.complete("s", k=3).collect()]
+    assert got == want[:3]
+    assert idx.complete("zzz").count() == 0
+    assert idx.complete("").count() == 0
+    # query-side fold applies to the prefix like every other lookup
+    got_upper = [(r["term"], r["df"])
+                 for r in idx.complete("S", k=3).collect()]
+    assert got_upper == got

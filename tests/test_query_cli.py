@@ -190,3 +190,13 @@ def test_cli_mlt_validation(snapshot):
     with pytest.raises(SystemExit):  # analyzer flags never rewrite mlt text
         cli.main(["--index", str(snapshot / "ix"), "--query", "x",
                   "--mode", "mlt", "--stem", "light"])
+
+
+def test_cli_complete_mode(spark, snapshot, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    _cli().main([
+        "--index", str(snapshot / "ix"), "--mode", "complete",
+        "--query", "s", "--k", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # scan (df 5) outranks slow (df 1)
+    assert out["results"] == [["scan", 5], ["slow", 1]]

@@ -412,6 +412,21 @@ class Index:
                          F.col("term").asc())
                 .limit(k))
 
+    def complete(self, prefix: str, k: int = 10) -> DataFrame:
+        """Auto-complete: dictionary terms starting with ``prefix``,
+        ranked (df desc, term asc), top ``k`` — (term, df), the
+        search-box suggester. Pushed StringStartsWith range scan over
+        the sorted dictionary + TakeOrderedAndProject; never touches
+        posting arrays (same budget class as ``suggest``)."""
+        p = self._fold(prefix or "").strip()
+        if not p:
+            return self.spark.createDataFrame(
+                [], "term string, df bigint")
+        return (self.postings.where(F.col("term").startswith(p))
+                .select("term", F.col("df").cast("bigint").alias("df"))
+                .orderBy(F.col("df").desc(), F.col("term").asc())
+                .limit(k))
+
     def fuzzy_terms(self, word: str, max_dist: int = 2,
                     max_expansions: int = 50) -> list[str]:
         """Dictionary terms within Levenshtein ``max_dist`` of the folded
