@@ -279,3 +279,61 @@ def keywords(docs: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("doc_id", "term", "tf", "tfidf", "rank"))
+
+
+def cooccurrence(docs: DataFrame, vocab: list[str] | None = None,
+                 min_pair_count: int = 2,
+                 max_terms_per_doc: int = 256) -> DataFrame:
+    """(term_a, term_b, n_both, n_a, n_b, pmi) — document-level term
+    co-occurrence with pointwise mutual information, term_a < term_b:
+    n_both = documents containing both terms, n_a/n_b = each term's
+    document frequency (within the same restriction), pmi =
+    ln(n_both * N / (n_a * n_b)) over N qualifying documents. The
+    corpus-statistics primitive behind synonym/related-term mining —
+    high-PMI pairs feed ``expand_synonyms`` tables.
+
+    Scale shape: pair generation NEVER self-joins the corpus — each
+    document's sorted distinct (in-vocab) term array emits its own
+    upper-triangle pairs via a nested JVM-side transform, then ONE
+    map-side-combinable count aggregation (the word-count shape); the
+    unigram dims and the 1-row N join back as broadcasts. The m² per-doc
+    fan-out is bounded by ``vocab`` (pass one at web scale — e.g. the
+    dictionary's mid-df band; a vocab no larger than
+    ``max_terms_per_doc`` guarantees NO truncation) or, without a
+    vocab, by ``max_terms_per_doc``: a document's pairs come from its
+    first ``max_terms_per_doc`` distinct terms in sorted order
+    (documented truncation — acceptable for mining, not for exact
+    counts over unbounded vocabularies)."""
+    if vocab is not None and not vocab:
+        raise ValueError("vocab must be None or non-empty")
+    ts = F.array_sort(F.array_distinct(tokens_col("text")))
+    if vocab is not None:
+        ts = F.array_intersect(ts, F.lit(sorted(set(vocab))))
+    terms = (docs
+             .select(F.col("doc_id"),
+                     F.slice(F.array_sort(ts), 1,
+                             int(max_terms_per_doc)).alias("t"))
+             .where(F.size("t") > 0))
+    pairs = terms.select(F.explode(F.expr(
+        "flatten(transform(t, (x, i) -> "
+        "transform(slice(t, i + 2, size(t)), "
+        "y -> struct(x AS a, y AS b))))")).alias("p"))
+    both = (pairs.groupBy(F.col("p.a").alias("term_a"),
+                          F.col("p.b").alias("term_b"))
+            .agg(F.count("*").alias("n_both"))
+            .where(F.col("n_both") >= int(min_pair_count)))
+    uni = (terms.select("doc_id", F.explode("t").alias("term"))
+           .groupBy("term").agg(F.count("*").alias("n")))
+    nd = terms.agg(F.count("*").alias("n_docs"))
+    out = (both
+           .join(F.broadcast(uni.withColumnRenamed("term", "term_a")
+                             .withColumnRenamed("n", "n_a")), "term_a")
+           .join(F.broadcast(uni.withColumnRenamed("term", "term_b")
+                             .withColumnRenamed("n", "n_b")), "term_b")
+           .crossJoin(F.broadcast(nd)))
+    pmi = F.log(F.col("n_both").cast("double") *
+                F.col("n_docs").cast("double") /
+                (F.col("n_a").cast("double") *
+                 F.col("n_b").cast("double")))
+    return out.select("term_a", "term_b", "n_both", "n_a", "n_b",
+                      pmi.alias("pmi"))
