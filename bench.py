@@ -226,6 +226,12 @@ def main() -> None:
                 lat.append(time.perf_counter() - t0)
     timed("bm25_queries", run_bm25)
 
+    # batched Catalyst BM25: the whole set in ONE job (shared In-filter
+    # scan + one (query, doc) agg + per-query WindowGroupLimit top-k)
+    bm25_texts = [q["query_text"] for q in qset if q["mode"] == "bm25"]
+    timed("bm25_batch",
+          lambda: idx.search_bm25_many(bm25_texts, 10).collect())
+
     # q4: SCALE path — fused one-shuffle compressed segment build
     # (the pipeline a 100 TB run uses; see operators/bm25.py) + WAND
     import shutil

@@ -407,3 +407,26 @@ def test_bm25_empty_filter_expr_means_no_filter(idx):
     c = [r["doc_id"] for r in
          idx.search_bm25("fox dog", 5, filter_expr="   ").collect()]
     assert a == b == c
+
+
+def test_bm25_batched_matches_per_query(idx):
+    """Catalyst-tier batched BM25 (search_bm25_many) == per-query
+    search_bm25 for every query in one job — the twin of the WAND
+    tier's batched==per-query gate."""
+    queries = ["fox", "quick dog", "the quick brown fox", "cat box",
+               "nonexistent", ""]
+    out = idx.search_bm25_many(queries, k=5).collect()
+    by_q: dict[str, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"]))
+    for q in queries:
+        want = [(r["doc_id"], r["score"])
+                for r in idx.search_bm25(q, 5).collect()]
+        got = by_q.get(q, [])
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (_, gs), (_, es) in zip(got, want):
+            assert gs == pytest.approx(es, rel=1e-9), q
+    # ordering contract: query_id asc, score desc, doc_id asc
+    assert out == sorted(
+        out, key=lambda r: (r["query_id"], -r["score"], r["doc_id"]))

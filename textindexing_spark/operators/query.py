@@ -955,6 +955,67 @@ class Index:
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
 
+    def search_bm25_many(self, queries, k: int | None = None
+                         ) -> DataFrame:
+        """Batched BM25 serving on the Catalyst tier: a whole query set
+        in ONE job (per query identical to ``search_bm25``; the WAND
+        twin is ``SegmentIndex.search_bm25_many``). All queries' terms
+        share a single pruned In-filter postings scan; a broadcast
+        (query_id, term) map fans matched postings out to queries; one
+        (query_id, doc_id) aggregation sums scores and a per-query
+        window takes the top-k (Spark pushes it as a partial
+        WindowGroupLimit ahead of the exchange, so only <=k rows per
+        query per partition shuffle). ``queries``: list of query
+        strings (each its own id) or {query_id: text}. Returns
+        (query_id, doc_id, score) ordered query_id asc, score desc,
+        doc_id asc."""
+        from pyspark.sql import Window
+
+        from textindexing_spark.functions.tokenize import tokenize_text
+
+        k = k or self.cfg.default_k
+        if not isinstance(queries, dict):
+            queries = {q: q for q in queries}
+        qterms = {qid: sorted(set(tokenize_text(
+                      text, self.cfg.tokenizer, self.cfg.case_insensitive)))
+                  for qid, text in queries.items()}
+        qterms = {qid: ts for qid, ts in qterms.items() if ts}
+        out_schema = "query_id string, doc_id bigint, score double"
+        if not qterms:
+            return self.spark.createDataFrame([], out_schema)
+        n_docs, avgdl = self.corpus_stats()
+        k1, b = self.cfg.bm25.k1, self.cfg.bm25.b
+        all_terms = sorted({t for ts in qterms.values() for t in ts})
+        matched = (self.postings.where(F.col("term").isin(all_terms))
+                   .select("term", "df", F.explode("postings").alias("p"))
+                   .select("term", "df",
+                           F.col("p.doc_id").alias("doc_id"),
+                           F.col("p.tf").cast("double").alias("tf")))
+        qmap = self.spark.createDataFrame(
+            [(qid, t) for qid, ts in qterms.items() for t in ts],
+            "query_id string, term string")
+        scored = (matched.join(F.broadcast(qmap), "term")
+                  .join(self.documents, "doc_id")
+                  .withColumn(
+                      "idf",
+                      F.log(F.lit(1.0) +
+                            (F.lit(float(n_docs)) - F.col("df") + 0.5) /
+                            (F.col("df") + 0.5)))
+                  .withColumn(
+                      "w",
+                      F.col("idf") * (F.col("tf") * (k1 + 1.0)) /
+                      (F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") /
+                                           float(avgdl))))
+                  .groupBy("query_id", "doc_id")
+                  .agg(F.sum("w").alias("score")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        return (scored.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") <= k)
+                .select("query_id", "doc_id", "score")
+                .orderBy("query_id", F.col("score").desc(),
+                         F.col("doc_id").asc()))
+
     def more_like_this(self, text: str, k: int | None = None,
                        k_terms: int = 10, min_df: int = 2,
                        max_df_ratio: float = 0.25,
