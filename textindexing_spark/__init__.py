@@ -47,10 +47,14 @@ def __getattr__(name):
 
         return getattr(analyze, name)
     if name in ("hash_sample", "hash_split", "mixture_plan",
-                "mixture_sample"):
+                "mixture_sample", "chunk_tokens", "pack_sequences"):
         from textindexing_spark.functions import sampling
 
         return getattr(sampling, name)
+    if name == "cooccurrence":
+        from textindexing_spark.functions import analysis
+
+        return analysis.cooccurrence
     raise AttributeError(name)
 
 
@@ -60,6 +64,7 @@ __all__ = ["IndexConfig", "build_index", "tokenize_documents", "Index",
            "field_docs_from_pages", "expand_synonyms", "parse_bool_expr",
            "unparse_bool_expr", "normalize_docs", "normalize_query",
            "make_term_analyzer", "hash_sample", "hash_split",
-           "mixture_plan", "mixture_sample"]
+           "mixture_plan", "mixture_sample", "chunk_tokens",
+           "pack_sequences", "cooccurrence"]
 
 __version__ = "0.1.0"
