@@ -170,3 +170,14 @@ def test_expand_synonyms_search_equivalence(spark):
     want = [r["doc_id"] for r in
             ix.search_expr("(fast OR quick OR rapid) AND lane").collect()]
     assert got == want == [0, 1]
+
+
+def test_normalize_query_preserves_fuzzy_suffix():
+    # the ~/~d suffix is query syntax: the word analyzes, the suffix
+    # survives (a naive rewrite would tokenize 'merg~1' into 'merg 1')
+    assert normalize_query("merg~1 AND NOT thé", accents=True) == \
+        "merg~1 AND NOT the"
+    assert normalize_query("Ponies~ fast~2", stem="light") == \
+        "pony~ fast~2"
+    # a stopworded fuzzy word disappears entirely, suffix included
+    assert normalize_query("the~1 fast", stopwords=("the",)) == "fast"

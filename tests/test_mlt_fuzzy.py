@@ -216,3 +216,17 @@ def test_complete_matches_bruteforce(idx, oracle):
     got_upper = [(r["term"], r["df"])
                  for r in idx.complete("S", k=3).collect()]
     assert got_upper == got
+
+
+def test_suggest_prepared_equals_cold(spark, docs):
+    cold = build_index(spark, docs, IndexConfig())
+    before = {w: [(r["term"], r["df"], r["dist"])
+                  for r in cold.suggest(w, k=4).collect()]
+              for w in ("merge", "cashe", "tabel", "zzz")}
+    cold.prepare_for_queries()
+    assert cold._dict_df is not None  # driver-side path active
+    after = {w: [(r["term"], r["df"], r["dist"])
+                 for r in cold.suggest(w, k=4).collect()]
+             for w in before}
+    assert after == before
+    cold.unpersist()

@@ -152,6 +152,8 @@ def normalize_query(query_text: str | None, *, tokenizer: str = "alnum",
     too. A stopword query word disappears (same as index side)."""
     from textindexing_spark.functions.tokenize import tokenize_text
 
+    import re
+
     analyze = make_term_analyzer(
         stopwords=stopwords, accents=accents, stem=stem,
         case_insensitive=case_insensitive)
@@ -163,8 +165,19 @@ def normalize_query(query_text: str | None, *, tokenizer: str = "alnum",
         if raw in ("AND", "OR", "NOT") or not core:
             out.append(raw)
             continue
-        toks = tokenize_text(core, tokenizer, case_insensitive)
+        # a fuzzy suffix (word~ / word~d) is query syntax, not word
+        # material: analyze the word, re-attach the suffix
+        fz = re.fullmatch(r"([^~]+)(~[0-2]?)", core)
+        suffix = ""
+        if fz:
+            core = raw.strip('()"*')  # keep full core for the replace
+            word, suffix = fz.group(1), fz.group(2)
+        else:
+            word = core
+        toks = tokenize_text(word, tokenizer, case_insensitive)
         terms = analyze(toks)
+        if terms and suffix:
+            terms = terms[:-1] + [terms[-1] + suffix]
         if not terms:
             # the word was stopworded away; keep any structural chars
             # it carried ("(the" -> "(") so parens/quotes stay balanced

@@ -150,15 +150,15 @@ def unparse_bool_expr(node) -> str:
     return op.join(wrap(c) for c in node[1])
 
 
-def _lev_within(a: str, b: str, cap: int) -> bool:
-    """Banded Levenshtein predicate: dist(a, b) <= cap. O(len*cap) —
-    used only for driver-side fuzzy expansion over a prefetched
-    dictionary (vocabulary-bound work); the distributed path uses
-    Catalyst's levenshtein."""
+def _lev_dist(a: str, b: str, cap: int) -> int:
+    """Banded Levenshtein: the exact distance when <= cap, else cap+1.
+    O(len*cap) — used only for driver-side fuzzy/suggest resolution
+    over a prefetched dictionary (vocabulary-bound work); the
+    distributed path uses Catalyst's levenshtein."""
     if abs(len(a) - len(b)) > cap:
-        return False
+        return cap + 1
     if a == b:
-        return True
+        return 0
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i] + [0] * len(b)
@@ -171,9 +171,14 @@ def _lev_within(a: str, b: str, cap: int) -> bool:
         if hi < len(b):
             cur[hi + 1:] = [cap + 1] * (len(b) - hi)
         if min(cur[lo - 1:hi + 1]) > cap:
-            return False
+            return cap + 1
         prev = cur
-    return prev[len(b)] <= cap
+    return min(prev[len(b)], cap + 1)
+
+
+def _lev_within(a: str, b: str, cap: int) -> bool:
+    """Banded Levenshtein predicate: dist(a, b) <= cap."""
+    return _lev_dist(a, b, cap) <= cap
 
 
 def expand_synonyms(query_text: str, synonyms: dict[str, list[str]],
@@ -396,12 +401,24 @@ class Index:
         postings); a |len(term) - len(word)| <= max_dist band is pushed
         to the scan before the JVM-side levenshtein, and the top-k is a
         TakeOrderedAndProject — one dictionary pass, no shuffle of
-        postings. (Beyond the reference: it has no suggester; the
+        postings. In a prepared serving session
+        (``prepare_for_queries`` with the complete dictionary cached)
+        the whole suggestion resolves DRIVER-SIDE against the (term,
+        df) snapshot — zero Spark jobs, same budget class as fuzzy
+        expansion. (Beyond the reference: it has no suggester; the
         natural pairing is with GetWordsMatching, IIndex.cs:52-62.)"""
+        schema = "term string, df bigint, dist int"
         w = self._fold(word or "").strip()
         if not w:
-            return self.spark.createDataFrame(
-                [], "term string, df bigint, dist int")
+            return self.spark.createDataFrame([], schema)
+        if self._dict_df is not None:
+            hits = []
+            for t, df in self._dict_df.items():
+                dd = _lev_dist(w, t, max_dist)
+                if dd <= max_dist:
+                    hits.append((t, int(df), dd))
+            hits.sort(key=lambda r: (r[2], -r[1], r[0]))
+            return self.spark.createDataFrame(hits[:k], schema)
         d = F.levenshtein(F.col("term"), F.lit(w))
         return (self.postings
                 .where(F.abs(F.length("term") - F.lit(len(w)))
