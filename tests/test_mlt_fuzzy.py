@@ -60,14 +60,19 @@ def oracle():
 # -- banded Levenshtein helper ------------------------------------------------
 
 def test_lev_within_matches_full_dp():
+    from textindexing_spark.operators.query import _lev_dist
+
     words = ["", "a", "ab", "merge", "marge", "merged", "merges",
              "emerge", "grehm", "scan", "cans", "nacs", "table",
              "cable", "tables", "bleat"]
     for a in words:
         for b in words:
             d = _full_lev(a, b)
-            for cap in (0, 1, 2):
+            for cap in (0, 1, 2, 3):
                 assert _lev_within(a, b, cap) == (d <= cap), (a, b, cap)
+                # the banded DP must be EXACT within the band — suggest
+                # ranks on the distance value, not just the predicate
+                assert _lev_dist(a, b, cap) == min(d, cap + 1), (a, b, cap)
 
 
 # -- parser forms ---------------------------------------------------------------
