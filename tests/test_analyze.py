@@ -181,3 +181,15 @@ def test_normalize_query_preserves_fuzzy_suffix():
         "pony~ fast~2"
     # a stopworded fuzzy word disappears entirely, suffix included
     assert normalize_query("the~1 fast", stopwords=("the",)) == "fast"
+
+
+def test_normalize_query_malformed_fuzzy_reaches_parser():
+    # a malformed distance like '~3' must survive the rewrite intact so
+    # parse_bool_expr raises its malformed-fuzzy error — the analyzer
+    # must not silently tokenize 'merg~3' into two plain terms
+    from textindexing_spark.operators.query import parse_bool_expr
+
+    out = normalize_query("merg~3 AND scan", stem="light")
+    assert out == "merg~3 AND scan"
+    with pytest.raises(ValueError, match="malformed fuzzy"):
+        parse_bool_expr(out)

@@ -430,3 +430,16 @@ def test_bm25_batched_matches_per_query(idx):
     # ordering contract: query_id asc, score desc, doc_id asc
     assert out == sorted(
         out, key=lambda r: (r["query_id"], -r["score"], r["doc_id"]))
+
+
+def test_bm25_batched_integer_query_ids(idx):
+    # {int: text} dicts are the natural batched-id shape (same as
+    # search_expr_many); query_id comes back as bigint
+    out = idx.search_bm25_many({0: "fox", 7: "quick dog"}, k=3)
+    assert dict(out.dtypes)["query_id"] == "bigint"
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 7}
+    want = [r["doc_id"] for r in idx.search_bm25("fox", 3).collect()]
+    assert [r["doc_id"] for r in rows if r["query_id"] == 0] == want
+    with pytest.raises(TypeError, match="all int or all str"):
+        idx.search_bm25_many({0: "fox", "b": "dog"}, k=3)

@@ -93,6 +93,30 @@ def test_parse_fuzzy_malformed_raises(bad):
         parse_bool_expr(bad)
 
 
+def test_parse_literal_tilde_escape_and_quote():
+    # unescaped '~' is always the fuzzy operator (Lucene's rule);
+    # escaped (x\~y) or quoted ("x~y") forms keep '~' as term material
+    # — the punctuation tokenizer legitimately indexes Sm chars
+    assert parse_bool_expr(r"x\~y") == ("term", "x~y")
+    assert parse_bool_expr('"x~y"') == ("term", "x~y")
+    assert parse_bool_expr(r"x\~y~1") == ("fuzzy", ("x~y", 1))
+    for node in (("term", "x~y"), ("fuzzy", ("x~y", 1)),
+                 ("and", [("term", "a~b"), ("fuzzy", ("c", 0))])):
+        assert parse_bool_expr(unparse_bool_expr(node)) == node
+
+
+def test_search_expr_literal_tilde_punctuation_tokenizer(spark):
+    docs = spark.createDataFrame(
+        [(0, "approx x~y match"), (1, "plain text y")],
+        "doc_id bigint, text string")
+    pidx = build_index(spark, docs,
+                       IndexConfig(tokenizer="punctuation"))
+    assert "x~y" in {r["term"] for r in pidx.words().collect()}
+    for q in (r"x\~y", '"x~y"'):
+        assert [r["doc_id"] for r in pidx.search_expr(q).collect()] \
+            == [0], q
+
+
 def test_expand_synonyms_passes_fuzzy_through():
     out = expand_synonyms("fast~1 AND cache",
                           {"fast": ["quick"], "cache": ["store"]})
@@ -221,6 +245,20 @@ def test_complete_matches_bruteforce(idx, oracle):
     got_upper = [(r["term"], r["df"])
                  for r in idx.complete("S", k=3).collect()]
     assert got_upper == got
+
+
+def test_complete_prepared_equals_cold(spark, docs):
+    cold = build_index(spark, docs, IndexConfig())
+    before = {p: [(r["term"], r["df"])
+                  for r in cold.complete(p, k=4).collect()]
+              for p in ("s", "merge", "fa", "zzz", "")}
+    cold.prepare_for_queries()
+    assert cold._dict_df is not None  # driver-side zero-job path active
+    after = {p: [(r["term"], r["df"])
+                 for r in cold.complete(p, k=4).collect()]
+             for p in before}
+    assert after == before
+    cold.unpersist()
 
 
 def test_suggest_prepared_equals_cold(spark, docs):

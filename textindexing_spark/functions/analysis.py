@@ -309,10 +309,11 @@ def cooccurrence(docs: DataFrame, vocab: list[str] | None = None,
     ts = F.array_sort(F.array_distinct(tokens_col("text")))
     if vocab is not None:
         ts = F.array_intersect(ts, F.lit(sorted(set(vocab))))
+    # ts is already sorted (array_sort above; array_intersect keeps
+    # the first array's order), so slice directly — no second sort
     terms = (docs
              .select(F.col("doc_id"),
-                     F.slice(F.array_sort(ts), 1,
-                             int(max_terms_per_doc)).alias("t"))
+                     F.slice(ts, 1, int(max_terms_per_doc)).alias("t"))
              .where(F.size("t") > 0))
     pairs = terms.select(F.explode(F.expr(
         "flatten(transform(t, (x, i) -> "

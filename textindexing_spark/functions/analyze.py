@@ -166,11 +166,13 @@ def normalize_query(query_text: str | None, *, tokenizer: str = "alnum",
             out.append(raw)
             continue
         # a fuzzy suffix (word~ / word~d) is query syntax, not word
-        # material: analyze the word, re-attach the suffix
-        fz = re.fullmatch(r"([^~]+)(~[0-2]?)", core)
+        # material: analyze the word, re-attach the suffix. Any digit
+        # run is kept as suffix — a malformed distance like '~3' must
+        # reach parse_bool_expr's ValueError, not silently tokenize
+        # into two plain terms
+        fz = re.fullmatch(r"([^~]+)(~\d*)", core)
         suffix = ""
         if fz:
-            core = raw.strip('()"*')  # keep full core for the replace
             word, suffix = fz.group(1), fz.group(2)
         else:
             word = core

@@ -46,9 +46,11 @@ def parse_bool_expr(text: str | None):
     match, e.g. ``"row scan" AND NOT slow`` (evaluation needs a positional
     index attached, Index.attach_positional). A ``~`` suffix makes a
     fuzzy term node — ``merg~`` (edit distance <= 2, the conventional
-    default) or ``merg~1`` — parsed as ('fuzzy', (word, dist)); the
-    tokenizers never emit ``~`` so the suffix is unambiguous query
-    syntax. Returns None for an empty query. Raises ValueError on
+    default) or ``merg~1`` — parsed as ('fuzzy', (word, dist)). An
+    unescaped ``~`` is ALWAYS the fuzzy operator (Lucene's rule): a
+    term that legitimately contains ``~`` (the punctuation tokenizer
+    keeps Sm characters) is written escaped (``x\\~y``) or quoted
+    (``"x~y"``). Returns None for an empty query. Raises ValueError on
     malformed input (unbalanced parens, dangling operator, unterminated
     quote, malformed fuzzy suffix)."""
     import re
@@ -109,12 +111,18 @@ def parse_bool_expr(text: str | None):
             return ("phrase", inner)
         tok = take()
         if "~" in tok:
-            m = re.fullmatch(r"([^~*]+)~([0-2]?)", tok)
+            if re.search(r"(?<!\\)~", tok) is None:
+                # every '~' is backslash-escaped: literal term
+                # material, not the fuzzy operator
+                return ("term", tok.replace("\\~", "~"))
+            m = re.fullmatch(r"((?:\\~|[^~*])+)~([0-2]?)", tok)
             if m is None:
                 raise ValueError(
                     f"malformed fuzzy term {tok!r}: expected word~ "
                     f"or word~d with d in 0..2, no wildcards")
-            return ("fuzzy", (m.group(1), int(m.group(2) or 2)))
+            return ("fuzzy",
+                    (m.group(1).replace("\\~", "~"),
+                     int(m.group(2) or 2)))
         return ("term", tok)
 
     if not toks:
@@ -137,11 +145,14 @@ def unparse_bool_expr(node) -> str:
     kind = node[0]
     if kind == "term":
         # '"AND" x' parses to ('term', 'AND'); unquoted it would
-        # re-parse as the operator
-        return f'"{node[1]}"' if node[1] in ("AND", "OR", "NOT") \
+        # re-parse as the operator. Likewise a term containing '~'
+        # would re-parse as fuzzy syntax — re-quote it.
+        return f'"{node[1]}"' \
+            if node[1] in ("AND", "OR", "NOT") or "~" in node[1] \
             else node[1]
     if kind == "fuzzy":
-        return f"{node[1][0]}~{node[1][1]}"
+        core = node[1][0].replace("~", "\\~")
+        return f"{core}~{node[1][1]}"
     if kind == "phrase":
         return f'"{node[1]}"'
     if kind == "not":
@@ -434,11 +445,20 @@ class Index:
         ranked (df desc, term asc), top ``k`` — (term, df), the
         search-box suggester. Pushed StringStartsWith range scan over
         the sorted dictionary + TakeOrderedAndProject; never touches
-        posting arrays (same budget class as ``suggest``)."""
+        posting arrays. In a prepared serving session
+        (``prepare_for_queries`` with the complete dictionary cached)
+        it resolves DRIVER-SIDE against the (term, df) snapshot — zero
+        Spark jobs per keystroke, same budget class as ``suggest``."""
         p = self._fold(prefix or "").strip()
         if not p:
             return self.spark.createDataFrame(
                 [], "term string, df bigint")
+        if self._dict_df is not None:
+            hits = [(t, int(df)) for t, df in self._dict_df.items()
+                    if t.startswith(p)]
+            hits.sort(key=lambda r: (-r[1], r[0]))
+            return self.spark.createDataFrame(
+                hits[:k], "term string, df bigint")
         return (self.postings.where(F.col("term").startswith(p))
                 .select("term", F.col("df").cast("bigint").alias("df"))
                 .orderBy(F.col("df").desc(), F.col("term").asc())
@@ -993,11 +1013,17 @@ class Index:
         k = k or self.cfg.default_k
         if not isinstance(queries, dict):
             queries = {q: q for q in queries}
+        if all(isinstance(q, int) for q in queries):
+            id_type = "bigint"
+        elif all(isinstance(q, str) for q in queries):
+            id_type = "string"
+        else:
+            raise TypeError("query ids must be all int or all str")
         qterms = {qid: sorted(set(tokenize_text(
                       text, self.cfg.tokenizer, self.cfg.case_insensitive)))
                   for qid, text in queries.items()}
         qterms = {qid: ts for qid, ts in qterms.items() if ts}
-        out_schema = "query_id string, doc_id bigint, score double"
+        out_schema = f"query_id {id_type}, doc_id bigint, score double"
         if not qterms:
             return self.spark.createDataFrame([], out_schema)
         n_docs, avgdl = self.corpus_stats()
@@ -1010,7 +1036,7 @@ class Index:
                            F.col("p.tf").cast("double").alias("tf")))
         qmap = self.spark.createDataFrame(
             [(qid, t) for qid, ts in qterms.items() for t in ts],
-            "query_id string, term string")
+            f"query_id {id_type}, term string")
         scored = (matched.join(F.broadcast(qmap), "term")
                   .join(self.documents, "doc_id")
                   .withColumn(
