@@ -55,6 +55,10 @@ def __getattr__(name):
         from textindexing_spark.functions import analysis
 
         return analysis.cooccurrence
+    if name == "IvfVectorStore":
+        from textindexing_spark.sources import vectorstore
+
+        return vectorstore.IvfVectorStore
     raise AttributeError(name)
 
 
@@ -65,6 +69,6 @@ __all__ = ["IndexConfig", "build_index", "tokenize_documents", "Index",
            "unparse_bool_expr", "normalize_docs", "normalize_query",
            "make_term_analyzer", "hash_sample", "hash_split",
            "mixture_plan", "mixture_sample", "chunk_tokens",
-           "pack_sequences", "cooccurrence"]
+           "pack_sequences", "cooccurrence", "IvfVectorStore"]
 
 __version__ = "0.1.0"
