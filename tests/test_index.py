@@ -87,6 +87,46 @@ def test_bm25_topk(idx):
             assert gs == pytest.approx(es, rel=1e-12), q
 
 
+def test_explain_bm25_components_and_totals(idx):
+    """explain_bm25: per-(doc, term) rows whose contributions (a) sum to
+    exactly the ranked score, (b) cover exactly the search_bm25 top-k
+    doc set with equal scores, and (c) match the oracle-computed BM25
+    term weight (idf * tf-saturation) from raw (tf, df, dl) stats."""
+    import math
+
+    o = _oracle()
+    n = len(o.doc_len)
+    avgdl = sum(o.doc_len.values()) / n
+    for q in ["fox", "quick dog", "cat box the"]:
+        rows = idx.explain_bm25(q, 5).collect()
+        ranked = [(r.doc_id, r.score) for r in idx.search_bm25(q, 5)
+                  .collect()]
+        # (b) same docs, same scores, ranking order preserved
+        seen = []
+        for r in rows:
+            if not seen or seen[-1][0] != r.doc_id:
+                seen.append((r.doc_id, r.score))
+        assert seen == ranked, q
+        # (a) contributions sum back to the score
+        by_doc: dict[int, float] = {}
+        for r in rows:
+            by_doc[r.doc_id] = by_doc.get(r.doc_id, 0.0) + r.contribution
+        for doc_id, score in ranked:
+            assert by_doc[doc_id] == pytest.approx(score, rel=1e-12), q
+        # (c) every component equals the from-stats recomputation
+        for r in rows:
+            assert r.df == len(o.postings[r.term]), q
+            assert r.tf == o.postings[r.term][r.doc_id], q
+            assert r.doc_len == o.doc_len[r.doc_id], q
+            idf = math.log(1.0 + (n - r.df + 0.5) / (r.df + 0.5))
+            assert r.idf == pytest.approx(idf, rel=1e-12), q
+            w = idf * (r.tf * (o.k1 + 1.0)) / (
+                r.tf + o.k1 * (1.0 - o.b + o.b * r.doc_len / avgdl))
+            assert r.contribution == pytest.approx(w, rel=1e-12), q
+    assert idx.explain_bm25("", 5).count() == 0
+    assert idx.explain_bm25("zzznothere", 5).count() == 0
+
+
 def test_merge_upsert_replace(spark, idx):
     # re-merge doc 0 with new text: old-only terms gone, new terms present
     batch = spark.createDataFrame([(0, "completely new words here")],

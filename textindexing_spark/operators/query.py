@@ -919,9 +919,20 @@ class Index:
     def _bm25_scores_for_terms(self, terms: list[str]) -> DataFrame:
         """``bm25_scores`` for an already-folded term list (the shared
         scoring plan under text queries and more_like_this)."""
-        if not terms:
+        scored = self._bm25_term_weights(terms)
+        if scored is None:
             return self.spark.createDataFrame(
                 [], "doc_id bigint, score double")
+        return scored.groupBy("doc_id").agg(F.sum("w").alias("score"))
+
+    def _bm25_term_weights(self, terms: list[str]) -> DataFrame | None:
+        """The per-(term, doc) weight frame UNDER the BM25 aggregation —
+        columns (term, df, doc_id, tf, doc_len, idf, w) where
+        sum(w) grouped by doc_id is exactly ``bm25_scores``. Shared by
+        scoring (which aggregates it) and ``explain_bm25`` (which
+        surfaces it). None for an empty term list."""
+        if not terms:
+            return None
         n_docs, avgdl = self.corpus_stats()
         k1, b = self.cfg.bm25.k1, self.cfg.bm25.b
         matched = (self.postings.where(F.col("term").isin(terms))
@@ -940,7 +951,7 @@ class Index:
                       F.col("idf") * (F.col("tf") * (k1 + 1.0)) /
                       (F.col("tf") + k1 * (1.0 - b + b * F.col("doc_len") /
                                            float(avgdl)))))
-        return scored.groupBy("doc_id").agg(F.sum("w").alias("score"))
+        return scored
 
     def search_bm25(self, query_text: str, k: int | None = None,
                     filter_expr: str | None = None,
@@ -991,6 +1002,47 @@ class Index:
         return (scores
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
+
+    def explain_bm25(self, query_text: str, k: int | None = None
+                     ) -> DataFrame:
+        """Score explanation (the Lucene ``explain`` surface): for each
+        of the top-k ranked documents, one row PER MATCHED QUERY TERM
+        with every input to its BM25 contribution —
+
+            (doc_id, score, term, tf, df, doc_len, idf, contribution)
+
+        where sum(contribution) grouped by doc_id reproduces ``score``
+        to double-precision rounding (both read the SAME per-term
+        weight frame, ``_bm25_term_weights`` — not a re-derivation that
+        could drift; only float summation order can differ). Plan: the
+        ranking is the usual one-agg top-k reduce;
+        the k surviving (doc_id, score) rows then broadcast-join back
+        into the weight frame, so explanation costs one extra broadcast
+        hash join over the already-pruned In-filter scan — no second
+        full scoring pass, no shuffle keyed on anything new. Ordered
+        score desc, doc_id asc, term asc."""
+        from textindexing_spark.functions.tokenize import tokenize_text
+
+        k = k or self.cfg.default_k
+        terms = sorted(set(tokenize_text(query_text, self.cfg.tokenizer,
+                                         self.cfg.case_insensitive)))
+        weights = self._bm25_term_weights(terms)
+        if weights is None:
+            return self.spark.createDataFrame(
+                [], "doc_id bigint, score double, term string, tf bigint,"
+                    " df bigint, doc_len bigint, idf double,"
+                    " contribution double")
+        topk = (weights.groupBy("doc_id").agg(F.sum("w").alias("score"))
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k))
+        return (weights.join(F.broadcast(topk), "doc_id")
+                .select("doc_id", "score", "term",
+                        F.col("tf").cast("bigint").alias("tf"),
+                        F.col("df").cast("bigint").alias("df"),
+                        F.col("doc_len").cast("bigint").alias("doc_len"),
+                        "idf", F.col("w").alias("contribution"))
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc(),
+                         F.col("term").asc()))
 
     def search_bm25_many(self, queries, k: int | None = None
                          ) -> DataFrame:
