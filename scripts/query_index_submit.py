@@ -4,7 +4,7 @@
     spark-submit --master <cluster> --py-files /tmp/textindexing_spark.zip \\
         scripts/query_index_submit.py --index <root> \\
         --query "hash merge fast" \\
-        [--mode bm25|bm25f|bool|expr|phrase|near|suggest|complete|mlt] \\
+        [--mode bm25|bm25f|bool|expr|phrase|near|suggest|complete|mlt|explain] \\
         [--k 10] \\
         [--title-index <root> --title-weight 3.0] \\
         [--filter-expr "scan AND NOT slow"] [--near-k 4] [--ordered] \\
@@ -43,7 +43,7 @@ def main(argv: list[str] | None = None) -> None:
                     help="repeatable")
     ap.add_argument("--mode", choices=("bm25", "bm25f", "bool", "expr",
                                        "phrase", "near", "suggest",
-                                       "complete", "mlt"),
+                                       "complete", "mlt", "explain"),
                     default="bm25",
                     help="expr = full boolean language (AND/OR/NOT, "
                          "parens, word~d fuzzy terms); near = proximity "
@@ -52,7 +52,8 @@ def main(argv: list[str] | None = None) -> None:
                          "terms within edit distance --max-dist; "
                          "complete = prefix auto-complete ranked by df; "
                          "mlt = more-like-this (--query is the example "
-                         "TEXT)")
+                         "TEXT); explain = bm25 with per-(doc, term) "
+                         "tf/df/idf/contribution breakdown rows")
     ap.add_argument("--exclude-doc", type=int, default=None,
                     help="mlt mode: drop this doc_id from the results "
                          "(the source document of the example text)")
@@ -180,7 +181,7 @@ def main(argv: list[str] | None = None) -> None:
                .prepare_for_queries(query_groups=8))
         kind = "segments"
         if args.mode in ("bool", "expr", "suggest", "complete", "bm25f",
-                         "mlt"):
+                         "mlt", "explain"):
             raise SystemExit(f"{args.mode} queries need an Index snapshot "
                              "(postings/ + documents/), not segments")
         if args.filter_expr:
@@ -285,12 +286,20 @@ def main(argv: list[str] | None = None) -> None:
                         min_df=args.mlt_min_df,
                         max_df_ratio=args.mlt_max_df_ratio,
                         exclude_doc_id=args.exclude_doc).collect()]
+        elif args.mode == "explain":
+            rows = [(r["doc_id"], round(r["score"], 4), r["term"],
+                     int(r["tf"]), int(r["df"]), int(r["doc_len"]),
+                     round(r["idf"], 4), round(r["contribution"], 4))
+                    for r in idx.explain_bm25(executed, args.k).collect()]
         else:
             rows = [r["doc_id"]
                     for r in idx.search_bool(executed).collect()]
         out = {
             "query": q, "mode": args.mode, "index_kind": kind,
-            "n_results": len(rows), "results": rows[:args.k],
+            "n_results": len(rows),
+            # explain emits one row per (doc, matched term) — its k cap
+            # is on DOCS (inside explain_bm25), not output rows
+            "results": rows if args.mode == "explain" else rows[:args.k],
             "latency_ms": round((time.perf_counter() - t0) * 1000, 1),
         }
         if executed != q:

@@ -200,3 +200,29 @@ def test_cli_complete_mode(spark, snapshot, capsys, monkeypatch):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # scan (df 5) outranks slow (df 1)
     assert out["results"] == [["scan", 5], ["slow", 1]]
+
+
+def test_cli_explain_mode(spark, snapshot, capsys, monkeypatch):
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    _cli().main([
+        "--index", str(snapshot / "ix"), "--mode", "explain",
+        "--query", "fast merge", "--k", "2"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # k caps DOCS; rows are per (doc, matched term), all of them emitted
+    rows = out["results"]
+    assert {r[0] for r in rows} <= {0, 1, 2, 3, 4}
+    assert len({r[0] for r in rows}) == 2
+    assert out["n_results"] == len(rows)
+    for doc_id, score, term, tf, df, doc_len, idf, contrib in rows:
+        assert term in ("fast", "merge")
+        assert tf >= 1 and df >= 1 and doc_len >= 3
+        assert contrib <= score + 1e-9
+    # contributions (display-rounded) sum back to the doc score
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r[0], [0.0, r[1]])[0] += r[7]
+    for total, score in by_doc.values():
+        assert total == pytest.approx(score, abs=2e-4)
+    # doc 4 has tf(fast)=2 — the breakdown must surface it
+    fast4 = [r for r in rows if r[0] == 4 and r[2] == "fast"]
+    assert fast4 and fast4[0][3] == 2
