@@ -73,6 +73,17 @@ def test_bm25_broadcasts_documents_and_takeordered(snap):
     assert "TakeOrderedAndProject" in p  # top-k, never a global sort
 
 
+def test_explain_bm25_pruned_scan_and_broadcast_topk(snap):
+    """explain_bm25: the weight frame keeps the pruned In-filter term
+    scan, the ranked top-k joins back as a BROADCAST hash join (k rows,
+    never a shuffle keyed on doc_id), and no Python stage appears."""
+    p = _plan(snap.explain_bm25("word1 word2", 5))
+    assert "In(term, [word1,word2])" in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # the ranking inside the join
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_phrase_scans_pruned_and_broadcast_joined(spark, tmp_path):
     """Phrase search: each query term must be a term-pruned parquet scan
     (pushed EqualTo), the doc_id joins must broadcast (never shuffle
