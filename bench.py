@@ -3,18 +3,26 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (the LAST stdout line, <= ~2 KB so a
+tail-capture parser always gets the whole object):
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "extras": {"build_docs_per_sec": ..., "bm25_p50_ms": ...},
-   "mins": {...}, "samples": {...}}
+   "extras": {"build_docs_per_sec": ..., "bm25_p50_ms": ...}}
+and writes the FULL payload (per-row mins, every raw sample, recall and
+plan-audit extras) to bench_runs/last_full.json — round 4's inline
+samples overflowed the driver's tail capture and the official bench
+signal was lost (VERDICT r4, What's wrong #1).
 
-Measurement contract (round 4): EVERY row — builds included — runs
-repeat>=3; "queries" reports the per-row MEDIAN, "mins" the per-row
-minimum, and "samples" every raw wall time, so any published number is
-reproducible from recorded data. This VM shows hypervisor-steal waves
-that can 10x one sample (35% cumulative steal in /proc/stat;
-scripts/diag_steal.py demonstrates 2s work measuring 33s inside a
-wave), so a single sample — or a best-of-2 — is not evidence.
+Measurement contract (round 5): EVERY row runs ONE untimed warm-up
+execution, then repeat>=3 timed repetitions; "queries" reports the
+per-row MEDIAN, the full file adds per-row minimum and every raw wall
+time, so any published number is reproducible from recorded data. The
+warm-up absorbs first-call JIT/codegen/python-worker spin-up that the
+driver's cold 3-sample protocol otherwise reports as a monotone
+warm-in decay (r4 driver run: bm25_queries 44.4 -> 12.6 -> 4.6 s).
+This VM also shows hypervisor-steal waves that can 10x one sample
+(35% cumulative steal in /proc/stat; scripts/diag_steal.py
+demonstrates 2s work measuring 33s inside a wave), so a single sample
+— or a best-of-2 — is not evidence.
 
 Scaling evidence (N vs 4N cores) is produced by bench_scaling.py -> BENCH.md.
 """
@@ -70,7 +78,8 @@ def main() -> None:
 
     from textindexing_spark import IndexConfig, build_index
     from textindexing_spark.operators.dedup import (
-        lsh_candidate_pairs, near_duplicates, simhash, simhash64)
+        lsh_candidate_pairs, near_duplicates, simhash, simhash64,
+        simhash_pairs)
     from textindexing_spark.operators.similarity import cosine_topk, lsh_topk
     from textindexing_spark.functions.analysis import quality_score
 
@@ -105,11 +114,15 @@ def main() -> None:
     timings: dict[str, float] = {}   # medians — the headline per row
     mins: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    extra_counts: dict[str, int] = {}  # result-size sanity, full file only
 
-    def timed(name: str, fn, repeat: int = repeat):
-        # median-of-N with every raw sample recorded (see module
-        # docstring) — steal waves make single samples meaningless
+    def timed(name: str, fn, repeat: int = repeat, warmup: bool = True):
+        # one untimed warm-up + median-of-N with every raw sample
+        # recorded (see module docstring) — the warm-up absorbs
+        # first-call JIT/codegen, steal waves make singles meaningless
         out = None
+        if warmup:
+            out = fn()
         raw: list[float] = []
         for _ in range(max(repeat, 1)):
             t0 = time.perf_counter()
@@ -356,6 +369,13 @@ def main() -> None:
           lambda: near_duplicates(docs, threshold=0.5).count())
     timed("dedup_simhash", lambda: simhash(docs).count())
     timed("dedup_simhash64", lambda: simhash64(docs).count())
+    # 64-bit banded pairs — the production fingerprint width; the pair
+    # count is the sanity signal (16-bit banding has only 16 band keys
+    # and degenerates to all-pairs as the corpus grows: 37k pairs from
+    # 500 docs at sf0.01, r4 VERDICT What's wrong #3)
+    extra_counts["simhash64_pairs"] = timed(
+        "dedup_simhash64_pairs",
+        lambda: simhash_pairs(docs, max_hamming=3, bits=64).count())
     timed("ann_cosine_topk", lambda: cosine_topk(emb, 0, 10).collect())
     timed("ann_lsh_topk", lambda: lsh_topk(emb, 0, 10).collect())
     timed("quality_score", lambda: quality_score(docs).count())
@@ -466,7 +486,7 @@ def main() -> None:
 
     build_s = timings["build_index"]
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    headline = {
         "metric": "index-build + query suite wall time",
         "value": total,
         "unit": "sec",
@@ -475,6 +495,7 @@ def main() -> None:
         "extras": {
             "n_docs": n_docs,
             "repeat": repeat,
+            "warmup": 1,
             "build_docs_per_sec": round(n_docs / build_s, 2) if build_s else None,
             "fused_build_docs_per_sec": round(
                 n_docs / timings["fused_segment_build"], 2),
@@ -485,12 +506,25 @@ def main() -> None:
                 len(wand_texts) / timings["wand_batch"], 2),
             "bm25_n_queries": len(lat),
             "cpus": cpus,
-            **bool_rows,
-            **recall_rows,
         },
-        "mins": mins,
-        "samples": samples,
-    }))
+    }
+    # full payload (raw samples, mins, recall + plan-audit extras) goes
+    # to a file — NOT stdout: the driver's tail capture must always see
+    # the complete headline object as the last line
+    full = dict(headline)
+    full["extras"] = {**headline["extras"], **bool_rows, **recall_rows,
+                      **extra_counts}
+    full["mins"] = mins
+    full["samples"] = samples
+    runs_dir = os.path.join(REPO, "bench_runs")
+    os.makedirs(runs_dir, exist_ok=True)
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL",
+                               os.path.join(runs_dir, "last_full.json"))
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+    line = json.dumps(headline, separators=(",", ":"))
+    assert len(line) < 4000, f"headline line too large: {len(line)}B"
+    print(line)
     spark.stop()
 
 

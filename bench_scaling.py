@@ -154,8 +154,10 @@ def run_level(cpus: int, master: str | None = None) -> dict:
     # at 2-8 toy cores the 11-query batch is too small to amortize the
     # ~1 s/query fixed driver cost, which understates qps efficiency.
     qmult = int(os.environ.get("SPARK_GRAFT_SCALE_QUERY_MULT", "1"))
-    batch = {f"{i}:{q['query_text']}": q["query_text"]
-             for i in range(qmult) for q in qset}
+    # key by POSITION (i:j), not text: a text-based key would silently
+    # dedupe repeated query texts and shrink the batch size
+    batch = {f"{i}:{j}": q["query_text"]
+             for i in range(qmult) for j, q in enumerate(qset)}
     tq0 = time.perf_counter()
     seg.search_bm25_many(batch, 10).collect()
     query_s = time.perf_counter() - tq0

@@ -837,6 +837,35 @@ def test_single_pass_combined_ops_match_standalone(spark):
     assert fp == {d: (f1[d], f2[d]) for d in f1}
 
 
+def test_simhash64_banded_pairs_match_bruteforce(spark):
+    """64-bit banded simhash_pairs must equal brute-force all-pairs
+    hamming filtering: 4 bands x 16 bits, so any pair within hamming 3
+    shares at least one exact band (pigeonhole) — zero recall loss.
+    The corpus mixes exact dupes (hamming 0), near dupes (small token
+    edits), and unrelated docs."""
+    from textindexing_spark.operators.dedup import simhash64, simhash_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "merge scan runs fast and the hash table stays sorted")
+    rows = []
+    for i in range(12):
+        rows.append((100 + i, base))                       # exact dupes
+        rows.append((200 + i, base + f" extra{i % 3}"))    # near dupes
+        rows.append((300 + i, " ".join(
+            f"tok{i}_{j} word{j * i % 7}" for j in range(30))))  # unrelated
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sig = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    ids = sorted(sig)
+    want = {(a, b, bin((sig[a] ^ sig[b]) & (2**64 - 1)).count("1"))
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin((sig[a] ^ sig[b]) & (2**64 - 1)).count("1") <= 3}
+    got = {(r.a, r.b, r.hamming)
+           for r in simhash_pairs(docs, max_hamming=3, bits=64).collect()}
+    assert got == want
+    assert len(want) >= 66  # the 12 exact dupes alone give C(12,2) pairs
+
+
 def test_keywords_tfidf_matches_pandas_oracle(spark):
     """Top-k TF-IDF keywords per doc vs a pure-Python computation
     (same tokenizer, same smoothing, same tie-break)."""

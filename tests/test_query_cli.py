@@ -156,6 +156,14 @@ def test_cli_flag_validation(snapshot):
     with pytest.raises(SystemExit):
         cli.main(["--index", str(snapshot / "ix"), "--query", "x",
                   "--mode", "expr", "--facet", "lang"])
+    # explain must not silently explain a DIFFERENT (unfiltered /
+    # page-1) ranking than the bm25 mode returned for the same flags
+    with pytest.raises(SystemExit):
+        cli.main(["--index", str(snapshot / "ix"), "--query", "x",
+                  "--mode", "explain", "--filter-expr", "y"])
+    with pytest.raises(SystemExit):
+        cli.main(["--index", str(snapshot / "ix"), "--query", "x",
+                  "--mode", "explain", "--after", "1.0:3"])
 
 
 def test_cli_mlt_mode(spark, snapshot, capsys, monkeypatch):
