@@ -123,7 +123,9 @@ def run_level(cpus: int, master: str | None = None) -> dict:
     warm = build_segments_from_docs(spark, docs.limit(2000), cfg,
                                     n_shards=8)
     warm.save(warm_dir)
+    warm.prepare_for_queries(query_groups=8)
     warm.search_bm25("the data", 3).collect()
+    warm.unpersist()
     shutil.rmtree(warm_dir, ignore_errors=True)
 
     t0 = time.perf_counter()
@@ -138,6 +140,17 @@ def run_level(cpus: int, master: str | None = None) -> dict:
     n_segments = seg.segments.count()
     n_terms = seg.term_stats.count()
     n_indexed = seg.n_docs
+
+    # query SERVING layout, pinned once per session (the production
+    # serving mode: both cogroup sides cached pre-partitioned on the
+    # query grouping key — no per-batch re-shuffle of the index — and
+    # the dictionary prefetched so no per-batch stats job). Held
+    # CONSTANT across levels: 64 groups of 4 shards at either core
+    # count, so the measured work is identical and only parallelism
+    # differs. Setup cost recorded separately (it is session setup,
+    # like the index load, not per-query work).
+    timed("prepare_serving",
+          lambda: seg.prepare_for_queries(query_groups=SHUFFLE_PARTITIONS))
 
     with open(f"{REPO}/fixtures/queries.json") as fh:
         qset = [q for q in json.load(fh) if q["mode"] == "bm25"]

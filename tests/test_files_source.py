@@ -109,6 +109,94 @@ def test_stream_directory_matches_batch(spark, tmp_path):
     assert terms == {"alpha", "beta", "gamma", "delta"}
 
 
+def test_stream_matches_batch_encoding(spark, tmp_path):
+    """Watch-phase decoding must equal the bulk path byte-for-byte:
+    the stream rides the same binaryFile + BOM/default-encoding decode,
+    so a cp1251 or UTF-16 file indexes identically in either phase
+    (pre-round-5 the stream was UTF-8-only and mojibake'd cp1251)."""
+    src = tmp_path / "enc"
+    src.mkdir()
+    (src / "bom.txt").write_bytes(RU.encode("utf-8-sig"))
+    (src / "w1251.txt").write_bytes(RU.encode("cp1251", "ignore"))
+    (src / "u16.txt").write_bytes("hi".encode("utf-16"))  # writes a BOM
+
+    got: list = []
+    q = (stream_directory(spark, str(src), "*.txt",
+                          default_encoding="cp1251")
+         .writeStream.foreachBatch(lambda b, e: got.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = sorted((r.url, r.text, bytes(r.html)) for r in got)
+    batch = sorted((r.url, r.text, bytes(r.html)) for r in
+                   read_directory(spark, str(src), "*.txt",
+                                  default_encoding="cp1251").collect())
+    assert streamed == batch
+    by_name = {u.rsplit("/", 1)[-1]: t for u, t, _ in streamed}
+    assert by_name["bom.txt"] == RU
+    assert by_name["w1251.txt"] == RU.replace("́", "")
+    assert by_name["u16.txt"] == "hi"
+
+
+def test_reconcile_directory_overwrite_and_delete(spark, tmp_path):
+    """In-place file modification is invisible to the path-keyed file
+    stream; reconcile_directory's (url, mtime, length) fingerprint pass
+    must re-index the overwritten file and tombstone the deleted one,
+    leaving the stream-maintained index equal to a bulk rebuild
+    (≙ FileSystemWatcher Changed/Deleted events,
+    FileSystemDocumentSource.cs:120-140)."""
+    import os
+
+    from textindexing_spark.streaming.ingest import StreamingIngestor
+
+    src = tmp_path / "watched"
+    src.mkdir()
+    (src / "one.txt").write_text("alpha beta", encoding="utf-8")
+    (src / "two.txt").write_text("gamma delta", encoding="utf-8")
+
+    ing = StreamingIngestor(spark, str(tmp_path / "idx"))
+    ing.ingest_available(stream_directory(spark, str(src), "*.txt"),
+                         str(tmp_path / "ckpt"))
+    # first reconcile: records fingerprints, re-indexes nothing
+    v0 = ing.reconcile_directory(str(src), "*.txt")
+    assert {r["term"] for r in ing.index().postings.collect()} == {
+        "alpha", "beta", "gamma", "delta"}
+
+    # overwrite IN PLACE (force a later mtime: fs timestamps are coarse)
+    (src / "one.txt").write_text("epsilon zeta", encoding="utf-8")
+    st = os.stat(src / "one.txt")
+    os.utime(src / "one.txt", (st.st_atime, st.st_mtime + 5))
+    # the stream sees nothing new — path already known
+    ing.ingest_available(stream_directory(spark, str(src), "*.txt"),
+                         str(tmp_path / "ckpt"))
+    assert "epsilon" not in {
+        r["term"] for r in ing.index().postings.collect()}
+    # ...the reconcile pass does
+    v1 = ing.reconcile_directory(str(src), "*.txt")
+    assert v1 > v0
+    assert {r["term"] for r in ing.index().postings.collect()} == {
+        "epsilon", "zeta", "gamma", "delta"}
+
+    # delete a file: the next reconcile tombstones it
+    (src / "two.txt").unlink()
+    v2 = ing.reconcile_directory(str(src), "*.txt")
+    assert v2 > v1
+    terms = {r["term"] for r in ing.index().postings.collect()}
+    assert terms == {"epsilon", "zeta"}
+
+    # the maintained index now equals a bulk rebuild of the directory
+    bulk = build_index(spark, read_directory(
+        spark, str(src), "*.txt").selectExpr(
+        "xxhash64(url) AS doc_id", "text"))
+    a = sorted((r["term"], len(r["postings"]))
+               for r in ing.index().postings.collect())
+    b = sorted((r["term"], len(r["postings"]))
+               for r in bulk.postings.collect())
+    assert a == b
+    # idempotence: nothing moved, version stays put
+    assert ing.reconcile_directory(str(src), "*.txt") == v2
+
+
 def test_cli_files_mode_builds_index(spark, tmp_path, capsys, monkeypatch):
     """The cluster entry point indexes a raw directory end-to-end
     (--input-format files), excluding non-matching files by glob."""

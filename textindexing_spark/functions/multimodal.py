@@ -70,16 +70,94 @@ def unpack_header(payload: bytes) -> dict | None:
             "body": payload[_HDR.size:]}
 
 
+def _decode_bmp(payload: bytes) -> "np.ndarray | None":
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) -> (h, w, 3)
+    uint8 RGB, pure Python/numpy — the real-bytes baseline decoder, no
+    image lib required. None = not a BMP; NotImplementedError = BMP in
+    a variant this baseline doesn't parse (compressed, non-24-bit)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"BMP baseline decodes uncompressed 24-bit only "
+            f"(got bpp={bpp}, compression={compression})")
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    body = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * h, offset=data_off)
+    rows = body.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+def _decode_ppm(payload: bytes) -> "np.ndarray | None":
+    """Binary PPM (P6, maxval<=255) -> (h, w, 3) uint8 RGB."""
+    if not payload.startswith(b"P6"):
+        return None
+    # header = three whitespace-separated ints after the magic, with
+    # '#' comment lines allowed between tokens
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("PPM baseline decodes maxval<=255 only")
+    pos += 1  # exactly one whitespace byte after maxval
+    return (np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                          offset=pos)
+            .reshape(h, w, 3).copy())
+
+
+def _decode_wav(payload: bytes) -> "np.ndarray | None":
+    """RIFF/WAVE 16-bit PCM -> int16 samples (channel-interleaved flat
+    array, matching the soundfile path's reshape(-1))."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos:pos + 4], struct.unpack_from(
+            "<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    audio_format, _ch, _rate, _bps, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV baseline decodes 16-bit PCM only (format="
+            f"{audio_format}, bits={bits})")
+    return np.frombuffer(data[:len(data) & ~1], dtype="<i2").copy()
+
+
 def decode_rgb(payload: bytes) -> "np.ndarray":
     """Image decode -> (h, w, 3) uint8.
 
     TIXM payloads (the deterministic in-container fake: body bytes tile
-    the pixel grid) decode natively. FOREIGN payloads (real JPEG/PNG
+    the pixel grid) decode natively, as do REAL uncompressed baseline
+    formats — 24-bit BMP and binary PPM — via the pure-Python parsers
+    above (no image lib needed). Other foreign payloads (JPEG/PNG
     bytes) decode through Pillow WHEN it is importable — the seam is
     this one function; every operator above it is unchanged. In this
-    container no image lib ships, so foreign bytes raise
+    container no image lib ships, so compressed formats raise
     NotImplementedError naming the boundary (the documented contract:
-    either feed TIXM containers or install Pillow)."""
+    feed TIXM/BMP/PPM or install Pillow)."""
     if payload is None:  # before the lib gate: a null payload is a null
         raise NotImplementedError("empty payload")  # payload, not a
     hdr = unpack_header(payload)                    # missing dependency
@@ -89,6 +167,16 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
         need = w * h * 3
         reps = int(np.ceil(need / max(body.size, 1)))
         return np.tile(body, reps)[:need].reshape(h, w, 3)
+    for baseline in (_decode_bmp, _decode_ppm):
+        try:
+            img = baseline(payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:  # truncated/corrupt: P7 degrade, not crash
+            raise NotImplementedError(
+                f"corrupt baseline image payload: {e}") from None
+        if img is not None:
+            return img
     try:
         import io
 
@@ -106,14 +194,24 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
 
 
 def decode_pcm(payload: bytes) -> "np.ndarray":
-    """Audio decode -> int16 PCM samples. TIXM payloads decode natively;
-    foreign payloads (real WAV/FLAC bytes) go through soundfile when
-    importable — same seam contract as decode_rgb."""
+    """Audio decode -> int16 PCM samples. TIXM payloads decode natively,
+    as do REAL RIFF/WAVE 16-bit PCM bytes via the pure-Python parser
+    (no audio lib needed); other foreign payloads (FLAC/OGG) go through
+    soundfile when importable — same seam contract as decode_rgb."""
     if payload is None:  # see decode_rgb: null payload != missing lib
         raise NotImplementedError("empty payload")
     hdr = unpack_header(payload)
     if hdr is not None and hdr["codec"] in ("pcm", "wav", "flac"):
         return np.frombuffer(hdr["body"], dtype="<i2")
+    try:
+        pcm = _decode_wav(payload)
+    except NotImplementedError:
+        raise
+    except Exception as e:  # truncated/corrupt: P7 degrade, not crash
+        raise NotImplementedError(
+            f"corrupt baseline audio payload: {e}") from None
+    if pcm is not None:
+        return pcm
     try:
         import io
 

@@ -220,6 +220,7 @@ class SegmentIndex:
                     .limit(int(prefetch_stats)).collect())
             self._df_cache.update(
                 {r["term"]: int(r["df"]) for r in rows})
+            self._cache_shards(rows)
             # fewer rows than the budget => the ENTIRE dictionary is
             # cached; any future miss is a term not in the index
             self._stats_complete = len(rows) < int(prefetch_stats)
@@ -236,6 +237,28 @@ class SegmentIndex:
         if self._query_groups and self._serve_seg is not None:
             return self._serve_seg, self._serve_docs
         return self.segments, self.shard_docs
+
+    def _prune_shards(self, seg_q: DataFrame, docs_side: DataFrame,
+                      terms) -> tuple[DataFrame, DataFrame]:
+        """Rare-term shard pruning: restrict BOTH cogroup sides to the
+        shards containing >= 1 query term. On a parquet-backed index the
+        In-filter pushes into both scans (only candidate shards' posting
+        and doc-table rows are read or shuffled); on a prepared serving
+        session it additionally filters the ``_qg`` partition column so
+        the in-memory scan skips whole cached batches. Exact by
+        construction — a doc can only score in a shard holding one of
+        its terms (see _candidate_shards). No-op (None) for queries
+        containing a term present in every shard."""
+        cand = self._candidate_shards(terms)
+        if cand is None:
+            return seg_q, docs_side
+        seg_q = seg_q.where(F.col("shard").isin(cand))
+        docs_side = docs_side.where(F.col("shard").isin(cand))
+        if self._query_groups:
+            groups = sorted({s % self._query_groups for s in cand})
+            seg_q = seg_q.where(F.col("_qg").isin(groups))
+            docs_side = docs_side.where(F.col("_qg").isin(groups))
+        return seg_q, docs_side
 
     def _cogroup_by_query_key(self, seg_q: DataFrame,
                               docs_side: DataFrame):
@@ -267,8 +290,8 @@ class SegmentIndex:
         self.segments = self.spark.read.parquet(f"{path}/segments")
         self.shard_docs.write.mode("overwrite").parquet(f"{path}/shard_docs")
         self.shard_docs = self.spark.read.parquet(f"{path}/shard_docs")
-        self.term_stats = self.segments.groupBy("term").agg(
-            F.sum("n_docs").cast("bigint").alias("df"))
+        self.term_stats = _term_stats_from_segments(self.segments,
+                                                    self.n_shards)
         self.term_stats.write.mode("overwrite").parquet(f"{path}/term_stats")
         self.term_stats = self.spark.read.parquet(f"{path}/term_stats")
         os.makedirs(path, exist_ok=True)
@@ -406,11 +429,28 @@ class SegmentIndex:
     # -- query -----------------------------------------------------------
 
     _df_cache: dict | None = None
+    _shard_cache: dict | None = None
+    # driver-side cap on cached per-term shard lists: a term spanning
+    # more shards than this prunes < 4x at 256 shards (and such terms
+    # almost always co-occur with an unprunable head term), so caching
+    # its list buys little and the cap bounds prefetch memory
+    _PRUNE_CACHE_MAX = 64
+
+    def _cache_shards(self, rows) -> None:
+        if self._shard_cache is None:
+            self._shard_cache = {}
+        for r in rows:
+            sh = r["shards"] if "shards" in r.__fields__ else None
+            self._shard_cache[r["term"]] = (
+                tuple(sh) if sh is not None
+                and len(sh) <= self._PRUNE_CACHE_MAX else None)
 
     def _term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Document frequencies for query terms, cached per index
         instance — repeated queries skip the stats lookup job. Terms
-        absent from the index cache as 0 (and are dropped by callers)."""
+        absent from the index cache as 0 (and are dropped by callers).
+        The same lookup also caches each term's shard-membership summary
+        (``shards`` column, when present) for rare-term shard pruning."""
         if self._df_cache is None:
             self._df_cache = {}
         missing = [t for t in terms if t not in self._df_cache]
@@ -424,8 +464,27 @@ class SegmentIndex:
             got = {r["term"]: int(r["df"]) for r in rows}
             for t in missing:
                 self._df_cache[t] = got.get(t, 0)
+            self._cache_shards(rows)
         return {t: self._df_cache[t] for t in terms
                 if self._df_cache[t] > 0}
+
+    def _candidate_shards(self, terms) -> list[int] | None:
+        """Shards containing >= 1 of ``terms`` (union of the per-term
+        membership summaries), or None when pruning can't apply: the
+        index predates the ``shards`` column, or any term's summary is
+        NULL/uncached (a head term present in every shard — scanning
+        all shards is then required anyway). A doc scores only where
+        one of its terms has postings, so evaluating just these shards
+        is exact, not approximate."""
+        if not self._shard_cache:
+            return None
+        union: set[int] = set()
+        for t in terms:
+            sh = self._shard_cache.get(t)
+            if sh is None:
+                return None
+            union.update(sh)
+        return sorted(union)
 
     def idf(self, df_t: int) -> float:
         return math.log(1.0 + (self.n_docs - df_t + 0.5) / (df_t + 0.5))
@@ -491,6 +550,8 @@ class SegmentIndex:
         # with itself trips the ambiguous-self-join check
         docs_side = docs_base.select(
             *[F.col(c).alias(c) for c in docs_base.columns])
+        seg_q, docs_side = self._prune_shards(seg_q, docs_side,
+                                              list(idfs))
         per_shard = (self._cogroup_by_query_key(seg_q, docs_side)
                      .applyInPandas(group_topk, out_schema))
         return (per_shard
@@ -575,6 +636,10 @@ class SegmentIndex:
         seg_q = seg_base.where(F.col("term").isin(all_terms))
         docs_side = docs_base.select(
             *[F.col(c).alias(c) for c in docs_base.columns])
+        # batch-level pruning: the union over EVERY query's terms (the
+        # per-query term filter inside the task narrows further)
+        seg_q, docs_side = self._prune_shards(seg_q, docs_side,
+                                              list(idfs_all))
         per_shard = (self._cogroup_by_query_key(seg_q, docs_side)
                      .applyInPandas(group_topk_many, out_schema))
         w = W.partitionBy("query_id").orderBy(
@@ -762,6 +827,26 @@ def _wand_shard(seg, dl_ids, dl_vals, idfs, k, k1, b, avgdl, prune,
 
 # --- build --------------------------------------------------------------------
 
+def _term_stats_from_segments(segments: DataFrame,
+                              n_shards: int | None) -> DataFrame:
+    """(term, df, shards) from the segment rows themselves: df is the sum
+    of per-shard posting counts; ``shards`` is the sorted list of shards
+    containing the term — the per-shard membership summary that lets a
+    query schedule only shards holding >= 1 of its terms (rare-term
+    pruning). Terms present in EVERY shard store NULL (no pruning value,
+    and head terms would otherwise dominate the metadata: the summary
+    adds at most one int per (term, shard), bounded by the segment table
+    itself, and NULL-ing full coverage removes the head terms' share)."""
+    agg = segments.groupBy("term").agg(
+        F.sum("n_docs").cast("bigint").alias("df"),
+        F.sort_array(F.collect_set("shard")).alias("shards"))
+    if n_shards:
+        agg = agg.withColumn(
+            "shards", F.when(F.size("shards") < F.lit(int(n_shards)),
+                             F.col("shards")))
+    return agg
+
+
 def build_segments(spark, tokens: DataFrame, documents: DataFrame,
                    cfg: IndexConfig | None = None,
                    n_shards: int = 8) -> SegmentIndex:
@@ -846,7 +931,20 @@ def build_segments(spark, tokens: DataFrame, documents: DataFrame,
                   .groupBy("shard")
                   .applyInPandas(encode_shard_docs, SHARD_DOCS_SCHEMA))
 
-    term_stats = tokens.groupBy("term").agg(F.count("*").alias("df"))
+    shard_of = F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+    term_stats = (tokens.groupBy("term")
+                  .agg(F.count("*").alias("df"),
+                       F.sort_array(F.collect_set(shard_of))
+                        .alias("shards"))
+                  .withColumn("shards",
+                              F.when(F.size("shards") < F.lit(n_shards),
+                                     F.col("shards"))))
+    # n_shards is deliberately NOT stored on the index: this builder
+    # shards by pmod(doc_id, S) while upsert's delta path shards by
+    # Spark's murmur3 HashPartitioning — advertising n_shards here would
+    # enable an upsert whose delta rows land in different shards than
+    # the base postings (use build_segments_from_docs for upsertable
+    # indexes)
     return SegmentIndex(spark, segments, shard_docs, term_stats,
                         n_docs, avgdl, cfg)
 
@@ -1135,10 +1233,9 @@ def _index_from_fused(spark, fused: DataFrame, cfg: IndexConfig,
     avgdl = (float(stats["sdl"] / n_docs)
              if n_docs and stats["sdl"] is not None else 0.0)
 
-    # global document frequency, derived from the segments themselves:
-    # a term's df is the sum of its per-shard posting counts
-    term_stats = segments.groupBy("term").agg(
-        F.sum("n_docs").cast("bigint").alias("df"))
+    # global document frequency + per-shard membership summary, derived
+    # from the segments themselves
+    term_stats = _term_stats_from_segments(segments, n_shards)
     idx = SegmentIndex(spark, segments, shard_docs, term_stats,
                        n_docs, avgdl, cfg, n_shards=n_shards)
     idx._fused = fused  # handle for unpersist

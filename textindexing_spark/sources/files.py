@@ -24,8 +24,13 @@ build, streaming ingest, registry — composes unchanged:
 - ``read_file``       — S2 point read: one file through the same path.
 - ``stream_directory`` — S3: the Structured Streaming file source tails
   the directory for NEW files (the watcher twin; each micro-batch is the
-  change set). Spark's streaming text source is UTF-8 — documented
-  narrowing; non-UTF-8 corpora bulk-load via ``read_directory``.
+  change set). Streams the same ``binaryFile`` shape as the batch path,
+  so BOM detection and the configurable default encoding are identical
+  byte-for-byte between the bulk and watch phases (a cp1251 file indexes
+  the same text either way).
+- ``read_paths``      — an explicit file LIST through the batch decode
+  path (the reconcile loops read exactly the changed files, not the
+  whole directory).
 
 Glob semantics are the ENGINE's (sources/glob.glob_to_regex — the
 reference's SearchPattern contract: case-insensitive, only ``*``/``?``
@@ -89,23 +94,6 @@ def _norm_url(col):
     return F.regexp_replace(col, "^file:/+", "file:///")
 
 
-def _unquote_url_udf():
-    """Undo input_file_name()'s percent-encoding (URI form: %20 for
-    space, %25 for a literal %, never '+'-for-space) so the stream path
-    yields the same raw-path url binaryFile's ``path`` column gives —
-    one UrlIdTable identity per file across bulk and watch phases.
-    urllib.parse.unquote, NOT F.url_decode: url_decode is form-decoding
-    and would corrupt a literal '+' in a file name into a space.
-    (Constructed lazily: pandas_udf needs an active session.)"""
-    @pandas_udf("string")
-    def unq(urls: pd.Series) -> pd.Series:
-        from urllib.parse import unquote
-
-        return urls.map(lambda u: None if u is None else unquote(u))
-
-    return unq
-
-
 def _prune_glob(pattern: str) -> str | None:
     """A case-insensitive Hadoop-glob SUPERSET of the engine glob, for
     listing-time pruning — or None when the pattern contains characters
@@ -136,13 +124,30 @@ def _glob_filter_basename(df: DataFrame, pattern: str) -> DataFrame:
 
 def _listing_reader(spark: SparkSession, pattern: str, recursive: bool,
                     stream: bool = False):
-    fmt = "text" if stream else "binaryFile"
-    r = (spark.readStream if stream else spark.read).format(fmt)
+    # ONE format for both phases: binaryFile is a regular FileFormat, so
+    # readStream tails it like any file source — and the watch phase
+    # then decodes through exactly the batch path's BOM/encoding UDF
+    # (streaming sources require the schema stated up front)
+    r = (spark.readStream if stream else spark.read).format("binaryFile")
+    if stream:
+        r = r.schema("path string, modificationTime timestamp, "
+                     "length long, content binary")
     pre = _prune_glob(pattern)
     if pre is not None:
         r = r.option("pathGlobFilter", pre)
     return r.option("recursiveFileLookup",
                     "true" if recursive else "false")
+
+
+def _pages_projection(raw: DataFrame, default_encoding: str) -> DataFrame:
+    """binaryFile rows -> the canonical pages shape (shared by the
+    batch, stream, and explicit-path readers)."""
+    return raw.select(
+        _norm_url(F.col("path")).alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        _decode_udf(default_encoding)(F.col("content")).alias("text"),
+        F.lit(None).cast("string").alias("lang"))
 
 
 def read_directory(spark: SparkSession, root: str, pattern: str = "*",
@@ -153,13 +158,22 @@ def read_directory(spark: SparkSession, root: str, pattern: str = "*",
     as a pages-shaped DataFrame (url=normalized path, warc_ts=mtime,
     html=raw bytes, text=decoded, lang=null)."""
     raw = _listing_reader(spark, pattern, recursive).load(root)
-    pages = raw.select(
-        _norm_url(F.col("path")).alias("url"),
-        F.col("modificationTime").alias("warc_ts"),
-        F.col("content").alias("html"),
-        _decode_udf(default_encoding)(F.col("content")).alias("text"),
-        F.lit(None).cast("string").alias("lang"))
-    return _glob_filter_basename(pages, pattern)
+    return _glob_filter_basename(
+        _pages_projection(raw, default_encoding), pattern)
+
+
+def read_paths(spark: SparkSession, paths: list[str],
+               default_encoding: str = "utf-8") -> DataFrame:
+    """An explicit list of file paths through the same binaryFile +
+    BOM/encoding decode as ``read_directory`` — the reconcile loops
+    re-read exactly the files whose fingerprint moved instead of
+    rescanning the directory."""
+    from textindexing_spark.sources.pages import PAGES_SCHEMA
+
+    if not paths:
+        return spark.createDataFrame([], PAGES_SCHEMA)
+    raw = spark.read.format("binaryFile").load(paths)
+    return _pages_projection(raw, default_encoding)
 
 
 def list_directory(spark: SparkSession, root: str, pattern: str = "*",
@@ -193,24 +207,26 @@ def read_file(spark: SparkSession, path: str,
 
 
 def stream_directory(spark: SparkSession, root: str, pattern: str = "*",
-                     recursive: bool = True) -> DataFrame:
+                     recursive: bool = True,
+                     default_encoding: str = "utf-8") -> DataFrame:
     """S3: the directory as a Structured Streaming source of NEW files
     (FileSystemWatcher twin — composes directly with
     streaming.ingest.StreamingIngestor, whose micro-batch upsert gives
-    re-crawled/rewritten paths last-wins semantics). Each file is one
-    row in the pages shape; ``warc_ts`` is the ingestion timestamp
-    (the file-source queue is ordered by modification time). UTF-8 only
-    (Spark streaming text source); ``html`` carries the UTF-8 bytes so
-    the extract contract still round-trips. Urls are normalized to the
-    same ``file:///`` form ``read_directory`` emits, so a file keeps one
-    UrlIdTable identity across the bulk and watch phases."""
+    re-crawled paths last-wins semantics). Each file is one row in the
+    pages shape, decoded through the SAME binaryFile + BOM/default-
+    encoding path as ``read_directory`` — a cp1251 or UTF-16 file
+    yields byte-identical text in the bulk and watch phases, and
+    ``html`` carries the raw file bytes so the extract contract
+    round-trips. Urls are normalized to the same ``file:///`` form
+    ``read_directory`` emits, so a file keeps one UrlIdTable identity
+    across phases.
+
+    Limitation (Spark file source): files are keyed by PATH — an
+    in-place overwrite of an already-seen path never re-emits. Pair a
+    live watch with periodic ``StreamingIngestor.reconcile_directory``
+    (mtime/length fingerprint reconcile ≙ the reference watcher's
+    Changed events) to pick up in-place modifications and deletions."""
     raw = (_listing_reader(spark, pattern, recursive, stream=True)
-           .option("wholetext", "true")
            .load(root))
-    pages = raw.select(
-        _norm_url(_unquote_url_udf()(F.input_file_name())).alias("url"),
-        F.current_timestamp().alias("warc_ts"),
-        F.encode(F.col("value"), "UTF-8").alias("html"),
-        F.col("value").alias("text"),
-        F.lit(None).cast("string").alias("lang"))
-    return _glob_filter_basename(pages, pattern)
+    return _glob_filter_basename(
+        _pages_projection(raw, default_encoding), pattern)

@@ -89,6 +89,7 @@ class StreamingIngestor:
 
         ensure_shipped(spark)
         self.spark = spark
+        self.index_root = index_root
         self.cfg = cfg or IndexConfig()
         self.compact_every = compact_every
         # curation-in-stream hook: DataFrame -> DataFrame over each
@@ -183,6 +184,66 @@ class StreamingIngestor:
                     else self.store._latest() or 0)
         v = self._merge_docs(gone)
         self.metrics.versions.append(v)
+        return v
+
+    def reconcile_directory(self, root: str, pattern: str = "*",
+                            recursive: bool = True,
+                            default_encoding: str = "utf-8") -> int:
+        """Changed- and deleted-file detection for the REAL-directory
+        watch (≙ the reference watcher's Changed/Deleted events,
+        FileSystemDocumentSource.cs:120-140): Spark's streaming file
+        source keys seen files by PATH and never re-emits an in-place
+        overwrite, so a periodic (url, mtime, length) listing reconcile
+        closes the gap — files whose fingerprint moved re-index through
+        the normal batch path (same BOM/encoding decode as the bulk
+        phase), files that vanished tombstone out. Returns the new index
+        version (or the current one when nothing changed).
+
+        State: the previous listing persists at
+        ``{index_root}/_filestate``; the first call records it without
+        re-indexing (the stream already delivered those files). Only
+        CHANGED paths are re-read — via an explicit path list, never a
+        directory rescan — so a reconcile pass costs O(listing) + O(Δ).
+        Limitation vs the OS watcher: an overwrite preserving both
+        mtime and length is invisible (no content hash is kept); the
+        watcher's event granularity needs OS hooks Spark does not have.
+        """
+        from textindexing_spark.sources.files import (list_directory,
+                                                      read_paths)
+
+        state_path = f"{self.index_root}/_filestate"
+        cur = (list_directory(self.spark, root, pattern, recursive)
+               .select("url", F.col("warc_ts").alias("mtime"), "n_bytes"))
+        try:
+            prev = self.spark.read.parquet(state_path)
+        except Exception:
+            prev = None
+        v = (self.store.latest_version() or 0
+             if hasattr(self.store, "latest_version")
+             else self.store._latest() or 0)
+        if prev is not None:
+            changed = (cur.alias("c")
+                       .join(prev.alias("p"), "url")
+                       .where((F.col("c.mtime") != F.col("p.mtime"))
+                              | (F.col("c.n_bytes") != F.col("p.n_bytes")))
+                       .select("url"))
+            # the changed set is a delta — bounded, safe to collect; the
+            # re-read then scans exactly those files
+            paths = [r["url"][len("file://"):]
+                     for r in changed.collect()]
+            if paths:
+                v = self.process_batch(
+                    read_paths(self.spark, paths, default_encoding))
+            # delete side: indexed urls under this listing that vanished
+            gone = (prev.join(cur.select("url"), "url", "left_anti")
+                    .join(self.url_ids.mapping(), "url")
+                    .select("doc_id", F.lit("").alias("text")))
+            if gone.count():
+                v = self._merge_docs(gone)
+                self.metrics.versions.append(v)
+        # record the current fingerprints LAST (after every read above
+        # has materialized — the state write must not feed itself)
+        cur.write.mode("overwrite").parquet(state_path)
         return v
 
     # -- streaming lifecycle (F7: idempotent start/stop) -------------------
