@@ -331,7 +331,7 @@ def main() -> None:
     timed("zipf_build_unsalted",
           lambda: build_and_count(IndexConfig(salt_df_threshold=0),
                                   keep=True))
-    zipf.unpersist()
+    # zipf stays cached through q5c (the shard-pruning rows reuse it)
 
     # q5b: rarest-first boolean pruning on the SAME Zipf corpus — the
     # `stopword AND rare` shape. Pruned: the rare term's doc set is
@@ -358,6 +358,39 @@ def main() -> None:
     bool_rows = {"bool_zipf_agg_rows_pruned": int(rare["df"] + n_hits),
                  "bool_zipf_agg_rows_unpruned": int(head["df"] + rare["df"])}
     zidx.unpersist()
+
+    # q5c: rare-term SHARD PRUNING (round 5) — the needle-lookup shape
+    # (a unique ID/URL-like token, common in web corpora). Neither the
+    # driver sf corpus (31 head terms, every term in every shard) nor
+    # the Zipf generator (df floor ~90: even tail terms span 47+ of 64
+    # shards) carries a genuinely rare term, so ONE needle doc is added
+    # for this index only: its term lives in exactly one shard, the
+    # query's pushed In(shard) prunes both parquet scans and the
+    # docs-side shuffle to that shard, vs the identical query with the
+    # membership summary withheld (full 64-shard fan-out). Cold
+    # parquet-backed index = the one-shot / first-query shape.
+    import copy as _copy
+    zseg_dir = tempfile.mkdtemp(prefix="tix_bench_zseg_")
+    znd = zipf.unionByName(spark.createDataFrame(
+        [(424242, "zzneedle unique lookup token")],
+        "doc_id bigint, text string"))
+    _zs = build_segments_from_docs(spark, znd, IndexConfig(),
+                                   n_shards=64)
+    _zs.save(zseg_dir)
+    _zs.unpersist()
+    zseg = SegmentIndex.load(spark, zseg_dir)
+    zseg._term_dfs(["zzneedle"])  # stats lookup outside the timing
+    timed("wand_rare_pruned",
+          lambda: zseg.search_bm25("zzneedle", 10).collect())
+    zseg_np = _copy.copy(zseg)
+    zseg_np._shard_cache = {}
+    timed("wand_rare_unpruned",
+          lambda: zseg_np.search_bm25("zzneedle", 10).collect())
+    prune_rows = {
+        "rare_term_shards": len(zseg._shard_cache.get("zzneedle") or []),
+        "rare_term_df": int(zseg._df_cache["zzneedle"])}
+    shutil.rmtree(zseg_dir, ignore_errors=True)
+    zipf.unpersist()
 
     # q6+: training-pipeline operators
     timed("dedup_lsh_candidates",
@@ -513,7 +546,7 @@ def main() -> None:
     # the complete headline object as the last line
     full = dict(headline)
     full["extras"] = {**headline["extras"], **bool_rows, **recall_rows,
-                      **extra_counts}
+                      **extra_counts, **prune_rows}
     full["mins"] = mins
     full["samples"] = samples
     runs_dir = os.path.join(REPO, "bench_runs")

@@ -167,10 +167,25 @@ def run_level(cpus: int, master: str | None = None) -> dict:
     # at 2-8 toy cores the 11-query batch is too small to amortize the
     # ~1 s/query fixed driver cost, which understates qps efficiency.
     qmult = int(os.environ.get("SPARK_GRAFT_SCALE_QUERY_MULT", "1"))
-    # key by POSITION (i:j), not text: a text-based key would silently
-    # dedupe repeated query texts and shrink the batch size
-    batch = {f"{i}:{j}": q["query_text"]
-             for i in range(qmult) for j, q in enumerate(qset)}
+    if os.environ.get("SPARK_GRAFT_SCALE_DISTINCT_Q") == "1":
+        # DISTINCT texts (not the fixture set replicated): deterministic
+        # 2-3 term combinations over the corpus vocabulary, so the
+        # batch's scanned term union GROWS with batch size — the
+        # stronger form of the amortization evidence (a replicated
+        # batch holds the scanned term set constant)
+        vocab = sorted(r["term"] for r in seg.term_stats.collect())
+        n_q = qmult * len(qset)
+        batch = {}
+        for i in range(n_q):
+            a = vocab[(i * 7) % len(vocab)]
+            b = vocab[(i * 13 + 3) % len(vocab)]
+            c = vocab[(i * 29 + 11) % len(vocab)]
+            batch[f"d{i}"] = f"{a} {b}" if i % 2 else f"{a} {b} {c}"
+    else:
+        # key by POSITION (i:j), not text: a text-based key would
+        # silently dedupe repeated texts and shrink the batch size
+        batch = {f"{i}:{j}": q["query_text"]
+                 for i in range(qmult) for j, q in enumerate(qset)}
     tq0 = time.perf_counter()
     seg.search_bm25_many(batch, 10).collect()
     query_s = time.perf_counter() - tq0
@@ -187,6 +202,7 @@ def run_level(cpus: int, master: str | None = None) -> dict:
         "build_stages_s": stage_s,
         "build_docs_per_sec": round(n_docs / build_s, 1),
         "bm25_n_queries": len(batch),
+        "bm25_distinct_texts": len(set(batch.values())),
         "bm25_total_s": round(query_s, 3),
         "bm25_qps": round(len(batch) / query_s, 2),
         "bm25_p50_ms": round(statistics.median(lat) * 1000, 1),
