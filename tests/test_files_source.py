@@ -197,6 +197,65 @@ def test_reconcile_directory_overwrite_and_delete(spark, tmp_path):
     assert ing.reconcile_directory(str(src), "*.txt") == v2
 
 
+def test_reconcile_directory_content_hash(spark, tmp_path):
+    """An overwrite preserving BOTH mtime and length defeats the cheap
+    (url, mtime, length) fingerprint; content_hash=True must still
+    re-index it. Negative control first: the unhashed reconcile misses
+    the same overwrite (its documented blind spot)."""
+    import os
+
+    from textindexing_spark.streaming.ingest import StreamingIngestor
+
+    def make_watch(name):
+        src = tmp_path / f"{name}_src"
+        src.mkdir()
+        (src / "doc.txt").write_text("alpha beta", encoding="utf-8")
+        ing = StreamingIngestor(spark, str(tmp_path / f"{name}_idx"))
+        ing.ingest_available(stream_directory(spark, str(src), "*.txt"),
+                             str(tmp_path / f"{name}_ckpt"))
+        return src, ing
+
+    def stealth_overwrite(src, text="gamma delt"):
+        # same byte length, same mtime (restored at ns precision)
+        st = os.stat(src / "doc.txt")
+        (src / "doc.txt").write_text(text, encoding="utf-8")
+        os.utime(src / "doc.txt", ns=(st.st_atime_ns, st.st_mtime_ns))
+        assert os.stat(src / "doc.txt").st_size == st.st_size
+        assert os.stat(src / "doc.txt").st_mtime_ns == st.st_mtime_ns
+
+    # negative control: mtime/length fingerprint cannot see it
+    src, ing = make_watch("plain")
+    v0 = ing.reconcile_directory(str(src), "*.txt")
+    stealth_overwrite(src)
+    assert ing.reconcile_directory(str(src), "*.txt") == v0
+    assert {r["term"] for r in ing.index().postings.collect()} == {
+        "alpha", "beta"}
+
+    # hashed fingerprint catches it
+    src, ing = make_watch("hashed")
+    v0 = ing.reconcile_directory(str(src), "*.txt", content_hash=True)
+    stealth_overwrite(src)
+    v1 = ing.reconcile_directory(str(src), "*.txt", content_hash=True)
+    assert v1 > v0
+    assert {r["term"] for r in ing.index().postings.collect()} == {
+        "gamma", "delt"}
+    # idempotent once reconciled
+    assert ing.reconcile_directory(str(src), "*.txt",
+                                   content_hash=True) == v1
+
+    # mode transition: an unhashed pass rewrote hash-free state; the
+    # next hashed pass falls back to mtime/length (documented), then
+    # records hashes so the one after catches a stealth overwrite again
+    ing.reconcile_directory(str(src), "*.txt")          # drops hashes
+    v2 = ing.reconcile_directory(str(src), "*.txt", content_hash=True)
+    assert v2 == v1                                      # fallback pass
+    stealth_overwrite(src, "alpha beta")
+    v3 = ing.reconcile_directory(str(src), "*.txt", content_hash=True)
+    assert v3 > v2
+    assert {r["term"] for r in ing.index().postings.collect()} == {
+        "alpha", "beta"}
+
+
 def test_cli_files_mode_builds_index(spark, tmp_path, capsys, monkeypatch):
     """The cluster entry point indexes a raw directory end-to-end
     (--input-format files), excluding non-matching files by glob."""

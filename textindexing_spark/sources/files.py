@@ -177,17 +177,27 @@ def read_paths(spark: SparkSession, paths: list[str],
 
 
 def list_directory(spark: SparkSession, root: str, pattern: str = "*",
-                   recursive: bool = True) -> DataFrame:
+                   recursive: bool = True,
+                   with_hash: bool = False) -> DataFrame:
     """The directory ENUMERATION only — (url, warc_ts, n_bytes), no
     content column projected, so no file body is ever read (binaryFile
     prunes the ``content`` column). The cheap input for change
-    fingerprints and delete reconciliation over a file corpus."""
+    fingerprints and delete reconciliation over a file corpus.
+
+    ``with_hash=True`` adds a ``content_hash`` column (xxhash64 over the
+    raw bytes, JVM-side) — the high-fidelity fingerprint that catches
+    overwrites preserving both mtime and length. It reads every file's
+    body, so a hashed listing costs O(corpus bytes) instead of
+    O(listing); reserve it for watch loops whose writers rewrite files
+    without touching metadata."""
     raw = _listing_reader(spark, pattern, recursive).load(root)
-    listing = raw.select(
+    cols = [
         _norm_url(F.col("path")).alias("url"),
         F.col("modificationTime").alias("warc_ts"),
-        F.col("length").alias("n_bytes"))
-    return _glob_filter_basename(listing, pattern)
+        F.col("length").alias("n_bytes")]
+    if with_hash:
+        cols.append(F.xxhash64(F.col("content")).alias("content_hash"))
+    return _glob_filter_basename(raw.select(*cols), pattern)
 
 
 def read_file(spark: SparkSession, path: str,

@@ -188,7 +188,8 @@ class StreamingIngestor:
 
     def reconcile_directory(self, root: str, pattern: str = "*",
                             recursive: bool = True,
-                            default_encoding: str = "utf-8") -> int:
+                            default_encoding: str = "utf-8",
+                            content_hash: bool = False) -> int:
         """Changed- and deleted-file detection for the REAL-directory
         watch (≙ the reference watcher's Changed/Deleted events,
         FileSystemDocumentSource.cs:120-140): Spark's streaming file
@@ -204,16 +205,31 @@ class StreamingIngestor:
         re-indexing (the stream already delivered those files). Only
         CHANGED paths are re-read — via an explicit path list, never a
         directory rescan — so a reconcile pass costs O(listing) + O(Δ).
-        Limitation vs the OS watcher: an overwrite preserving both
-        mtime and length is invisible (no content hash is kept); the
-        watcher's event granularity needs OS hooks Spark does not have.
+
+        ``content_hash=True`` extends the fingerprint with xxhash64 over
+        each file's bytes, catching overwrites that preserve both mtime
+        and length — at O(corpus bytes) per reconcile instead of
+        O(listing). Pick ONE mode per watch loop: an unhashed pass
+        rewrites the state without hashes, so the next hashed pass has
+        no baseline to compare against (it falls back to mtime/length
+        for that one pass and records hashes for the following ones).
+        Without hashing, an equal-mtime equal-length overwrite is
+        invisible; the watcher's event granularity needs OS hooks Spark
+        does not have.
         """
         from textindexing_spark.sources.files import (list_directory,
                                                       read_paths)
 
         state_path = f"{self.index_root}/_filestate"
-        cur = (list_directory(self.spark, root, pattern, recursive)
-               .select("url", F.col("warc_ts").alias("mtime"), "n_bytes"))
+        cur = (list_directory(self.spark, root, pattern, recursive,
+                              with_hash=content_hash)
+               .select("url", F.col("warc_ts").alias("mtime"), "n_bytes",
+                       *(["content_hash"] if content_hash else [])))
+        if content_hash:
+            # hashing reads every file body; pin the (small) hashed
+            # listing so the diff pass and the state write below share
+            # ONE pass over the corpus bytes
+            cur = cur.cache()
         try:
             prev = self.spark.read.parquet(state_path)
         except Exception:
@@ -222,10 +238,14 @@ class StreamingIngestor:
              if hasattr(self.store, "latest_version")
              else self.store._latest() or 0)
         if prev is not None:
+            moved = ((F.col("c.mtime") != F.col("p.mtime"))
+                     | (F.col("c.n_bytes") != F.col("p.n_bytes")))
+            if content_hash and "content_hash" in prev.columns:
+                moved = moved | (F.col("c.content_hash")
+                                 != F.col("p.content_hash"))
             changed = (cur.alias("c")
                        .join(prev.alias("p"), "url")
-                       .where((F.col("c.mtime") != F.col("p.mtime"))
-                              | (F.col("c.n_bytes") != F.col("p.n_bytes")))
+                       .where(moved)
                        .select("url"))
             # the changed set is a delta — bounded, safe to collect; the
             # re-read then scans exactly those files
@@ -244,6 +264,8 @@ class StreamingIngestor:
         # record the current fingerprints LAST (after every read above
         # has materialized — the state write must not feed itself)
         cur.write.mode("overwrite").parquet(state_path)
+        if content_hash:
+            cur.unpersist()
         return v
 
     # -- streaming lifecycle (F7: idempotent start/stop) -------------------
