@@ -556,7 +556,14 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1)
     line = json.dumps(headline, separators=(",", ":"))
-    assert len(line) < 4000, f"headline line too large: {len(line)}B"
+    if len(line) >= 4000:
+        # never crash (or overflow a tail capture) after the whole suite
+        # ran: shed detail until the driver-facing line is compact —
+        # extras first, then round per-query timings down to 2 decimals
+        headline.pop("extras", None)
+        headline["queries"] = {k: round(v, 2)
+                               for k, v in headline["queries"].items()}
+        line = json.dumps(headline, separators=(",", ":"))
     print(line)
     spark.stop()
 

@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="skip stages with committed matching manifests")
     ap.add_argument("--shards", type=int, default=64,
                     help="document shards for the compressed BM25 segments")
+    ap.add_argument("--stats", action="store_true",
+                    help="append index_stats (per-shard telemetry rollup: "
+                         "postings/bytes/compression/skew) to the summary")
     ap.add_argument("--skip-segments", action="store_true",
                     help="stop after the boolean index (postings+documents)")
     ap.add_argument("--stopwords", default=None,
@@ -164,13 +167,16 @@ def main(argv: list[str] | None = None) -> None:
     n_docs = documents.count()
     n_terms = postings.count()
 
+    index_stats = None
     if not args.skip_segments:
         seg = build_segments(spark, tokens, documents, cfg,
                              n_shards=args.shards)
         seg.save(f"{args.output}/segments_root")
+        if args.stats:
+            index_stats = seg.stats_summary()
 
     elapsed = time.perf_counter() - t0
-    print(json.dumps({
+    out = {
         "input": args.input,
         "output": args.output,
         "n_docs": n_docs,
@@ -179,7 +185,10 @@ def main(argv: list[str] | None = None) -> None:
         "stages_skipped": pipe.skipped,
         "wall_s": round(elapsed, 2),
         "docs_per_sec": round(n_docs / elapsed, 1) if elapsed else None,
-    }))
+    }
+    if index_stats is not None:
+        out["index_stats"] = index_stats
+    print(json.dumps(out))
     spark.stop()
 
 

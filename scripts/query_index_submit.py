@@ -77,6 +77,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--after", default=None,
                     help="bm25 keyset-pagination cursor 'score:doc_id' "
                          "(the previous page's last row, raw score)")
+    ap.add_argument("--shard-plan", action="store_true",
+                    help="bm25 on a segments index: append the rare-term "
+                         "shard-pruning decision (terms+df, candidate "
+                         "shards, pruned fraction) to each result")
     ap.add_argument("--synonyms", default=None,
                     help="JSON dict term->[synonyms]; each term in an "
                          "expr query expands to an OR (expr mode only: "
@@ -120,6 +124,8 @@ def main(argv: list[str] | None = None) -> None:
         raise SystemExit("--facet applies to --mode expr only")
     if bool(args.facet) != bool(args.facet_table):
         raise SystemExit("--facet and --facet-table go together")
+    if args.shard_plan and args.mode != "bm25":
+        raise SystemExit("--shard-plan applies to --mode bm25 only")
     if args.filter_expr and args.mode != "bm25":
         raise SystemExit("--filter-expr applies to --mode bm25 only "
                          "(fold the filter into the expression for "
@@ -198,6 +204,9 @@ def main(argv: list[str] | None = None) -> None:
             idx.attach_positional(
                 PositionalSegmentIndex.load(spark, args.positional).cache())
         kind = "postings"
+        if args.shard_plan:
+            raise SystemExit("--shard-plan needs a segments index "
+                             "(shard pruning is a segment-tier concept)")
 
     after = None
     if args.after:
@@ -304,6 +313,8 @@ def main(argv: list[str] | None = None) -> None:
         }
         if executed != q:
             out["executed_query"] = executed
+        if args.shard_plan:
+            out["shard_plan"] = idx.explain_shards(executed)
         if raw_last is not None:
             # scores above are rounded for display; pagination needs the
             # RAW double — repr() round-trips it exactly

@@ -279,10 +279,14 @@ def test_cli_files_mode_builds_index(spark, tmp_path, capsys, monkeypatch):
     spec.loader.exec_module(cli)
     cli.main(["--input", str(src), "--input-format", "files",
               "--glob", "*.txt", "--output", str(tmp_path / "ix"),
-              "--shards", "2", "--skip-segments"])
+              "--shards", "2", "--stats"])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n_docs"] == 2
     assert out["n_terms"] == 5  # hello spark engine index merge
+    # --stats appends the segment-telemetry rollup
+    assert out["index_stats"]["n_docs"] == 2
+    assert out["index_stats"]["n_postings"] == 6  # spark indexes twice
+    assert out["index_stats"]["n_shards"] == 2
 
     # query the CLI-built snapshot through the query CLI's suggest mode
     # (did-you-mean): 'sprk' -> spark at edit distance 1

@@ -166,6 +166,37 @@ def test_cli_flag_validation(snapshot):
                   "--mode", "explain", "--after", "1.0:3"])
 
 
+def test_cli_shard_plan(spark, snapshot, tmp_path, capsys, monkeypatch):
+    """--shard-plan on a segments index narrates the rare-term pruning
+    decision per query; it is segments-tier-only and bm25-only."""
+    from textindexing_spark.operators.bm25 import build_segments_from_docs
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    rows = [(i, f"common{i % 3} filler") for i in range(60)] + [
+        (9001, "zzneedle common0")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    build_segments_from_docs(
+        spark, docs, IndexConfig(block_size=16),
+        n_shards=8).save(str(tmp_path / "seg"))
+
+    cli = _cli()
+    cli.main(["--index", str(tmp_path / "seg"), "--mode", "bm25",
+              "--query", "zzneedle", "--shard-plan", "--k", "3"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["results"][0][0] == 9001
+    plan = out["shard_plan"]
+    assert plan["n_shards"] == 8 and plan["n_scheduled"] == 1
+    assert plan["terms"] == {"zzneedle": 1}
+    assert plan["candidate_shards"] is not None
+
+    with pytest.raises(SystemExit):  # segments-tier concept
+        cli.main(["--index", str(snapshot / "ix"), "--query", "x",
+                  "--mode", "bm25", "--shard-plan"])
+    with pytest.raises(SystemExit):  # bm25-only
+        cli.main(["--index", str(tmp_path / "seg"), "--query", "x",
+                  "--mode", "phrase", "--shard-plan"])
+
+
 def test_cli_mlt_mode(spark, snapshot, capsys, monkeypatch):
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
     _cli().main([

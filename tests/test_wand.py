@@ -57,6 +57,60 @@ def test_wand_pruning_is_lossless(seg, q):
     assert pruned == full, q
 
 
+def test_segment_stats_telemetry(spark, corpus, idx, tmp_path):
+    """stats() must report exact per-shard counts/bytes (checked against
+    a pure-Python recompute from the raw segment rows and the oracle's
+    posting sets); on a saved index the telemetry plan is pure JVM (the
+    module fixture would show the in-memory BUILD lineage instead)."""
+    from textindexing_spark.operators.bm25 import SegmentIndex
+
+    o = OracleIndex()
+    for doc_id, text in corpus:
+        o.merge(doc_id, text)
+
+    segment_index_from(idx, n_shards=4).save(str(tmp_path / "ix"))
+    seg = SegmentIndex.load(spark, str(tmp_path / "ix"))
+
+    rows = {r["shard"]: r.asDict() for r in seg.stats().collect()}
+    raw = seg.segments.collect()
+    by_shard: dict[int, list] = {}
+    for r in raw:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(rows) == set(by_shard)
+    for sh, segs in by_shard.items():
+        got = rows[sh]
+        assert got["n_terms"] == len(segs)
+        assert got["n_postings"] == sum(s["n_docs"] for s in segs)
+        assert got["gaps_bytes"] == sum(len(s["gaps"]) for s in segs)
+        assert got["tfs_bytes"] == sum(len(s["tfs"]) for s in segs)
+        assert got["n_blocks"] == sum(len(s["blocks"]) for s in segs)
+        assert got["postings_bytes"] == (got["gaps_bytes"]
+                                         + got["tfs_bytes"])
+        assert got["compression_ratio"] == pytest.approx(
+            got["postings_bytes"] / (got["n_postings"] * 12.0), abs=1e-4)
+
+    s = seg.stats_summary()
+    # corpus-level truths from the independent oracle
+    assert s["n_postings"] == sum(len(d) for d in o.postings.values())
+    assert s["n_docs"] == len(o.doc_len)
+    assert sum(r["n_shard_docs"] for r in rows.values()) == s["n_docs"]
+    assert s["n_terms_total"] == len(raw)
+    # varbyte + delta beats the raw 12-byte posting layout on this corpus
+    assert s["compression_ratio"] < 1.0
+    assert s["shard_skew"] >= 1.0
+    # telemetry is JVM-only: no Python stage may appear in the plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        seg.stats().explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
 def test_wand_matches_oracle(corpus, seg):
     o = OracleIndex()
     for doc_id, text in corpus:
@@ -335,6 +389,18 @@ def test_rare_term_shard_pruning(spark, corpus, tmp_path):
     assert len(seg2._candidate_shards(["zzrareterm"])) == 1
     assert seg2._candidate_shards(["word1"]) is None       # head term
     assert seg2._candidate_shards(["zzrareterm", "word1"]) is None
+
+    # explain_shards narrates the same decision driver-side
+    ex = seg2.explain_shards("zzrareterm")
+    assert ex["n_shards"] == 8 and ex["n_scheduled"] == 1
+    assert ex["pruned_fraction"] == pytest.approx(7 / 8)
+    assert ex["terms"]["zzrareterm"] == 1
+    head = seg2.explain_shards("word1")
+    assert head["candidate_shards"] is None
+    assert head["n_scheduled"] == 8 and head["pruned_fraction"] == 0.0
+    absent = seg2.explain_shards("qqnosuchterm")
+    assert absent["n_scheduled"] == 0 and absent["terms"] == {
+        "qqnosuchterm": 0}
 
     # plan guard: the rare-term query pushes the shard predicate into
     # the parquet scans of BOTH sides (Catalyst folds a 1-element isin

@@ -338,6 +338,62 @@ class SegmentIndex:
         return (self.shard_docs.select("doc_ids", "doc_lens")
                 .mapInPandas(decode, "doc_id bigint, doc_len bigint"))
 
+    def stats(self) -> DataFrame:
+        """Per-shard index telemetry as ONE Catalyst aggregation per side
+        (pure JVM — no Python stage, no blob decode): segment/posting
+        counts, compressed payload bytes, block counts, and the packed
+        doc-table size. The operational surface for running a large
+        index: a shard whose ``postings_bytes`` dwarfs the fleet mean
+        flags doc-shard imbalance (re-shard or salt), a rising
+        ``compression_ratio`` (compressed/raw; raw = 8-byte doc_id +
+        4-byte tf per posting) flags a varbyte-hostile id space, and
+        ``n_terms`` per shard sizes dictionary fan-out. O(S) output rows
+        regardless of corpus size."""
+        seg = self.segments.groupBy("shard").agg(
+            F.count("*").alias("n_terms"),
+            F.sum("n_docs").alias("n_postings"),
+            F.sum(F.length("gaps")).alias("gaps_bytes"),
+            F.sum(F.length("tfs")).alias("tfs_bytes"),
+            F.sum(F.size("blocks")).alias("n_blocks"))
+        docs = self.shard_docs.groupBy("shard").agg(
+            F.sum("n").alias("n_shard_docs"),
+            F.sum(F.length("doc_ids") + F.length("doc_lens"))
+             .alias("doc_table_bytes"))
+        return (seg.join(docs, "shard", "full_outer")
+                .na.fill(0)
+                .withColumn("postings_bytes",
+                            F.col("gaps_bytes") + F.col("tfs_bytes"))
+                .withColumn(
+                    "compression_ratio",
+                    F.when(F.col("n_postings") > 0,
+                           F.round((F.col("gaps_bytes")
+                                    + F.col("tfs_bytes"))
+                                   / (F.col("n_postings") * 12.0), 4)))
+                .orderBy("shard"))
+
+    def stats_summary(self) -> dict:
+        """Driver-side rollup of :meth:`stats` (collects O(n_shards)
+        rows, never postings): corpus totals, overall compression ratio,
+        and the shard-skew ratio (max/mean postings bytes — the number a
+        compaction/re-shard policy watches; 1.0 = perfectly balanced)."""
+        rows = [r.asDict() for r in self.stats().collect()]
+        pb = [r["postings_bytes"] for r in rows]
+        n_post = sum(r["n_postings"] for r in rows)
+        return {
+            "n_shards": len(rows),
+            "n_docs": self.n_docs,
+            "avgdl": round(self.avgdl, 4),
+            "n_terms_total": sum(r["n_terms"] for r in rows),
+            "n_postings": n_post,
+            "postings_bytes": sum(pb),
+            "doc_table_bytes": sum(r["doc_table_bytes"] for r in rows),
+            "n_blocks": sum(r["n_blocks"] for r in rows),
+            "compression_ratio": (round(sum(pb) / (n_post * 12.0), 4)
+                                  if n_post else None),
+            "shard_skew": (round(max(pb) / (sum(pb) / len(pb)), 3)
+                           if pb and sum(pb) else None),
+        }
+
     def _shard_docs_with_sum_dl(self) -> DataFrame:
         """shard_docs with a guaranteed non-null ``sum_dl`` column.
         Indexes saved before sum_dl existed (or built via paths that left
@@ -485,6 +541,31 @@ class SegmentIndex:
                 return None
             union.update(sh)
         return sorted(union)
+
+    def explain_shards(self, query_text: str) -> dict:
+        """Observability for rare-term shard pruning: which shards this
+        query would schedule and why. Driver-side only — costs the same
+        bounded term_stats lookup a search performs, never a postings
+        scan. ``candidate_shards`` is None on a full fan-out (some query
+        term is a head term present in every shard, or the index has no
+        membership summaries); ``pruned_fraction`` is the share of shard
+        tasks the query skips."""
+        from textindexing_spark.functions.tokenize import tokenize_text
+
+        terms = sorted(set(tokenize_text(query_text, self.cfg.tokenizer,
+                                         self.cfg.case_insensitive)))
+        dfs = self._term_dfs(terms)
+        total = self.n_shards or 0
+        cand = self._candidate_shards(list(dfs)) if dfs else []
+        scheduled = len(cand) if cand is not None else total
+        return {
+            "terms": {t: dfs.get(t, 0) for t in terms},
+            "candidate_shards": cand,
+            "n_shards": total,
+            "n_scheduled": scheduled,
+            "pruned_fraction": (round(1.0 - scheduled / total, 4)
+                                if total else None),
+        }
 
     def idf(self, df_t: int) -> float:
         return math.log(1.0 + (self.n_docs - df_t + 0.5) / (df_t + 0.5))
