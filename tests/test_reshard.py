@@ -1,0 +1,116 @@
+"""SegmentIndex.reshard: grow-only shard splitting at the compressed-blob
+level. Contract: (1) codec.spark_hash_long is bit-identical to Spark's
+``F.hash`` on BIGINT (the invariant that keeps post-reshard upserts routing
+to the right shard), (2) a reshard is invisible to queries (rank- and
+score-identical top-k), (3) reshard composes with upsert exactly like an
+index BUILT at the new shard count, (4) every child shard's doc set is the
+one Spark's HashPartitioning would produce."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from textindexing_spark import IndexConfig
+from textindexing_spark.operators import codec
+from textindexing_spark.operators.bm25 import build_segments_from_docs
+from textindexing_spark.sources.pages import generate_pages_rows
+
+QUERIES = [
+    "word1",
+    "word1 word7",
+    "word2 word3 word11",
+    "word42 word100 word5",
+    "zzabsent word9",
+    "word0 word1 word2 word3 word4",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return [(i, t) for i, (_, _, _, t, _) in
+            enumerate(generate_pages_rows(n_docs=260, seed=23))]
+
+
+@pytest.fixture(scope="module")
+def base(spark, corpus):
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    return build_segments_from_docs(
+        spark, docs, IndexConfig(block_size=16), n_shards=4).cache()
+
+
+def test_spark_hash_long_matches_spark(spark):
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.integers(-2**63, 2**63 - 1, size=500, dtype=np.int64),
+        np.array([0, 1, -1, 42, 2**63 - 1, -2**63, 2**31, -2**31],
+                 dtype=np.int64)])
+    df = spark.createDataFrame([(int(v),) for v in vals], "v bigint")
+    got = {r["v"]: r["h"] for r in
+           df.select("v", F.hash("v").alias("h")).collect()}
+    ours = codec.spark_hash_long(vals)
+    for v, h in zip(vals.tolist(), ours.tolist()):
+        assert got[v] == h, v
+
+
+def test_reshard_is_rank_and_score_identical(base):
+    grown = base.reshard(16).cache()
+    assert grown.n_shards == 16
+    assert grown.n_docs == base.n_docs
+    assert grown.avgdl == pytest.approx(base.avgdl)
+    for q in QUERIES:
+        a = [(r.doc_id, r.score) for r in base.search_bm25(q, 10).collect()]
+        b = [(r.doc_id, r.score) for r in grown.search_bm25(q, 10).collect()]
+        assert [d for d, _ in a] == [d for d, _ in b], q
+        for (_, sa), (_, sb) in zip(a, b):
+            assert sa == pytest.approx(sb, rel=1e-9), q
+
+
+def test_reshard_children_match_spark_partitioning(base):
+    grown = base.reshard(8)
+    for r in grown.shard_docs.collect():
+        ids = codec.varbyte_decode(np.frombuffer(r["doc_ids"],
+                                                 dtype=np.uint8))
+        want = np.mod(codec.spark_hash_long(ids).astype(np.int64), 8)
+        assert (want == r["shard"]).all(), r["shard"]
+    # postings conserved, not duplicated
+    assert (grown.segments.agg(F.sum("n_docs")).collect()[0][0]
+            == base.segments.agg(F.sum("n_docs")).collect()[0][0])
+
+
+def test_reshard_then_upsert_equals_build_at_new_count(spark, base, corpus):
+    """The operational sequence a growing deployment runs: reshard, then
+    keep ingesting. Must equal an index built at the new shard count over
+    the post-ingest corpus (re-crawl replaces, new doc inserts)."""
+    delta = [(3, "fresh recrawl text word1 word1 word7"),
+             (9999, "brand new document word1 word100")]
+    after = dict(corpus)
+    after.update(delta)
+    got = base.reshard(8).upsert(
+        spark.createDataFrame(delta, "doc_id bigint, text string"))
+    want = build_segments_from_docs(
+        spark,
+        spark.createDataFrame(sorted(after.items()),
+                              "doc_id bigint, text string"),
+        IndexConfig(block_size=16), n_shards=8)
+    for q in QUERIES + ["fresh recrawl", "brand word100"]:
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             got.search_bm25(q, 10).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             want.search_bm25(q, 10).collect()]
+        assert a == b, q
+
+
+def test_reshard_guards(spark, base):
+    with pytest.raises(ValueError, match="grow-only"):
+        base.reshard(2)
+    with pytest.raises(ValueError, match="grow-only"):
+        base.reshard(6)
+    assert base.reshard(4) is base
+    from textindexing_spark.operators.bm25 import segment_index_from
+    from textindexing_spark import build_index
+
+    docs = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                                 "doc_id bigint, text string")
+    legacy = segment_index_from(build_index(spark, docs), n_shards=2)
+    with pytest.raises(ValueError, match="needs n_shards"):
+        legacy.reshard(4)

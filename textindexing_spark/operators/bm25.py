@@ -419,6 +419,25 @@ class SegmentIndex:
 
     # -- incremental upsert (A1 merge at the compressed-segment level) ----
 
+    def _as_fused(self) -> DataFrame:
+        """The index's (segments + shard doc tables) as one FUSED_SCHEMA
+        frame — the shape the shard-local rewrite kernels (upsert merge,
+        reshard split) consume."""
+        blocks_t = SEGMENT_SCHEMA["blocks"].dataType
+        return (self.segments
+                .withColumn("doc_ids", F.lit(None).cast("binary"))
+                .withColumn("doc_lens", F.lit(None).cast("binary"))
+                .withColumn("sum_dl", F.lit(None).cast("long"))
+                .unionByName(self._shard_docs_with_sum_dl().select(
+                    "shard",
+                    F.lit(None).cast("string").alias("term"),
+                    F.col("n").cast("long").alias("n_docs"),
+                    F.lit(None).cast("binary").alias("gaps"),
+                    F.lit(None).cast("binary").alias("tfs"),
+                    F.lit(None).cast(blocks_t).alias("blocks"),
+                    "doc_ids", "doc_lens",
+                    F.col("sum_dl").cast("long").alias("sum_dl"))))
+
     def upsert(self, docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> "SegmentIndex":
         """Merge a batch of documents into a NEW SegmentIndex (self stays
@@ -443,21 +462,7 @@ class SegmentIndex:
                  .mapInPandas(_fused_encoder(self.cfg, id_col, text_col,
                                              include_empty_docs=True),
                               FUSED_SCHEMA))
-        blocks_t = SEGMENT_SCHEMA["blocks"].dataType
-        existing = (self.segments
-                    .withColumn("doc_ids", F.lit(None).cast("binary"))
-                    .withColumn("doc_lens", F.lit(None).cast("binary"))
-                    .withColumn("sum_dl", F.lit(None).cast("long"))
-                    .unionByName(self._shard_docs_with_sum_dl().select(
-                        "shard",
-                        F.lit(None).cast("string").alias("term"),
-                        F.col("n").cast("long").alias("n_docs"),
-                        F.lit(None).cast("binary").alias("gaps"),
-                        F.lit(None).cast("binary").alias("tfs"),
-                        F.lit(None).cast(blocks_t).alias("blocks"),
-                        "doc_ids", "doc_lens",
-                        F.col("sum_dl").cast("long").alias("sum_dl"))))
-        merged = (existing.groupby("shard")
+        merged = (self._as_fused().groupby("shard")
                   .cogroup(delta.groupby("shard"))
                   .applyInPandas(_merge_shard_factory(self.cfg),
                                  FUSED_SCHEMA)
@@ -481,6 +486,50 @@ class SegmentIndex:
             F.col(id_col).alias("doc_id"),
             F.lit("").alias("text"))
         return self.upsert(tombstones)
+
+    def reshard(self, n_shards: int) -> "SegmentIndex":
+        """Split every doc shard into ``n_shards // self.n_shards``
+        children — scale-out for an index whose corpus has outgrown the
+        shard count chosen at build time (``stats_summary()``'s
+        ``postings_bytes``/``shard_skew`` is the watch signal). Returns a
+        NEW index; self stays a frozen snapshot (≙ ImmutableIndex CoW,
+        ImmutableIndex.cs:169-175's persistent-structure discipline).
+
+        Execution: ONE applyInPandas task per OLD shard decodes its
+        postings once, partitions them by each document's CHILD shard,
+        and re-encodes. The child shard is computed with the numpy twin
+        of Spark's murmur3 (codec.spark_hash_long), i.e. exactly where
+        ``repartition(n_shards, doc_id)`` will route the doc — so
+        subsequent upsert deltas keep landing on the shard that owns the
+        doc's postings. Document text is never touched (no
+        re-tokenization — the expensive phase at web scale) and no
+        posting-granularity row crosses the wire: only re-keyed
+        compressed blobs shuffle into the new index.
+
+        Grow-only by design: with new = m * old, pmod(h, new) mod old =
+        pmod(h, old), so each child's docs come from exactly one parent
+        and parents split independently (posting order is preserved
+        under subset selection — no cross-task merge exists). Shrinking
+        would need k-way posting merges across parents; that is a
+        rebuild (build_segments_from_docs)."""
+        from pyspark import StorageLevel
+
+        if not self.n_shards:
+            raise ValueError("reshard needs n_shards (index built by "
+                             "build_segments_from_docs or loaded with "
+                             "meta)")
+        if n_shards == self.n_shards:
+            return self
+        if n_shards < self.n_shards or n_shards % self.n_shards:
+            raise ValueError(
+                f"reshard is grow-only: {n_shards} is not a positive "
+                f"multiple of the current {self.n_shards} shards "
+                "(shrink = rebuild via build_segments_from_docs)")
+        split = (self._as_fused().groupby("shard")
+                 .applyInPandas(_split_shard_factory(self.cfg, n_shards),
+                                FUSED_SCHEMA)
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        return _index_from_fused(self.spark, split, self.cfg, n_shards)
 
     # -- query -----------------------------------------------------------
 
@@ -1196,6 +1245,61 @@ def _merge_shard_factory(cfg: IndexConfig):
         return pd.DataFrame(rows)
 
     return merge
+
+
+def _split_shard_factory(cfg: IndexConfig, new_n: int):
+    """applyInPandas fn: all fused rows of ONE parent shard -> fused rows
+    of its child shards (SegmentIndex.reshard). Every posting's child is
+    pmod(spark_hash_long(doc_id), new_n) — selecting a child's subset
+    from a doc-id-sorted posting list keeps it sorted, so children
+    re-encode directly with no merge."""
+    block_size = cfg.block_size
+
+    def split(pdf):
+        import pandas as pd
+
+        summary = pdf[pdf["term"].isna()].iloc[0]
+        d_ids = codec.varbyte_decode(
+            np.frombuffer(summary["doc_ids"], dtype=np.uint8))
+        d_lens = codec.varbyte_decode(
+            np.frombuffer(summary["doc_lens"], dtype=np.uint8))
+        child = np.mod(
+            codec.spark_hash_long(d_ids).astype(np.int64), new_n)
+        rows = {c: [] for c in _FUSED_COLS}
+        for r in pdf[pdf["term"].notna()].to_dict("records"):
+            doc, tf = codec.decode_postings(
+                bytes(r["gaps"]), bytes(r["tfs"]), list(r["blocks"]))
+            pos = np.searchsorted(d_ids, doc)
+            dl, ns = d_lens[pos], child[pos]
+            for sh in np.unique(ns):
+                m = ns == sh
+                gb, tb, blocks = codec.encode_postings(
+                    doc[m], tf[m], block_size, dl[m])
+                rows["shard"].append(int(sh))
+                rows["term"].append(r["term"])
+                rows["n_docs"].append(int(m.sum()))
+                rows["gaps"].append(gb)
+                rows["tfs"].append(tb)
+                rows["blocks"].append(blocks)
+                rows["doc_ids"].append(None)
+                rows["doc_lens"].append(None)
+                rows["sum_dl"].append(None)
+        for sh in np.unique(child):
+            m = child == sh
+            rows["shard"].append(int(sh))
+            rows["term"].append(None)
+            rows["n_docs"].append(int(m.sum()))
+            rows["gaps"].append(None)
+            rows["tfs"].append(None)
+            rows["blocks"].append(None)
+            rows["doc_ids"].append(
+                codec.varbyte_encode(d_ids[m]).tobytes())
+            rows["doc_lens"].append(
+                codec.varbyte_encode(d_lens[m]).tobytes())
+            rows["sum_dl"].append(int(d_lens[m].sum()))
+        return pd.DataFrame(rows)
+
+    return split
 
 
 def _fused_encoder(cfg: IndexConfig, id_col: str, text_col: str,

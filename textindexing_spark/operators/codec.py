@@ -154,3 +154,43 @@ def decode_block(gaps_blob: bytes, tfs_blob: bytes, blocks, i: int) -> tuple:
     prev_last = blocks[i - 1]["last_doc"] if i > 0 else -1
     doc_ids = np.cumsum(gaps) + prev_last
     return doc_ids, tfs
+
+
+# --- Spark-compatible doc-id hashing -------------------------------------
+
+def spark_hash_long(vals: np.ndarray) -> np.ndarray:
+    """Vectorized twin of Spark's ``hash()`` for a single BIGINT column:
+    Murmur3_x86_32 ``hashLong(v, seed=42)`` (Apache Spark,
+    common/unsafe/.../Murmur3_x86_32.java) — the function behind
+    HashPartitioning, i.e. where ``df.repartition(n, col)`` routes a row
+    (partition = pmod(hash, n)). Returns int32.
+
+    Having it in numpy lets a shard-split task (SegmentIndex.reshard)
+    compute each document's exact future Spark partition WITHOUT
+    shuffling a single posting row; tests/test_reshard.py pins equality
+    against ``F.hash`` over random/extreme int64s.
+    """
+    v = np.ascontiguousarray(np.asarray(vals, dtype=np.int64)) \
+        .view(np.uint64)
+    lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (v >> np.uint64(32)).astype(np.uint32)
+
+    def mix_k1(k1):
+        k1 = k1 * np.uint32(0xCC9E2D51)
+        k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+        return k1 * np.uint32(0x1B873593)
+
+    def mix_h1(h1, k1):
+        h1 = h1 ^ k1
+        h1 = (h1 << np.uint32(13)) | (h1 >> np.uint32(19))
+        return h1 * np.uint32(5) + np.uint32(0xE6546B64)
+
+    h1 = mix_h1(np.full(v.shape, 42, dtype=np.uint32), mix_k1(lo))
+    h1 = mix_h1(h1, mix_k1(hi))
+    h1 = h1 ^ np.uint32(8)  # fmix with input length 8 bytes
+    h1 ^= h1 >> np.uint32(16)
+    h1 = h1 * np.uint32(0x85EBCA6B)
+    h1 ^= h1 >> np.uint32(13)
+    h1 = h1 * np.uint32(0xC2B2AE35)
+    h1 ^= h1 >> np.uint32(16)
+    return h1.view(np.int32)
