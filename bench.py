@@ -284,6 +284,25 @@ def main() -> None:
     wand_texts = [q["query_text"] for q in qset if q["mode"] == "bm25"]
     timed("wand_batch",
           lambda: seg.search_bm25_many(wand_texts, 10).collect())
+
+    # scale-out reshard 64 -> 256: split every doc shard into 4 children
+    # at the compressed-blob level (no re-tokenization; the doc->child
+    # routing is the numpy murmur3 twin of Spark's HashPartitioning).
+    # Work is proportional to compressed index size, not corpus text —
+    # compare with fused_segment_build, which pays the tokenizer.
+    reshard_held: dict = {}
+
+    def reshard_grow():
+        if "ix" in reshard_held:
+            reshard_held["ix"].unpersist()
+        grown = SegmentIndex.load(spark, seg_dir).reshard(256)
+        n = grown.segments.count() + grown.shard_docs.count()
+        reshard_held["ix"] = grown
+        return n
+
+    extra_counts["reshard_grow_rows"] = timed("reshard_grow", reshard_grow)
+    if "ix" in reshard_held:
+        reshard_held["ix"].unpersist()
     seg.unpersist()
     shutil.rmtree(seg_dir, ignore_errors=True)
 
