@@ -100,11 +100,50 @@ def test_reshard_then_upsert_equals_build_at_new_count(spark, base, corpus):
         assert a == b, q
 
 
+def test_reshard_shrink_roundtrip_is_exact(base):
+    """4 -> 16 -> 4 must reproduce the original index BYTE-FOR-BYTE:
+    split then coalesce re-encodes the same sorted postings, and the
+    codec is deterministic — so segment blobs, block metadata, and doc
+    tables all round-trip exactly."""
+    back = base.reshard(16).reshard(4)
+
+    def seg_rows(ix):
+        return sorted(
+            (r["shard"], r["term"], r["n_docs"], bytes(r["gaps"]),
+             bytes(r["tfs"]), tuple(map(tuple, r["blocks"])))
+            for r in ix.segments.collect())
+
+    def doc_rows(ix):
+        return sorted(
+            (r["shard"], bytes(r["doc_ids"]), bytes(r["doc_lens"]),
+             r["n"], r["sum_dl"])
+            for r in ix.shard_docs.collect())
+
+    assert seg_rows(back) == seg_rows(base)
+    assert doc_rows(back) == doc_rows(base)
+    assert (back.n_docs, back.avgdl) == (base.n_docs, base.avgdl)
+
+
+def test_reshard_shrink_equals_build_at_lower_count(spark, base, corpus):
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    want = build_segments_from_docs(
+        spark, docs, IndexConfig(block_size=16), n_shards=2)
+    got = base.reshard(2)
+    for q in QUERIES:
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             got.search_bm25(q, 10).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             want.search_bm25(q, 10).collect()]
+        assert a == b, q
+
+
 def test_reshard_guards(spark, base):
-    with pytest.raises(ValueError, match="grow-only"):
-        base.reshard(2)
-    with pytest.raises(ValueError, match="grow-only"):
+    with pytest.raises(ValueError, match="multiple or divisor"):
         base.reshard(6)
+    with pytest.raises(ValueError, match="multiple or divisor"):
+        base.reshard(3)
+    with pytest.raises(ValueError, match="multiple or divisor"):
+        base.reshard(0)
     assert base.reshard(4) is base
     from textindexing_spark.operators.bm25 import segment_index_from
     from textindexing_spark import build_index

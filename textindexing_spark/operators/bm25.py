@@ -488,30 +488,39 @@ class SegmentIndex:
         return self.upsert(tombstones)
 
     def reshard(self, n_shards: int) -> "SegmentIndex":
-        """Split every doc shard into ``n_shards // self.n_shards``
-        children — scale-out for an index whose corpus has outgrown the
-        shard count chosen at build time (``stats_summary()``'s
+        """Re-shard the index to a multiple (grow/split) or divisor
+        (shrink/coalesce) of its current shard count — for a corpus that
+        outgrew the count chosen at build time, or an over-sharded index
+        whose per-task overhead dominates (``stats_summary()``'s
         ``postings_bytes``/``shard_skew`` is the watch signal). Returns a
         NEW index; self stays a frozen snapshot (≙ ImmutableIndex CoW,
         ImmutableIndex.cs:169-175's persistent-structure discipline).
 
-        Execution: ONE applyInPandas task per OLD shard decodes its
-        postings once, partitions them by each document's CHILD shard,
-        and re-encodes. The child shard is computed with the numpy twin
-        of Spark's murmur3 (codec.spark_hash_long), i.e. exactly where
-        ``repartition(n_shards, doc_id)`` will route the doc — so
-        subsequent upsert deltas keep landing on the shard that owns the
-        doc's postings. Document text is never touched (no
+        Execution: ONE applyInPandas task per OUTPUT-side group decodes
+        the affected postings once and re-encodes them under the new
+        sharding. In the grow direction the child shard is computed with
+        the numpy twin of Spark's murmur3 (codec.spark_hash_long), i.e.
+        exactly where ``repartition(n_shards, doc_id)`` will route the
+        doc — so subsequent upsert deltas keep landing on the shard that
+        owns the doc's postings. Document text is never touched (no
         re-tokenization — the expensive phase at web scale) and no
         posting-granularity row crosses the wire: only re-keyed
         compressed blobs shuffle into the new index.
 
-        Grow-only by design: with new = m * old, pmod(h, new) mod old =
-        pmod(h, old), so each child's docs come from exactly one parent
-        and parents split independently (posting order is preserved
-        under subset selection — no cross-task merge exists). Shrinking
-        would need k-way posting merges across parents; that is a
-        rebuild (build_segments_from_docs)."""
+        Growing (new = m * old): pmod(h, new) mod old = pmod(h, old), so
+        each child's docs come from exactly one parent and parents split
+        independently (posting order is preserved under subset selection
+        — no cross-task merge exists).
+
+        Shrinking (old = m * new, e.g. down-sizing an over-sharded index
+        whose per-shard task overhead dominates): each child coalesces
+        exactly its m parents — and because pmod(h, old) mod new =
+        pmod(h, new) when new divides old, the child is computable
+        JVM-side from the stored shard column (`pmod(shard, new)`), no
+        per-doc hashing at all. Parents hold DISJOINT doc sets, so the
+        merge is a concatenate+sort of decoded arrays, never a tf-level
+        combine. Arbitrary counts (e.g. 4 -> 6) would break both
+        identities; that is a rebuild (build_segments_from_docs)."""
         from pyspark import StorageLevel
 
         if not self.n_shards:
@@ -520,16 +529,27 @@ class SegmentIndex:
                              "meta)")
         if n_shards == self.n_shards:
             return self
-        if n_shards < self.n_shards or n_shards % self.n_shards:
+        if n_shards > self.n_shards and n_shards % self.n_shards == 0:
+            fused = (self._as_fused().groupby("shard")
+                     .applyInPandas(
+                         _split_shard_factory(self.cfg, n_shards),
+                         FUSED_SCHEMA))
+        elif n_shards > 0 and self.n_shards % n_shards == 0:
+            fused = (self._as_fused()
+                     .withColumn("shard",
+                                 F.pmod(F.col("shard"),
+                                        F.lit(int(n_shards))).cast("int"))
+                     .groupby("shard")
+                     .applyInPandas(
+                         _coalesce_shard_factory(self.cfg),
+                         FUSED_SCHEMA))
+        else:
             raise ValueError(
-                f"reshard is grow-only: {n_shards} is not a positive "
-                f"multiple of the current {self.n_shards} shards "
-                "(shrink = rebuild via build_segments_from_docs)")
-        split = (self._as_fused().groupby("shard")
-                 .applyInPandas(_split_shard_factory(self.cfg, n_shards),
-                                FUSED_SCHEMA)
-                 .persist(StorageLevel.MEMORY_AND_DISK))
-        return _index_from_fused(self.spark, split, self.cfg, n_shards)
+                f"reshard: {n_shards} must be a positive multiple or "
+                f"divisor of the current {self.n_shards} shards "
+                "(anything else = rebuild via build_segments_from_docs)")
+        fused = fused.persist(StorageLevel.MEMORY_AND_DISK)
+        return _index_from_fused(self.spark, fused, self.cfg, n_shards)
 
     # -- query -----------------------------------------------------------
 
@@ -1300,6 +1320,66 @@ def _split_shard_factory(cfg: IndexConfig, new_n: int):
         return pd.DataFrame(rows)
 
     return split
+
+
+def _coalesce_shard_factory(cfg: IndexConfig):
+    """applyInPandas fn: fused rows of ALL parents of ONE child shard
+    (shard column already rewritten to pmod(parent, new_n) JVM-side) ->
+    the child's fused rows (SegmentIndex.reshard, shrink direction).
+    Parents hold disjoint doc sets, so each term merges by
+    concatenate+argsort of its parents' decoded postings — never a
+    tf-level combine."""
+    block_size = cfg.block_size
+
+    def _decode(blob):
+        return codec.varbyte_decode(np.frombuffer(blob, dtype=np.uint8))
+
+    def coalesce(pdf):
+        import pandas as pd
+
+        shard = int(pdf["shard"].iloc[0])
+        summaries = pdf[pdf["term"].isna()]
+        d_ids = np.concatenate(
+            [_decode(b) for b in summaries["doc_ids"]])
+        d_lens = np.concatenate(
+            [_decode(b) for b in summaries["doc_lens"]])
+        o = np.argsort(d_ids)
+        d_ids, d_lens = d_ids[o], d_lens[o]
+        rows = {c: [] for c in _FUSED_COLS}
+        for term, grp in pdf[pdf["term"].notna()].groupby("term",
+                                                          sort=False):
+            parts = [codec.decode_postings(bytes(r["gaps"]),
+                                           bytes(r["tfs"]),
+                                           list(r["blocks"]))
+                     for r in grp.to_dict("records")]
+            doc = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts])
+            po = np.argsort(doc)
+            doc, tf = doc[po], tf[po]
+            dl = d_lens[np.searchsorted(d_ids, doc)]
+            gb, tb, blocks = codec.encode_postings(doc, tf, block_size,
+                                                   dl)
+            rows["shard"].append(shard)
+            rows["term"].append(term)
+            rows["n_docs"].append(int(doc.size))
+            rows["gaps"].append(gb)
+            rows["tfs"].append(tb)
+            rows["blocks"].append(blocks)
+            rows["doc_ids"].append(None)
+            rows["doc_lens"].append(None)
+            rows["sum_dl"].append(None)
+        rows["shard"].append(shard)
+        rows["term"].append(None)
+        rows["n_docs"].append(int(d_ids.size))
+        rows["gaps"].append(None)
+        rows["tfs"].append(None)
+        rows["blocks"].append(None)
+        rows["doc_ids"].append(codec.varbyte_encode(d_ids).tobytes())
+        rows["doc_lens"].append(codec.varbyte_encode(d_lens).tobytes())
+        rows["sum_dl"].append(int(d_lens.sum()))
+        return pd.DataFrame(rows)
+
+    return coalesce
 
 
 def _fused_encoder(cfg: IndexConfig, id_col: str, text_col: str,
