@@ -1,5 +1,5 @@
-"""SegmentIndex.reshard: grow-only shard splitting at the compressed-blob
-level. Contract: (1) codec.spark_hash_long is bit-identical to Spark's
+"""SegmentIndex.reshard: shard splitting/coalescing at the compressed-blob
+level, plus the plan_reshard policy and the reshard CLI. Contract: (1) codec.spark_hash_long is bit-identical to Spark's
 ``F.hash`` on BIGINT (the invariant that keeps post-reshard upserts routing
 to the right shard), (2) a reshard is invisible to queries (rank- and
 score-identical top-k), (3) reshard composes with upsert exactly like an
@@ -153,3 +153,67 @@ def test_reshard_guards(spark, base):
     legacy = segment_index_from(build_index(spark, docs), n_shards=2)
     with pytest.raises(ValueError, match="needs n_shards"):
         legacy.reshard(4)
+
+
+def test_plan_reshard_policy(base):
+    summary = base.stats_summary()
+    mx = max(r["postings_bytes"] + r["doc_table_bytes"]
+             for r in base.stats().collect())
+    # tiny target -> grow to a multiple whose est child max fits
+    grow = base.plan_reshard(target_shard_bytes=max(mx // 8, 1))
+    assert grow["action"] == "grow"
+    assert grow["recommended"] % base.n_shards == 0
+    assert grow["recommended"] > base.n_shards
+    assert grow["est_max_after"] <= grow["target_shard_bytes"]
+    # huge target -> shrink to a divisor, never below 1
+    shrink = base.plan_reshard(target_shard_bytes=mx * base.n_shards * 10)
+    assert shrink["action"] == "shrink"
+    assert base.n_shards % shrink["recommended"] == 0
+    assert shrink["recommended"] >= 1
+    # the recommendation is actionable
+    assert base.reshard(shrink["recommended"]).n_shards \
+        == shrink["recommended"]
+    # just-right target -> keep
+    keep = base.plan_reshard(target_shard_bytes=int(mx * 1.5))
+    assert keep["action"] == "keep"
+    assert keep["recommended"] == base.n_shards
+    assert summary["n_shards"] == base.n_shards
+
+
+def test_reshard_cli(spark, base, tmp_path, capsys, monkeypatch):
+    import importlib.util
+    import json
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "reshard_index_submit",
+        repo / "scripts" / "reshard_index_submit.py")
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    src = str(tmp_path / "seg4")
+    base.save(src)
+    cli.main(["--index", src, "--plan"])
+    plan = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert plan["plan"]["n_shards"] == 4
+
+    out_dir = str(tmp_path / "seg8")
+    cli.main(["--index", src, "--output", out_dir, "--shards", "8"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert (out["n_shards_before"], out["n_shards_after"]) == (4, 8)
+    assert out["stats_after"]["n_shards"] == 8
+
+    from textindexing_spark.operators.bm25 import SegmentIndex
+
+    reloaded = SegmentIndex.load(spark, out_dir)
+    for q in QUERIES[:3]:
+        a = [(r.doc_id, round(r.score, 9)) for r in
+             base.search_bm25(q, 10).collect()]
+        b = [(r.doc_id, round(r.score, 9)) for r in
+             reloaded.search_bm25(q, 10).collect()]
+        assert a == b, q
+
+    with pytest.raises(SystemExit, match="--output"):
+        cli.main(["--index", src])

@@ -394,6 +394,46 @@ class SegmentIndex:
                            if pb and sum(pb) else None),
         }
 
+    def plan_reshard(self,
+                     target_shard_bytes: int = 256 << 20) -> dict:
+        """The policy half of :meth:`reshard`: from O(S) telemetry rows,
+        recommend a valid shard count whose expected max per-shard
+        payload sits under ``target_shard_bytes`` (grow: a hash split
+        divides a parent ~evenly, so est. child max = max/m; shrink:
+        a coalesce concatenates m parents, so est. child max <= m*max).
+        Pure recommendation — never schedules the rewrite itself; feed
+        ``recommended`` to :meth:`reshard` (or the reshard CLI) when
+        ``action`` != "keep"."""
+        sizes = [r["postings_bytes"] + r["doc_table_bytes"]
+                 for r in self.stats().collect()]
+        cur = self.n_shards or len(sizes)
+        mx = max(sizes) if sizes else 0
+        plan = {
+            "n_shards": cur,
+            "max_shard_bytes": int(mx),
+            "mean_shard_bytes": int(sum(sizes) / len(sizes))
+            if sizes else 0,
+            "target_shard_bytes": int(target_shard_bytes),
+        }
+        if mx > target_shard_bytes:
+            m = 2
+            while mx / m > target_shard_bytes:
+                m *= 2
+            plan.update(action="grow", recommended=cur * m,
+                        est_max_after=int(mx / m))
+        else:
+            m = 1
+            while (cur % (m * 2) == 0
+                   and mx * m * 2 <= target_shard_bytes):
+                m *= 2
+            if m > 1:
+                plan.update(action="shrink", recommended=cur // m,
+                            est_max_after=int(mx * m))
+            else:
+                plan.update(action="keep", recommended=cur,
+                            est_max_after=int(mx))
+        return plan
+
     def _shard_docs_with_sum_dl(self) -> DataFrame:
         """shard_docs with a guaranteed non-null ``sum_dl`` column.
         Indexes saved before sum_dl existed (or built via paths that left
