@@ -68,25 +68,26 @@ def _tiny_png() -> bytes:
 
 
 def test_real_decoder_seam_contract():
-    """The decode seam: a REAL (non-TIXM) image payload decodes through
-    Pillow when the lib is present, and raises NotImplementedError
-    naming the boundary when it is not — either way the operators above
-    the seam are untouched (README documents this contract)."""
-    png = _tiny_png()
+    """The decode seam: 8-bit PNG now decodes through the stdlib-zlib
+    BASELINE (no Pillow needed — round-5 upgrade); payloads beyond every
+    baseline (JPEG, compressed audio) decode through Pillow/soundfile
+    when importable and raise NotImplementedError naming the boundary
+    when not — either way the operators above the seam are untouched
+    (README documents this contract)."""
+    img = mm.decode_rgb(_tiny_png())  # baseline path, lib-independent
+    assert img.shape == (1, 1, 3)
+    assert tuple(int(v) for v in img[0, 0]) == (255, 0, 0)
+    jpeg = b"\xff\xd8\xff\xe0" + b"\0" * 64  # JFIF-shaped payload
     try:
         import PIL  # noqa: F401
         has_pil = True
     except ImportError:
         has_pil = False
-    if has_pil:
-        img = mm.decode_rgb(png)
-        assert img.shape == (1, 1, 3)
-        assert tuple(int(v) for v in img[0, 0]) == (255, 0, 0)
-    else:
+    if not has_pil:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            mm.decode_rgb(png)
-        # RIFF/WAVE now decodes via the pure-Python baseline, so the
-        # soundfile boundary applies to compressed audio (FLAC) only
+            mm.decode_rgb(jpeg)
+        # RIFF/WAVE + PNG decode via pure-Python baselines, so the lib
+        # boundaries apply to JPEG / compressed audio (FLAC) only
         with pytest.raises(NotImplementedError, match="soundfile"):
             mm.decode_pcm(b"fLaC not a real flac stream")
         # a corrupt RIFF container degrades (P7), never crashes a task
@@ -221,3 +222,87 @@ def test_real_bmp_ppm_wav_baseline_decoders(spark):
     assert stats["n_samples"] == 500
     assert stats["rms"] == pytest.approx(float(np.sqrt((pcm ** 2).mean())))
     assert stats["peak"] == pytest.approx(float(np.abs(pcm).max()))
+
+
+def _png_bytes(img, filters, color_type=2):
+    """Minimal in-test PNG encoder: applies the SPEC's forward filter per
+    scanline (the test picks which), so the decoder's unfilter path for
+    every filter type is exercised against ground-truth pixels."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    def paeth(a, b, c):
+        p = int(a) + int(b) - int(c)
+        pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    px = img.astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        row = px[y]
+        if f == 0:
+            flt = row
+        elif f == 1:
+            flt = (row - np.vstack([np.zeros((1, ch), int),
+                                    row[:-1]])) & 0xFF
+        elif f == 2:
+            flt = (row - prev) & 0xFF
+        elif f == 3:
+            flt = np.empty_like(row)
+            for x in range(w):
+                left = row[x - 1] if x else np.zeros(ch, int)
+                flt[x] = (row[x] - ((left + prev[x]) >> 1)) & 0xFF
+        else:  # 4
+            flt = np.empty_like(row)
+            for x in range(w):
+                left = row[x - 1] if x else np.zeros(ch, int)
+                upleft = prev[x - 1] if x else np.zeros(ch, int)
+                pred = np.array([paeth(left[c], prev[x][c], upleft[c])
+                                 for c in range(ch)])
+                flt[x] = (row[x] - pred) & 0xFF
+        raw += bytes([f]) + flt.astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_real_png_baseline_decoder(spark):
+    """Compressed real bytes with no external lib: 8-bit PNG through the
+    stdlib-zlib baseline — every spec filter type (0-4) unfilters back to
+    ground-truth pixels; RGBA drops alpha, gray broadcasts; palette and
+    interlaced name the limitation; image_features sees exact values."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(
+            mm.decode_rgb(_png_bytes(img, filters)), img), filters
+
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    assert np.array_equal(mm.decode_rgb(_png_bytes(rgba, [2, 4],
+                                                   color_type=6)),
+                          rgba[:, :, :3])
+    gray = rng.integers(0, 256, size=(3, 4, 1), dtype=np.uint8)
+    assert np.array_equal(mm.decode_rgb(_png_bytes(gray, [1, 3],
+                                                   color_type=0)),
+                          np.repeat(gray, 3, axis=2))
+    with pytest.raises(NotImplementedError, match="gray/RGB"):
+        mm.decode_rgb(_png_bytes(gray, [0], color_type=3))  # palette
+    with pytest.raises(NotImplementedError):
+        mm.decode_rgb(b"\x89PNG\r\n\x1a\n" + b"\0" * 8)  # no IHDR/IDAT
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_png_bytes(img, [0, 1, 2, 3, 4])), None)],
+        mm.MEDIA_SCHEMA)
+    feat = mm.image_features(media).collect()[0]["feature"]
+    assert np.allclose(feat[:3], img.astype(np.float64).mean(axis=(0, 1)),
+                       atol=1e-4)

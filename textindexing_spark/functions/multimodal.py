@@ -122,6 +122,88 @@ def _decode_ppm(payload: bytes) -> "np.ndarray | None":
             .reshape(h, w, 3).copy())
 
 
+def _decode_png(payload: bytes) -> "np.ndarray | None":
+    """PNG -> (h, w, 3) uint8 RGB in pure Python/numpy: chunk walk,
+    stdlib-zlib inflate, per-scanline unfilter (spec filters 0-4; Sub is
+    a lane cumsum, Up is vectorized, Average/Paeth run the spec's
+    left-to-right recurrence vectorized across channels). Covers the
+    dominant web shape — 8-bit, non-interlaced, gray/RGB(A); alpha
+    drops, gray broadcasts. None = not a PNG; NotImplementedError = PNG
+    outside the baseline (16-bit, palette, interlaced)."""
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    import zlib
+
+    pos, width, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack(">I4s", payload[pos:pos + 8])
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # chunk header + body + CRC
+        if tag == b"IHDR":
+            (width, height, depth, ctype,
+             _comp, _filt, interlace) = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    if depth != 8 or ctype not in (0, 2, 4, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG baseline decodes 8-bit non-interlaced gray/RGB(A) "
+            f"only (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace})")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise NotImplementedError("PNG scanline length mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:].reshape(height, width, ch).astype(np.int32)
+    out = np.empty((height, width, ch), dtype=np.int32)
+    prev = np.zeros((width, ch), dtype=np.int32)
+    for y in range(height):
+        f, row = int(ftypes[y]), rows[y]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: rec[x] = (row[x] + rec[x-1]) mod 256
+            rec = np.cumsum(row, axis=0) & 0xFF
+        elif f == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif f == 3:  # Average
+            rec = np.empty_like(row)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(width):
+                left = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+                rec[x] = left
+        elif f == 4:  # Paeth
+            rec = np.empty_like(row)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(width):
+                up = prev[x]
+                p = left + up - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, up, upleft))
+                left = (row[x] + pred) & 0xFF
+                rec[x] = left
+                upleft = up
+        else:
+            raise NotImplementedError(f"PNG filter type {f}")
+        out[y] = prev = rec
+    px = out.astype(np.uint8)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return px[:, :, :3]
+    return np.repeat(px[:, :, :1], 3, axis=2)  # gray / gray+alpha
+
+
 def _decode_wav(payload: bytes) -> "np.ndarray | None":
     """RIFF/WAVE 16-bit PCM -> int16 samples (channel-interleaved flat
     array, matching the soundfile path's reshape(-1))."""
@@ -151,13 +233,14 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
 
     TIXM payloads (the deterministic in-container fake: body bytes tile
     the pixel grid) decode natively, as do REAL uncompressed baseline
-    formats — 24-bit BMP and binary PPM — via the pure-Python parsers
-    above (no image lib needed). Other foreign payloads (JPEG/PNG
-    bytes) decode through Pillow WHEN it is importable — the seam is
-    this one function; every operator above it is unchanged. In this
-    container no image lib ships, so compressed formats raise
+    formats — 24-bit BMP, binary PPM, and 8-bit non-interlaced PNG
+    (stdlib-zlib inflate + scanline unfilter) — via the pure-Python
+    parsers above (no image lib needed). Other foreign payloads (JPEG,
+    exotic PNG shapes) decode through Pillow WHEN it is importable —
+    the seam is this one function; every operator above it is
+    unchanged. In this container no image lib ships, so those raise
     NotImplementedError naming the boundary (the documented contract:
-    feed TIXM/BMP/PPM or install Pillow)."""
+    feed TIXM/BMP/PPM/PNG or install Pillow)."""
     if payload is None:  # before the lib gate: a null payload is a null
         raise NotImplementedError("empty payload")  # payload, not a
     hdr = unpack_header(payload)                    # missing dependency
@@ -167,7 +250,7 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
         need = w * h * 3
         reps = int(np.ceil(need / max(body.size, 1)))
         return np.tile(body, reps)[:need].reshape(h, w, 3)
-    for baseline in (_decode_bmp, _decode_ppm):
+    for baseline in (_decode_bmp, _decode_ppm, _decode_png):
         try:
             img = baseline(payload)
         except NotImplementedError:
