@@ -217,3 +217,72 @@ def test_reshard_cli(spark, base, tmp_path, capsys, monkeypatch):
 
     with pytest.raises(SystemExit, match="--output"):
         cli.main(["--index", src])
+
+
+# --- positional tier (operators/phrase.py) --------------------------------
+
+PHRASES = ["word1 word2", "word3", "word1 word2 word3", "zzabsent word1"]
+
+
+@pytest.fixture(scope="module")
+def pos_base(spark, corpus):
+    from textindexing_spark.operators.phrase import PositionalSegmentIndex
+
+    docs = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    return PositionalSegmentIndex.build(spark, docs, n_shards=4).cache()
+
+
+def _phrase_ids(ix, phrase):
+    return sorted(r["doc_id"] for r in ix.search_phrase(phrase).collect())
+
+
+def test_positional_reshard_grow_and_shrink(spark, pos_base):
+    grown, small = pos_base.reshard(16), pos_base.reshard(2)
+    assert (grown.n_shards, small.n_shards) == (16, 2)
+    for ix in (grown, small):
+        for p in PHRASES:
+            assert _phrase_ids(ix, p) == _phrase_ids(pos_base, p), p
+        got = sorted(r["doc_id"] for r in
+                     ix.search_near("word1 word5", 4).collect())
+        want = sorted(r["doc_id"] for r in
+                      pos_base.search_near("word1 word5", 4).collect())
+        assert got == want
+    # grow children carry only their own docs: pmod(doc_id, 16) == shard
+    for r in grown.segments.collect():
+        ids, _pl, _st, _fl = __import__(
+            "textindexing_spark.operators.phrase",
+            fromlist=["_decode_pos_term"])._decode_pos_term(
+            r["n_docs"], r["gaps_blob"], r["plens_blob"], r["pos_blob"],
+            np)
+        assert (np.mod(ids, 16) == r["shard"]).all()
+
+
+def test_positional_reshard_roundtrip_is_exact(pos_base):
+    back = pos_base.reshard(16).reshard(4)
+
+    def rows(ix):
+        return sorted(
+            (r["shard"], r["term"], r["n_docs"], bytes(r["gaps_blob"]),
+             bytes(r["plens_blob"]), bytes(r["pos_blob"]))
+            for r in ix.segments.collect())
+
+    assert rows(back) == rows(pos_base)
+
+
+def test_positional_reshard_then_upsert(spark, pos_base):
+    delta = [(3, "word1 word2 word2 word1 word2"),
+             (8888, "word1 word2 never word3")]
+    got = pos_base.reshard(8).upsert(
+        spark.createDataFrame(delta, "doc_id bigint, text string"))
+    assert 3 in _phrase_ids(got, "word2 word1 word2")
+    assert 8888 in _phrase_ids(got, "never word3")
+    base_hits = set(_phrase_ids(pos_base, "word1 word2"))
+    got_hits = set(_phrase_ids(got, "word1 word2"))
+    assert 8888 in got_hits and 3 in got_hits
+    assert got_hits - {3, 8888} <= base_hits
+
+
+def test_positional_reshard_guards(pos_base):
+    with pytest.raises(ValueError, match="multiple or divisor"):
+        pos_base.reshard(6)
+    assert pos_base.reshard(4) is pos_base

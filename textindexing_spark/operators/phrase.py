@@ -336,6 +336,26 @@ def _encode_pos_shard(shard: int, pdf, np):
     return out
 
 
+def _encode_term_arrays(doc_ids, plens, flat, np):
+    """Decoded (doc_ids sorted, per-doc counts, flat ABSOLUTE positions)
+    -> (gaps_blob, plens_blob, pos_blob) bytes — the inverse of
+    ``_decode_pos_term``, same layout as ``_encode_pos_shard``."""
+    from textindexing_spark.operators.codec import varbyte_encode
+
+    gaps = np.empty_like(doc_ids)
+    gaps[0] = doc_ids[0]
+    gaps[1:] = np.diff(doc_ids)
+    delta = np.empty_like(flat)
+    if flat.size:
+        delta[0] = flat[0]
+        delta[1:] = np.diff(flat)
+        starts = np.cumsum(plens) - plens
+        delta[starts] = flat[starts]  # first of each doc: absolute
+    return (varbyte_encode(gaps).tobytes(),
+            varbyte_encode(plens).tobytes(),
+            varbyte_encode(delta).tobytes())
+
+
 def _decode_pos_term(n, gaps_blob, plens_blob, pos_blob, np):
     """One (shard, term) segment row -> (doc_ids, plens, per-doc absolute
     position arrays as one flat array + start offsets)."""
@@ -502,6 +522,95 @@ class PositionalSegmentIndex:
                   .applyInPandas(merge, POS_SEGMENT_SCHEMA))
         return PositionalSegmentIndex(self.spark, merged, self.cfg,
                                       n_shards=self.n_shards)
+
+    def reshard(self, n_shards: int) -> "PositionalSegmentIndex":
+        """Re-shard to a multiple (grow/split) or divisor
+        (shrink/coalesce) of the current shard count — the positional
+        twin of ``SegmentIndex.reshard`` (operators/bm25.py), same CoW
+        contract (self stays a frozen snapshot) and same no-re-tokenize,
+        no-posting-row-shuffle execution (only re-keyed compressed blobs
+        move). This tier shards by ``pmod(doc_id, S)`` directly, so BOTH
+        directions are plain modulo arithmetic: grow computes each doc's
+        child as pmod(doc_id, new) inside the parent's task (single-
+        parent children, since pmod(d, m*old) mod old = pmod(d, old));
+        shrink rewrites the shard column to pmod(shard, new) JVM-side
+        and coalesces — ``_decode_shard_terms`` already merges multiple
+        rows per (shard, term) in doc order."""
+        if not self.n_shards:
+            raise ValueError(
+                "reshard needs n_shards (index built by build() or "
+                "loaded from a save() with _pos_meta.json)")
+        if n_shards == self.n_shards:
+            return self
+        if n_shards > self.n_shards and n_shards % self.n_shards == 0:
+            new_n = n_shards
+
+            def split(key, pdf):
+                import numpy as np
+                import pandas as pd
+
+                out = {"shard": [], "term": [], "n_docs": [],
+                       "gaps_blob": [], "plens_blob": [], "pos_blob": []}
+                for term, dec in _decode_shard_terms(pdf, np).items():
+                    doc_ids, plens, starts, flat = dec
+                    child = np.mod(doc_ids, new_n)
+                    for sh in np.unique(child):
+                        m = child == sh
+                        idx = np.flatnonzero(m)
+                        sel = plens[idx]
+                        if flat.size and sel.sum():
+                            cs = np.cumsum(sel) - sel
+                            ar = np.arange(int(sel.sum()))
+                            take = (ar - np.repeat(cs, sel)
+                                    + np.repeat(starts[idx], sel))
+                            sub_flat = flat[take]
+                        else:
+                            sub_flat = np.empty(0, np.int64)
+                        gb, plb, pb = _encode_term_arrays(
+                            doc_ids[idx], sel, sub_flat, np)
+                        out["shard"].append(int(sh))
+                        out["term"].append(term)
+                        out["n_docs"].append(int(idx.size))
+                        out["gaps_blob"].append(gb)
+                        out["plens_blob"].append(plb)
+                        out["pos_blob"].append(pb)
+                return pd.DataFrame(out)
+
+            seg = (self.segments.groupby("shard")
+                   .applyInPandas(split, POS_SEGMENT_SCHEMA))
+        elif n_shards > 0 and self.n_shards % n_shards == 0:
+            def coalesce(key, pdf):
+                import numpy as np
+                import pandas as pd
+
+                shard = int(key[0])
+                out = {"shard": [], "term": [], "n_docs": [],
+                       "gaps_blob": [], "plens_blob": [], "pos_blob": []}
+                for term, dec in _decode_shard_terms(pdf, np).items():
+                    doc_ids, plens, _starts, flat = dec
+                    gb, plb, pb = _encode_term_arrays(
+                        doc_ids, plens, flat, np)
+                    out["shard"].append(shard)
+                    out["term"].append(term)
+                    out["n_docs"].append(int(doc_ids.size))
+                    out["gaps_blob"].append(gb)
+                    out["plens_blob"].append(plb)
+                    out["pos_blob"].append(pb)
+                return pd.DataFrame(out)
+
+            seg = (self.segments
+                   .withColumn("shard",
+                               F.pmod(F.col("shard"),
+                                      F.lit(int(n_shards))).cast("int"))
+                   .groupby("shard")
+                   .applyInPandas(coalesce, POS_SEGMENT_SCHEMA))
+        else:
+            raise ValueError(
+                f"reshard: {n_shards} must be a positive multiple or "
+                f"divisor of the current {self.n_shards} shards "
+                "(anything else = rebuild via build())")
+        return PositionalSegmentIndex(self.spark, seg, self.cfg,
+                                      n_shards=n_shards)
 
     def cache(self) -> "PositionalSegmentIndex":
         self.segments = self.segments.cache()
