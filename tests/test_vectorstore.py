@@ -183,3 +183,40 @@ def test_time_travel_and_vacuum(spark, store):
     assert not os.path.exists(f"{store.root}/v{v1}.json")
     # latest still fully readable after vacuum
     assert len(_resolved_dict(store)) == 85
+
+
+def test_retrain_rotates_quantizer_and_migrates_contents(
+        spark, store, tmp_path):
+    """Quantizer rotation: retrain() trains a fresh quantizer on the
+    CURRENT contents and migrates them into a new store generation —
+    contents identical as a (vec_id, embedding) set, exhaustive-probe
+    search identical to the old generation (and to brute force), old
+    root untouched and still serving."""
+    store.upsert(_vecs(spark, _mk(40, seed=9, base=1000)))  # drift batch
+    store.delete(_vecs(spark, [(5, [0.0] * 6)]).select("vec_id"))
+    before = _resolved_dict(store)
+
+    new = store.retrain(str(tmp_path / "vs2"), k_cells=8, seed=13)
+    after = _resolved_dict(new)
+    assert len(new._cents) == 8
+    assert {v: e for v, (_, e) in after.items()} \
+        == {v: e for v, (_, e) in before.items()}
+    q = [0.5, 0.1, 0.9, 0.2, 0.7, 0.3]
+    got_new = [(r["cos_sim"], r["vec_id"])
+               for r in new.search(q, k=10, nprobe=new.k_cells).collect()]
+    got_old = [(r["cos_sim"], r["vec_id"])
+               for r in store.search(q, k=10,
+                                     nprobe=store.k_cells).collect()]
+    assert got_new == got_old == _brute_topk(after, q, 10)
+    # migrated rows live in folded cell partitions, no deltas pending
+    assert new.manifest()["deltas"] == []
+    # old generation unchanged (CoW across generations)
+    assert _resolved_dict(store) == before
+
+
+def test_retrain_empty_store_raises(spark, tmp_path):
+    st = IvfVectorStore.create(
+        spark, str(tmp_path / "e"), k_cells=2,
+        centroids=[[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="non-empty"):
+        st.retrain(str(tmp_path / "e2"))

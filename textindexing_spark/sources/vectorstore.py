@@ -395,6 +395,38 @@ class IvfVectorStore:
                 man["cells"][str(c)] = d
         return man
 
+    def retrain(self, dest_root: str, k_cells: int | None = None,
+                seed: int = 7, iters: int = 8, sample_n: int = 10_000,
+                version: int | None = None) -> "IvfVectorStore":
+        """Quantizer rotation: the pinned-centroid contract is per STORE
+        GENERATION — when ingest drift makes the create-time geometry a
+        bad fit (cells running hot/cold, recall sagging at fixed
+        nprobe), train a FRESH coarse quantizer on the store's CURRENT
+        contents and migrate them into a new generation at ``dest_root``
+        (≙ retraining a FAISS IVF index; same CoW discipline as the rest
+        of the engine: the old root keeps serving every pinned version,
+        cutover is the caller's pointer swap). Embeddings migrate as-is
+        — one bounded driver-side sample + seeded Lloyd's, one broadcast
+        assignment join, one 'rewrite' upsert folded straight into cell
+        partitions; the expensive upstream work (producing the
+        embeddings) is never redone."""
+        from pyspark import StorageLevel
+
+        cur = (self.resolved(version).select("vec_id", "embedding")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        try:
+            if not cur.take(1):
+                raise ValueError("retrain needs a non-empty store "
+                                 "(nothing to train the quantizer on)")
+            k = k_cells if k_cells is not None else len(self._cents)
+            new = IvfVectorStore.create(
+                self.spark, dest_root, embeddings=cur, k_cells=k,
+                seed=seed, iters=iters, sample_n=sample_n)
+            new.upsert(cur, mode="rewrite")
+            return new
+        finally:
+            cur.unpersist()
+
     def vacuum(self, keep_last: int = 2) -> list[str]:
         """Drop data dirs unreachable from the newest ``keep_last``
         manifests (clamped >= 1) and the older manifests themselves —
