@@ -152,11 +152,32 @@ def run_level(cpus: int, master: str | None = None) -> dict:
     timed("prepare_serving",
           lambda: seg.prepare_for_queries(query_groups=SHUFFLE_PARTITIONS))
 
+    # optional stage (SPARK_GRAFT_SCALE_RESHARD=1): the scale-out
+    # maintenance op at both levels — split the saved index 4x at the
+    # compressed-blob tier (SegmentIndex.reshard: decode+re-encode per
+    # parent shard, no re-tokenize, no posting-row shuffle). Runs on a
+    # fresh load so the serving caches below are untouched.
+    reshard_fields = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_RESHARD") == "1":
+        fresh = SegmentIndex.load(spark, out_dir, cfg)
+        tr0 = time.perf_counter()
+        grown = fresh.reshard(N_SHARDS * 4)
+        n_rows = grown.segments.count() + grown.shard_docs.count()
+        r_s = time.perf_counter() - tr0
+        grown.unpersist()
+        reshard_fields = {
+            "reshard_s": round(r_s, 3),
+            "reshard_to_shards": N_SHARDS * 4,
+            "reshard_rows": int(n_rows),
+            "reshard_docs_per_sec": round(n_indexed / r_s, 1),
+        }
+
+    skip_q = os.environ.get("SPARK_GRAFT_SCALE_SKIP_QUERIES") == "1"
     with open(f"{REPO}/fixtures/queries.json") as fh:
         qset = [q for q in json.load(fh) if q["mode"] == "bm25"]
     # per-query latency sample (interactive mode)
     lat = []
-    for q in qset[:3]:
+    for q in ([] if skip_q else qset[:3]):
         t = time.perf_counter()
         seg.search_bm25(q["query_text"], q["k"]).collect()
         lat.append(time.perf_counter() - t)
@@ -186,9 +207,12 @@ def run_level(cpus: int, master: str | None = None) -> dict:
         # silently dedupe repeated texts and shrink the batch size
         batch = {f"{i}:{j}": q["query_text"]
                  for i in range(qmult) for j, q in enumerate(qset)}
-    tq0 = time.perf_counter()
-    seg.search_bm25_many(batch, 10).collect()
-    query_s = time.perf_counter() - tq0
+    if skip_q:
+        batch, query_s = {}, None
+    else:
+        tq0 = time.perf_counter()
+        seg.search_bm25_many(batch, 10).collect()
+        query_s = time.perf_counter() - tq0
 
     out = {
         "cpus": cpus,
@@ -203,9 +227,11 @@ def run_level(cpus: int, master: str | None = None) -> dict:
         "build_docs_per_sec": round(n_docs / build_s, 1),
         "bm25_n_queries": len(batch),
         "bm25_distinct_texts": len(set(batch.values())),
-        "bm25_total_s": round(query_s, 3),
-        "bm25_qps": round(len(batch) / query_s, 2),
-        "bm25_p50_ms": round(statistics.median(lat) * 1000, 1),
+        "bm25_total_s": round(query_s, 3) if query_s else None,
+        "bm25_qps": round(len(batch) / query_s, 2) if query_s else None,
+        "bm25_p50_ms": (round(statistics.median(lat) * 1000, 1)
+                        if lat else None),
+        **reshard_fields,
         "shuffle_partitions": SHUFFLE_PARTITIONS,
         "input_partitions": INPUT_PARTITIONS,
         "replicate": REPLICATE,
