@@ -68,16 +68,19 @@ def _tiny_png() -> bytes:
 
 
 def test_real_decoder_seam_contract():
-    """The decode seam: 8-bit PNG now decodes through the stdlib-zlib
-    BASELINE (no Pillow needed — round-5 upgrade); payloads beyond every
-    baseline (JPEG, compressed audio) decode through Pillow/soundfile
-    when importable and raise NotImplementedError naming the boundary
-    when not — either way the operators above the seam are untouched
-    (README documents this contract)."""
+    """The decode seam: 8-bit PNG and baseline-sequential JPEG decode
+    through pure-Python BASELINES (no Pillow needed — round-5 upgrades);
+    payloads beyond every baseline (GIF/TIFF/WebP images, compressed
+    audio) decode through Pillow/soundfile when importable and raise
+    NotImplementedError naming the boundary when not — either way the
+    operators above the seam are untouched (README documents this
+    contract)."""
     img = mm.decode_rgb(_tiny_png())  # baseline path, lib-independent
     assert img.shape == (1, 1, 3)
     assert tuple(int(v) for v in img[0, 0]) == (255, 0, 0)
-    jpeg = b"\xff\xd8\xff\xe0" + b"\0" * 64  # JFIF-shaped payload
+    # JFIF-shaped garbage engages the JPEG baseline and degrades (P7)
+    with pytest.raises(NotImplementedError, match="corrupt"):
+        mm.decode_rgb(b"\xff\xd8\xff\xe0" + b"\0" * 64)
     try:
         import PIL  # noqa: F401
         has_pil = True
@@ -85,9 +88,9 @@ def test_real_decoder_seam_contract():
         has_pil = False
     if not has_pil:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            mm.decode_rgb(jpeg)
-        # RIFF/WAVE + PNG decode via pure-Python baselines, so the lib
-        # boundaries apply to JPEG / compressed audio (FLAC) only
+            mm.decode_rgb(b"GIF89a" + b"\0" * 64)  # beyond every baseline
+        # RIFF/WAVE + PNG + JPEG decode via pure-Python baselines, so
+        # the lib boundaries are GIF/TIFF/WebP / compressed audio (FLAC)
         with pytest.raises(NotImplementedError, match="soundfile"):
             mm.decode_pcm(b"fLaC not a real flac stream")
         # a corrupt RIFF container degrades (P7), never crashes a task

@@ -204,6 +204,259 @@ def _decode_png(payload: bytes) -> "np.ndarray | None":
     return np.repeat(px[:, :, :1], 3, axis=2)  # gray / gray+alpha
 
 
+# JPEG baseline support tables. _JPEG_ZIGZAG[k] is the raster index of
+# the k-th zigzag-scanned coefficient (generated, not transcribed, so a
+# typo cannot silently corrupt high-frequency placement); _dct_basis()
+# is the orthonormal DCT-II basis B[u, x] = c(u)/2 * cos((2x+1)u*pi/16),
+# so the 2-D IDCT of a coefficient block S is B.T @ S @ B.
+_JPEG_ZIGZAG = np.array(
+    [y * 8 + (s - y)
+     for s in range(15)
+     for y in (range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0
+               else range(max(0, s - 7), min(s, 7) + 1))])
+_DCT_BASIS = None
+
+
+def _dct_basis() -> "np.ndarray":
+    global _DCT_BASIS
+    if _DCT_BASIS is None:
+        u = np.arange(8, dtype=np.float64).reshape(8, 1)
+        x = np.arange(8, dtype=np.float64).reshape(1, 8)
+        b = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+        b[0] /= np.sqrt(2.0)
+        _DCT_BASIS = b
+    return _DCT_BASIS
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data: un-stuffs 0xFF00 and
+    consumes DRI restart markers; any other marker mid-entropy is a
+    corrupt/truncated stream (ValueError -> decode_rgb's P7 degrade)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.buf, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            d, p = self.data, self.pos
+            if p >= len(d):
+                raise ValueError("JPEG entropy data truncated")
+            b = d[p]
+            if b == 0xFF:
+                nxt = d[p + 1] if p + 1 < len(d) else -1
+                if nxt != 0x00:
+                    raise ValueError(
+                        f"JPEG marker FF{nxt:02X} inside entropy data")
+                self.pos = p + 2
+            else:
+                self.pos = p + 1
+            self.buf, self.n = b, 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        # drop the byte-alignment padding bits, consume the RSTn marker
+        self.n = 0
+        p = self.pos
+        if (p + 1 >= len(self.data) or self.data[p] != 0xFF
+                or not 0xD0 <= self.data[p + 1] <= 0xD7):
+            raise ValueError("JPEG restart marker missing")
+        self.pos = p + 2
+
+
+def _jpeg_huff_table(counts, symbols) -> dict:
+    """DHT counts/symbols -> {(code_length, code): symbol}, canonical
+    code assignment per ITU T.81 Annex C."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            code, k = code + 1, k + 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(bits: "_JpegBits", table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | bits.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    # T.81 F.2.2.1: magnitude-category bits -> signed value
+    return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> "np.ndarray | None":
+    """Baseline sequential JFIF/JPEG (SOF0/SOF1, 8-bit, Huffman) ->
+    (h, w, 3) uint8 RGB in pure Python/numpy: segment walk, bit-level
+    Huffman entropy decode (0xFF00 un-stuffing, DRI/RSTn restarts with
+    DC-predictor reset), dequantize + dezigzag, ONE vectorized IDCT over
+    every block per component (einsum against the DCT-II basis),
+    integer-factor chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), JFIF
+    YCbCr->RGB. Covers the dominant web shape. None = not a JPEG;
+    NotImplementedError = JPEG outside the baseline (progressive SOF2,
+    arithmetic coding, 12-bit, CMYK). The per-symbol Huffman loop is
+    Python — this is the zero-dependency correctness baseline, not a
+    throughput path; production decode rides a vectorized lib behind
+    the same decode_rgb seam."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame, scan, restart_interval, pos = None, None, 0, 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {pos}")
+        if payload[pos + 1] == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        seg = payload[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError(
+                        "JPEG baseline decodes 8-bit quantization "
+                        f"tables only (got precision {pq})")
+                qt[tq] = np.frombuffer(seg, np.uint8, 64,
+                                       i + 1).astype(np.int32)
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (same decode path)
+            prec = seg[0]
+            h, w = struct.unpack_from(">HH", seg, 1)
+            ncomp = seg[5]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG baseline decodes 8-bit precision only "
+                    f"(got {prec}-bit)")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG baseline decodes grayscale/YCbCr only "
+                    f"(got {ncomp} components — CMYK?)")
+            comps = [{"id": seg[6 + 3 * c], "h": seg[7 + 3 * c] >> 4,
+                      "v": seg[7 + 3 * c] & 0xF, "tq": seg[8 + 3 * c]}
+                     for c in range(ncomp)]
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "JPEG baseline decodes sequential Huffman (SOF0/SOF1) "
+                f"only (got SOF marker FF{marker:02X} — progressive/"
+                "arithmetic/lossless)")
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                counts = list(seg[i + 1:i + 17])
+                total = sum(counts)
+                table = _jpeg_huff_table(counts,
+                                         seg[i + 17:i + 17 + total])
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                i += 17 + total
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = seg[0]
+            sel = {seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4,
+                                    seg[2 + 2 * c] & 0xF)
+                   for c in range(ns)}
+            scan = (sel, pos)
+            break
+        # APPn / COM / other tables: skipped by the length walk
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS segment")
+    h, w, comps = frame
+    sel, entropy_pos = scan
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("JPEG zero sampling factor")
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    for c in comps:
+        if vmax % c["v"] or hmax % c["h"]:
+            raise NotImplementedError(
+                "JPEG baseline decodes integer chroma sampling ratios "
+                f"only (got {c['h']}x{c['v']} vs {hmax}x{vmax})")
+        c["bw"], c["bh"] = mcux * c["h"], mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        c["dc_t"], c["ac_t"] = sel[c["id"]]
+        c["pred"] = 0
+    bits = _JpegBits(payload, entropy_pos)
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bits.restart()
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            dct, act = huff_dc[c["dc_t"]], huff_ac[c["ac_t"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    blk = c["coef"][(my * c["v"] + by) * c["bw"]
+                                    + mx * c["h"] + bx]
+                    t = _jpeg_huff_decode(bits, dct)
+                    c["pred"] += _jpeg_extend(bits.bits(t), t) if t else 0
+                    blk[0] = c["pred"]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(bits, act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        blk[k] = _jpeg_extend(bits.bits(s), s)
+                        k += 1
+    basis = _dct_basis()
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]]
+        deq = np.zeros((c["coef"].shape[0], 64), dtype=np.float64)
+        deq[:, _JPEG_ZIGZAG] = c["coef"] * q  # dequantize + dezigzag
+        px = np.einsum("ux,nuv,vy->nxy", basis,
+                       deq.reshape(-1, 8, 8), basis) + 128.0
+        px = (px.reshape(c["bh"], c["bw"], 8, 8)
+              .transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8))
+        if vmax // c["v"] > 1:
+            px = np.repeat(px, vmax // c["v"], axis=0)
+        if hmax // c["h"] > 1:
+            px = np.repeat(px, hmax // c["h"], axis=1)
+        planes.append(px[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    rgb = np.stack([y + 1.402 * (cr - 128.0),
+                    y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                    y + 1.772 * (cb - 128.0)], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def _decode_wav(payload: bytes) -> "np.ndarray | None":
     """RIFF/WAVE 16-bit PCM -> int16 samples (channel-interleaved flat
     array, matching the soundfile path's reshape(-1))."""
@@ -232,15 +485,17 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
     """Image decode -> (h, w, 3) uint8.
 
     TIXM payloads (the deterministic in-container fake: body bytes tile
-    the pixel grid) decode natively, as do REAL uncompressed baseline
-    formats — 24-bit BMP, binary PPM, and 8-bit non-interlaced PNG
-    (stdlib-zlib inflate + scanline unfilter) — via the pure-Python
-    parsers above (no image lib needed). Other foreign payloads (JPEG,
-    exotic PNG shapes) decode through Pillow WHEN it is importable —
-    the seam is this one function; every operator above it is
-    unchanged. In this container no image lib ships, so those raise
-    NotImplementedError naming the boundary (the documented contract:
-    feed TIXM/BMP/PPM/PNG or install Pillow)."""
+    the pixel grid) decode natively, as do REAL baseline formats —
+    24-bit BMP, binary PPM, 8-bit non-interlaced PNG (stdlib-zlib
+    inflate + scanline unfilter), and baseline sequential JPEG
+    (SOF0/SOF1 Huffman, vectorized IDCT) — via the pure-Python parsers
+    above (no image lib needed). Other foreign payloads (GIF/TIFF/WebP,
+    progressive JPEG, exotic PNG shapes) decode through Pillow WHEN it
+    is importable — the seam is this one function; every operator above
+    it is unchanged. In this container no image lib ships, so those
+    raise NotImplementedError naming the boundary (the documented
+    contract: feed TIXM/BMP/PPM/PNG/baseline-JPEG or install
+    Pillow)."""
     if payload is None:  # before the lib gate: a null payload is a null
         raise NotImplementedError("empty payload")  # payload, not a
     hdr = unpack_header(payload)                    # missing dependency
@@ -250,7 +505,7 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
         need = w * h * 3
         reps = int(np.ceil(need / max(body.size, 1)))
         return np.tile(body, reps)[:need].reshape(h, w, 3)
-    for baseline in (_decode_bmp, _decode_ppm, _decode_png):
+    for baseline in (_decode_bmp, _decode_ppm, _decode_png, _decode_jpeg):
         try:
             img = baseline(payload)
         except NotImplementedError:
