@@ -68,13 +68,13 @@ def _tiny_png() -> bytes:
 
 
 def test_real_decoder_seam_contract():
-    """The decode seam: 8-bit PNG and baseline-sequential JPEG decode
-    through pure-Python BASELINES (no Pillow needed — round-5 upgrades);
-    payloads beyond every baseline (GIF/TIFF/WebP images, compressed
-    audio) decode through Pillow/soundfile when importable and raise
-    NotImplementedError naming the boundary when not — either way the
-    operators above the seam are untouched (README documents this
-    contract)."""
+    """The decode seam: 8-bit PNG, baseline-sequential JPEG, GIF, and
+    uncompressed TIFF decode through pure-Python BASELINES (no Pillow
+    needed — round-5 upgrades); payloads beyond every baseline (WebP
+    images, compressed audio) decode through Pillow/soundfile when
+    importable and raise NotImplementedError naming the boundary when
+    not — either way the operators above the seam are untouched (README
+    documents this contract)."""
     img = mm.decode_rgb(_tiny_png())  # baseline path, lib-independent
     assert img.shape == (1, 1, 3)
     assert tuple(int(v) for v in img[0, 0]) == (255, 0, 0)
@@ -88,9 +88,9 @@ def test_real_decoder_seam_contract():
         has_pil = False
     if not has_pil:
         with pytest.raises(NotImplementedError, match="Pillow"):
-            mm.decode_rgb(b"GIF89a" + b"\0" * 64)  # beyond every baseline
-        # RIFF/WAVE + PNG + JPEG decode via pure-Python baselines, so
-        # the lib boundaries are GIF/TIFF/WebP / compressed audio (FLAC)
+            mm.decode_rgb(b"RIFF\0\0\0\0WEBPVP8 " + b"\0" * 64)
+        # RIFF/WAVE + PNG + JPEG + GIF + TIFF decode via pure-Python
+        # baselines; the lib boundaries are WebP / compressed audio
         with pytest.raises(NotImplementedError, match="soundfile"):
             mm.decode_pcm(b"fLaC not a real flac stream")
         # a corrupt RIFF container degrades (P7), never crashes a task

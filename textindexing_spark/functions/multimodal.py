@@ -457,6 +457,156 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray | None":
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+def _gif_lzw_decode(data: bytes, min_code: int) -> bytearray:
+    """GIF-variant LZW (LSB-first variable-width codes, 3-12 bits,
+    clear/EOI codes, deferred-clear table freeze at 4096)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    big = int.from_bytes(data, "little")
+    nbits, bitpos = len(data) * 8, 0
+    out = bytearray()
+    table = {i: bytes([i]) for i in range(clear)}
+    width = min_code + 1
+    next_code, prev = eoi + 1, None
+    while True:
+        if bitpos + width > nbits:
+            raise ValueError("GIF LZW stream truncated")
+        code = (big >> bitpos) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, width = {i: bytes([i]) for i in range(clear)}, \
+                min_code + 1
+            next_code, prev = eoi + 1, None
+            continue
+        if code == eoi:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _decode_gif(payload: bytes) -> "np.ndarray | None":
+    """GIF87a/89a first frame -> (h, w, 3) uint8 RGB, pure Python:
+    block walk (extensions skipped by the sub-block protocol), global/
+    local palette, LZW decompression, interlace de-weave. Animated GIFs
+    yield their FIRST image descriptor (at its own frame size);
+    transparency is ignored (no compositing context). None = not a GIF;
+    NotImplementedError = GIF without any image data."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    gct_packed = payload[10]
+    pos, gct = 13, None
+    if gct_packed & 0x80:
+        n = 2 << (gct_packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3,
+                            pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label byte + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF unknown block 0x{block:02X}")
+        _left, _top, w, h = struct.unpack_from("<HHHH", payload, pos)
+        packed = payload[pos + 8]
+        pos += 9
+        pal = gct
+        if packed & 0x80:  # local color table
+            n = 2 << (packed & 0x07)
+            pal = np.frombuffer(payload, np.uint8, n * 3,
+                                pos).reshape(n, 3)
+            pos += n * 3
+        if pal is None:
+            raise ValueError("GIF image with no color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while payload[pos] != 0:
+            ln = payload[pos]
+            chunks.append(payload[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(b"".join(chunks), min_code), np.uint8)
+        if idx.size < w * h:
+            raise ValueError("GIF pixel data short")
+        idx = idx[:w * h].reshape(h, w)
+        if packed & 0x40:  # interlaced: 4-pass row weave
+            woven = np.empty_like(idx)
+            rows = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                   np.arange(2, h, 4), np.arange(1, h, 2)])
+            woven[rows] = idx
+            idx = woven
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("GIF pixel index outside color table")
+        return pal[idx].copy()
+    raise NotImplementedError("GIF contains no image descriptor")
+
+
+def _decode_tiff(payload: bytes) -> "np.ndarray | None":
+    """Uncompressed baseline TIFF -> (h, w, 3) uint8 RGB, pure Python:
+    II/MM byte order, first-IFD tag walk, chunky 8-bit gray/RGB(A)
+    strips. None = not a TIFF; NotImplementedError = TIFF outside the
+    baseline (compressed, planar, tiled, non-8-bit)."""
+    if len(payload) < 8 or payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    bo = "<" if payload[:2] == b"II" else ">"
+    ifd_off = struct.unpack_from(bo + "I", payload, 4)[0]
+    n_tags = struct.unpack_from(bo + "H", payload, ifd_off)[0]
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags = {}
+    for i in range(n_tags):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, off)
+        if typ not in type_size:  # RATIONAL etc. — not needed here
+            continue
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        total = type_size[typ] * count
+        vo = off + 8 if total <= 4 else struct.unpack_from(
+            bo + "I", payload, off + 8)[0]
+        tags[tag] = struct.unpack_from(bo + str(count) + fmt, payload, vo)
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offsets, counts = tags[273], tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from None
+    compression = tags.get(259, (1,))[0]
+    spp = tags.get(277, (1,))[0]
+    bits = tags.get(258, (8,) * spp)
+    planar = tags.get(284, (1,))[0]
+    if compression != 1 or planar != 1 or any(b != 8 for b in bits) \
+            or spp not in (1, 3, 4):
+        raise NotImplementedError(
+            "TIFF baseline decodes uncompressed chunky 8-bit gray/RGB(A)"
+            f" only (compression={compression}, planar={planar}, "
+            f"bits={bits}, spp={spp})")
+    raw = b"".join(payload[o:o + c] for o, c in zip(offsets, counts))
+    if len(raw) < w * h * spp:
+        raise ValueError("TIFF strip data short")
+    px = np.frombuffer(raw, np.uint8, w * h * spp).reshape(h, w, spp)
+    if spp == 1:
+        if tags.get(262, (1,))[0] == 0:  # WhiteIsZero
+            px = 255 - px
+        return np.repeat(px, 3, axis=2).copy()
+    return px[:, :, :3].copy()
+
+
 def _decode_wav(payload: bytes) -> "np.ndarray | None":
     """RIFF/WAVE 16-bit PCM -> int16 samples (channel-interleaved flat
     array, matching the soundfile path's reshape(-1))."""
@@ -487,15 +637,15 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
     TIXM payloads (the deterministic in-container fake: body bytes tile
     the pixel grid) decode natively, as do REAL baseline formats —
     24-bit BMP, binary PPM, 8-bit non-interlaced PNG (stdlib-zlib
-    inflate + scanline unfilter), and baseline sequential JPEG
-    (SOF0/SOF1 Huffman, vectorized IDCT) — via the pure-Python parsers
-    above (no image lib needed). Other foreign payloads (GIF/TIFF/WebP,
-    progressive JPEG, exotic PNG shapes) decode through Pillow WHEN it
-    is importable — the seam is this one function; every operator above
+    inflate + scanline unfilter), baseline sequential JPEG (SOF0/SOF1
+    Huffman, vectorized IDCT), GIF87a/89a (LZW + palette + interlace),
+    and uncompressed chunky TIFF — via the pure-Python parsers above
+    (no image lib needed). Other foreign payloads (WebP, progressive
+    JPEG, exotic PNG/TIFF shapes) decode through Pillow WHEN it is
+    importable — the seam is this one function; every operator above
     it is unchanged. In this container no image lib ships, so those
     raise NotImplementedError naming the boundary (the documented
-    contract: feed TIXM/BMP/PPM/PNG/baseline-JPEG or install
-    Pillow)."""
+    contract: feed a baseline format or install Pillow)."""
     if payload is None:  # before the lib gate: a null payload is a null
         raise NotImplementedError("empty payload")  # payload, not a
     hdr = unpack_header(payload)                    # missing dependency
@@ -505,7 +655,8 @@ def decode_rgb(payload: bytes) -> "np.ndarray":
         need = w * h * 3
         reps = int(np.ceil(need / max(body.size, 1)))
         return np.tile(body, reps)[:need].reshape(h, w, 3)
-    for baseline in (_decode_bmp, _decode_ppm, _decode_png, _decode_jpeg):
+    for baseline in (_decode_bmp, _decode_ppm, _decode_png, _decode_jpeg,
+                     _decode_gif, _decode_tiff):
         try:
             img = baseline(payload)
         except NotImplementedError:
