@@ -188,6 +188,63 @@ def _wav_bytes(samples: "np.ndarray", rate: int = 8000) -> bytes:
     return b"RIFF" + st.pack("<I", len(chunks)) + chunks
 
 
+def _wav_bytes_fmt(raw: bytes, audio_format: int, bits: int,
+                   extensible_sub: "int | None" = None) -> bytes:
+    """RIFF/WAVE with an arbitrary format tag / sample width; when
+    `extensible_sub` is set, wraps it as WAVE_FORMAT_EXTENSIBLE with
+    that sub-format in the GUID position."""
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", audio_format, 1, 8000,
+                  8000 * bits // 8, bits // 8, bits)
+    if extensible_sub is not None:
+        fmt = st.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000 * bits // 8,
+                      bits // 8, bits) + st.pack("<HHI", 22, bits, 4) \
+            + st.pack("<H", extensible_sub) + b"\x00" * 14
+    chunks = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+              + b"data" + st.pack("<I", len(raw)) + raw)
+    return b"RIFF" + st.pack("<I", len(chunks)) + chunks
+
+
+def test_wav_sample_width_variants():
+    """8/24/32-bit PCM and float32 WAVs normalize to the int16 sample
+    contract (top-16-bits / clipped scale); unsupported formats name
+    the limitation; EXTENSIBLE wrapping resolves the sub-format."""
+    s16 = np.array([-32768, -1, 0, 1, 32767], np.int16)
+    # 8-bit unsigned: midpoint 128, scaled into the top byte
+    u8 = np.array([0, 127, 128, 255], np.uint8)
+    got = mm.decode_pcm(_wav_bytes_fmt(u8.tobytes(), 1, 8))
+    assert np.array_equal(got, ((u8.astype(np.int16) - 128) << 8))
+    # 24-bit PCM: top 16 bits survive
+    vals24 = [-(1 << 23), -1, 0, 1, (1 << 23) - 1]
+    raw24 = b"".join(v.to_bytes(3, "little", signed=True)
+                     for v in vals24)
+    got = mm.decode_pcm(_wav_bytes_fmt(raw24, 1, 24))
+    assert np.array_equal(got, np.array([v >> 8 for v in vals24],
+                                        np.int16))
+    # 32-bit PCM: top 16 bits survive
+    vals32 = np.array([-(1 << 31), -65536, 0, 65536, (1 << 31) - 1],
+                      np.int64)
+    got = mm.decode_pcm(_wav_bytes_fmt(
+        vals32.astype("<i4").tobytes(), 1, 32))
+    assert np.array_equal(got, (vals32 >> 16).astype(np.int16))
+    # float32 in [-1, 1]: scaled and clipped
+    f32 = np.array([-1.5, -1.0, 0.0, 0.5, 1.0], "<f4")
+    got = mm.decode_pcm(_wav_bytes_fmt(f32.tobytes(), 3, 32))
+    assert np.array_equal(got, np.array([-32768, -32767, 0,
+                                         16384, 32767], np.int16))
+    # EXTENSIBLE wrapper resolves to PCM
+    got = mm.decode_pcm(_wav_bytes_fmt(s16.astype("<i2").tobytes(),
+                                       1, 16, extensible_sub=1))
+    assert np.array_equal(got, s16)
+    # unsupported: 12-bit PCM names the boundary
+    with pytest.raises(NotImplementedError, match="8/16/24/32"):
+        mm.decode_pcm(_wav_bytes_fmt(b"\x00" * 6, 1, 12))
+    # ADPCM (format 2) names the boundary too
+    with pytest.raises(NotImplementedError, match="format=2"):
+        mm.decode_pcm(_wav_bytes_fmt(b"\x00" * 8, 2, 16))
+
+
 def test_real_bmp_ppm_wav_baseline_decoders(spark):
     """REAL uncompressed media bytes decode with no external lib: 24-bit
     BMP and binary PPM through decode_rgb, RIFF 16-bit PCM through

@@ -608,8 +608,11 @@ def _decode_tiff(payload: bytes) -> "np.ndarray | None":
 
 
 def _decode_wav(payload: bytes) -> "np.ndarray | None":
-    """RIFF/WAVE 16-bit PCM -> int16 samples (channel-interleaved flat
-    array, matching the soundfile path's reshape(-1))."""
+    """RIFF/WAVE PCM -> int16 samples (channel-interleaved flat array,
+    matching the soundfile path's reshape(-1)). 16-bit PCM passes
+    through; 8-bit unsigned, 24/32-bit PCM, and 32-bit IEEE float are
+    normalized to int16 (top-16-bits / clipped-scale), so every
+    downstream stat sees one sample contract."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
     pos, fmt, data = 12, None, None
@@ -624,11 +627,34 @@ def _decode_wav(payload: bytes) -> "np.ndarray | None":
     if fmt is None or data is None:
         raise NotImplementedError("WAV missing fmt/data chunk")
     audio_format, _ch, _rate, _bps, _align, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise NotImplementedError(
-            f"WAV baseline decodes 16-bit PCM only (format="
-            f"{audio_format}, bits={bits})")
-    return np.frombuffer(data[:len(data) & ~1], dtype="<i2").copy()
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the sub-format
+        # GUID's first two bytes, 24 bytes into the fmt chunk data
+        ext = payload.find(b"fmt ") + 8 + 24
+        if ext + 2 > len(payload):
+            raise ValueError("WAV extensible fmt chunk truncated")
+        audio_format = struct.unpack_from("<H", payload, ext)[0]
+    if audio_format == 1 and bits == 16:
+        return np.frombuffer(data[:len(data) & ~1], dtype="<i2").copy()
+    if audio_format == 1 and bits == 8:  # unsigned midpoint-128
+        u = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+        return ((u - 128) << 8).astype(np.int16)
+    if audio_format == 1 and bits == 24:
+        n = len(data) // 3
+        b3 = np.frombuffer(data, np.uint8, n * 3).reshape(n, 3)
+        # top 16 of the little-endian 24-bit word
+        return (b3[:, 1].astype(np.int16)
+                | (b3[:, 2].astype(np.int16) << 8)).astype(np.int16)
+    if audio_format == 1 and bits == 32:
+        i32 = np.frombuffer(data[:len(data) & ~3], dtype="<i4")
+        return (i32 >> 16).astype(np.int16)
+    if audio_format == 3 and bits == 32:  # IEEE float in [-1, 1]
+        f = np.frombuffer(data[:len(data) & ~3], dtype="<f4")
+        return np.clip(np.round(f.astype(np.float64) * 32767.0),
+                       -32768, 32767).astype(np.int16)
+    raise NotImplementedError(
+        f"WAV baseline decodes PCM 8/16/24/32-bit and float32 only "
+        f"(format={audio_format}, bits={bits})")
 
 
 def decode_rgb(payload: bytes) -> "np.ndarray":
