@@ -282,3 +282,83 @@ def test_gif_tiff_through_spark_operators(spark):
     assert np.allclose(feats[2][:3],
                        tiff_img.astype(np.float64).mean(axis=(0, 1)),
                        atol=1e-4)
+
+
+# --- real-container video frames (sample_frames seam) ------------------------
+
+def _avi_bytes(frame_chunks, fourcc=b"00dc"):
+    """Minimal RIFF/AVI: stub hdrl LIST + movi LIST holding one chunk
+    per frame (odd-sized chunks pad to even offsets per RIFF)."""
+    def chunk(cid, data):
+        return cid + struct.pack("<I", len(data)) + data \
+            + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(ltype, body):
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
+
+    hdrl = lst(b"hdrl", chunk(b"avih", b"\x00" * 56))
+    movi = lst(b"movi", b"".join(chunk(fourcc, f)
+                                 for f in frame_chunks))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_frame_extraction():
+    from tests.test_jpeg import _jpeg_bytes
+
+    rng = np.random.default_rng(19)
+    frames = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+              for _ in range(5)]
+    jpegs = [_jpeg_bytes(f) for f in frames]
+    got = mm._avi_frames(_avi_bytes(jpegs))
+    assert got == jpegs  # byte-identical slicing, no transcode
+    for j, f in zip(got, frames):
+        dec = mm.decode_rgb(j)
+        assert np.abs(dec[..., 0].astype(int) - f.astype(int)).max() <= 2
+    # a non-MJPEG frame codec names the limitation
+    with pytest.raises(NotImplementedError, match="MJPEG"):
+        mm._avi_frames(_avi_bytes([b"\x00\x01\x02\x03"]))
+    # not an AVI -> None (the seam's "not mine" contract)
+    assert mm._avi_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+def test_sample_frames_real_containers(spark):
+    """sample_frames over REAL video bytes: MJPEG-AVI chunks pass
+    through as standalone JPEGs, animated-GIF frames re-encode as BMP —
+    both decodable by the same decode_rgb seam downstream."""
+    from tests.test_jpeg import _jpeg_bytes
+
+    rng = np.random.default_rng(20)
+    gray_frames = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+                   for _ in range(5)]
+    avi = _avi_bytes([_jpeg_bytes(f) for f in gray_frames])
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    gif_frames = [rng.integers(0, 4, size=(6, 6), dtype=np.uint8)
+                  for _ in range(3)]
+    gif = _gif_bytes(gif_frames[0], pal,
+                     extra_frames=tuple(gif_frames[1:]))
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi), None),
+         (2, "video", bytearray(gif), None),
+         (3, "video", bytearray(b"garbage bytes"), None)],
+        mm.MEDIA_SCHEMA)
+    rows = mm.sample_frames(media, every=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # AVI: frames 0, 2, 4 kept; payloads are the original JPEG bytes
+    avi_rows = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in avi_rows] == [0, 2, 4]
+    for r, fi in zip(avi_rows, (0, 2, 4)):
+        dec = mm.decode_rgb(bytes(r["payload"]))
+        exp = gray_frames[fi]
+        assert np.abs(dec[..., 0].astype(int)
+                      - exp.astype(int)).max() <= 2
+    # GIF: frames 0, 2 kept; BMP payloads decode EXACTLY
+    gif_rows = sorted(by_doc[2], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in gif_rows] == [0, 2]
+    for r, fi in zip(gif_rows, (0, 2)):
+        assert np.array_equal(mm.decode_rgb(bytes(r["payload"])),
+                              pal[gif_frames[fi]])
+    # undecodable payloads are skipped, not crashed (P7)
+    assert 3 not in by_doc

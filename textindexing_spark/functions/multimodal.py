@@ -494,17 +494,16 @@ def _gif_lzw_decode(data: bytes, min_code: int) -> bytearray:
         prev = entry
 
 
-def _decode_gif(payload: bytes) -> "np.ndarray | None":
-    """GIF87a/89a first frame -> (h, w, 3) uint8 RGB, pure Python:
-    block walk (extensions skipped by the sub-block protocol), global/
-    local palette, LZW decompression, interlace de-weave. Animated GIFs
-    yield their FIRST image descriptor (at its own frame size);
-    transparency is ignored (no compositing context). None = not a GIF;
-    NotImplementedError = GIF without any image data."""
+def _gif_frames(payload: bytes, first_only: bool = False):
+    """GIF87a/89a image descriptors -> list of (left, top, rgb) frames,
+    pure Python: block walk (extensions skipped by the sub-block
+    protocol), global/local palette, LZW decompression, interlace
+    de-weave. Transparency/disposal are ignored (each frame is returned
+    as drawn, not composited). None = not a GIF."""
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     gct_packed = payload[10]
-    pos, gct = 13, None
+    pos, gct, frames = 13, None, []
     if gct_packed & 0x80:
         n = 2 << (gct_packed & 0x07)
         gct = np.frombuffer(payload, np.uint8, n * 3,
@@ -523,7 +522,7 @@ def _decode_gif(payload: bytes) -> "np.ndarray | None":
             continue
         if block != 0x2C:
             raise ValueError(f"GIF unknown block 0x{block:02X}")
-        _left, _top, w, h = struct.unpack_from("<HHHH", payload, pos)
+        left, top, w, h = struct.unpack_from("<HHHH", payload, pos)
         packed = payload[pos + 8]
         pos += 9
         pal = gct
@@ -555,8 +554,81 @@ def _decode_gif(payload: bytes) -> "np.ndarray | None":
             idx = woven
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("GIF pixel index outside color table")
-        return pal[idx].copy()
-    raise NotImplementedError("GIF contains no image descriptor")
+        frames.append((left, top, pal[idx].copy()))
+        if first_only:
+            return frames
+    return frames
+
+
+def _decode_gif(payload: bytes) -> "np.ndarray | None":
+    """GIF87a/89a first frame -> (h, w, 3) uint8 RGB. Animated GIFs
+    yield their FIRST image descriptor (at its own frame size); use
+    sample_frames for the full frame sequence. None = not a GIF;
+    NotImplementedError = GIF without any image data."""
+    frames = _gif_frames(payload, first_only=True)
+    if frames is None:
+        return None
+    if not frames:
+        raise NotImplementedError("GIF contains no image descriptor")
+    return frames[0][2]
+
+
+def _encode_bmp(img: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BMP, the inverse of
+    `_decode_bmp` — used to emit extracted video frames as payloads the
+    same decode_rgb seam can read back."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR
+    data = rows.tobytes()
+    return (b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(data), 2835, 2835, 0, 0) + data)
+
+
+def _avi_frames(payload: bytes) -> "list[bytes] | None":
+    """RIFF/AVI chunk walk -> the raw per-frame payloads of the video
+    stream ('##dc'/'##db' chunks inside LIST movi, in file order). For
+    MJPEG each chunk IS a standalone baseline JPEG, so frame extraction
+    is pure byte slicing — no transcode. None = not an AVI;
+    NotImplementedError = a non-image-bearing frame codec."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        return None
+    frames: list = []
+
+    def walk(pos, end):
+        while pos + 8 <= end:
+            cid = payload[pos:pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"LIST":
+                walk(pos + 12, min(pos + 8 + size, end))
+            elif cid[2:4] in (b"dc", b"db") and size:
+                frames.append(payload[pos + 8:pos + 8 + size])
+            pos += 8 + size + (size & 1)  # chunks pad to even offsets
+
+    walk(12, len(payload))
+    for f in frames:
+        if f[:2] != b"\xff\xd8" and f[:2] != b"BM":
+            raise NotImplementedError(
+                "AVI baseline extracts MJPEG/DIB frame streams only "
+                f"(frame magic {f[:2]!r})")
+    return frames
+
+
+def _video_frames(payload: bytes) -> "list[bytes] | None":
+    """Real-container frame extraction behind sample_frames: MJPEG/DIB
+    AVI chunks pass through as-is (each is decode_rgb-readable); GIF
+    frames re-encode as BMP payloads (same seam). None = not a known
+    video container."""
+    frames = _avi_frames(payload)
+    if frames is not None:
+        return frames
+    gif = _gif_frames(payload)
+    if gif is not None:
+        return [_encode_bmp(rgb) for _left, _top, rgb in gif]
+    return None
 
 
 def _decode_tiff(payload: bytes) -> "np.ndarray | None":
@@ -882,16 +954,32 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
 
 def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     """Video frame sampling: one output row per kept frame index —
-    (doc_id, frame_idx, payload). Frame bytes are sliced from the fake
-    container; ffmpeg seek-decode slots in here."""
+    (doc_id, frame_idx, payload). TIXM frame bytes are sliced from the
+    fake container; REAL MJPEG/DIB AVI chunks pass through as-is and
+    GIF frames re-encode as BMP — every emitted payload is readable by
+    the same decode_rgb seam. ffmpeg seek-decode slots in for codecs
+    beyond the baseline (undecodable payloads are skipped, the P7
+    degrade)."""
     def fs(batches):
         import pandas as pd
 
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "payload": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                hdr = unpack_header(bytes(payload))
-                if hdr is None or hdr["n_frames"] <= 0:
+                raw = bytes(payload)
+                hdr = unpack_header(raw)
+                if hdr is None:
+                    try:
+                        real = _video_frames(raw)
+                    except Exception:
+                        real = None  # corrupt/foreign: P7 degrade
+                    if real:
+                        for fi in range(0, len(real), every):
+                            out["doc_id"].append(doc_id)
+                            out["frame_idx"].append(fi)
+                            out["payload"].append(real[fi])
+                    continue
+                if hdr["n_frames"] <= 0:
                     continue
                 for fi in range(0, hdr["n_frames"], every):
                     out["doc_id"].append(doc_id)
