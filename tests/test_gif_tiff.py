@@ -19,8 +19,14 @@ from textindexing_spark.functions import multimodal as mm
 # --- in-test GIF writer ------------------------------------------------------
 
 def _gif_lzw_encode(indices, min_code):
-    """Standard GIF LZW: emits a leading clear code, grows code width
-    when next_code passes the current range, clears at table overflow."""
+    """Standard GIF LZW: emits a leading clear code, clears at table
+    overflow. Code width is driven by a MIRROR of the decoder's own
+    bookkeeping (the decoder adds a table entry after every data code
+    past the first and bumps width when its next_code hits the range),
+    so encoder and decoder can never disagree on a code's width — the
+    naive 'bump after my own add' rule desyncs on EOI when the
+    decoder's add after the FINAL data code crosses a width boundary
+    (found by hypothesis)."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     out, acc, nacc = bytearray(), 0, 0
     width = min_code + 1
@@ -35,28 +41,38 @@ def _gif_lzw_encode(indices, min_code):
             nacc -= 8
 
     def reset():
-        return {bytes([i]): i for i in range(clear)}, eoi + 1
+        nonlocal width
+        width = min_code + 1
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, eoi + 1, 0
+
+    def emit_data(code):
+        # decoder-mirrored width update: it adds an entry after every
+        # data code except the first-after-clear, freezing at 4096
+        nonlocal dec_next, n_data, width
+        emit(code)
+        n_data += 1
+        if n_data >= 2 and dec_next < 4096:
+            dec_next += 1
+            if dec_next == (1 << width) and width < 12:
+                width += 1
 
     emit(clear)
-    table, next_code = reset()
+    table, next_code, dec_next, n_data = reset()
     s = b""
     for v in bytes(indices):
         sc = s + bytes([v])
         if sc in table:
             s = sc
             continue
-        emit(table[s])
+        emit_data(table[s])
         table[sc] = next_code
         next_code += 1
-        if next_code > (1 << width) and width < 12:
-            width += 1
         if next_code == 4096:
             emit(clear)
-            table, next_code = reset()
-            width = min_code + 1
+            table, next_code, dec_next, n_data = reset()
         s = bytes([v])
     if s:
-        emit(table[s])
+        emit_data(table[s])
     emit(eoi)
     if nacc:
         out.append(acc & 0xFF)
