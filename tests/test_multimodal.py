@@ -188,6 +188,51 @@ def _wav_bytes(samples: "np.ndarray", rate: int = 8000) -> bytes:
     return b"RIFF" + st.pack("<I", len(chunks)) + chunks
 
 
+def test_probe_dimensions_real_formats(spark):
+    """Header-only dimension probing for every real image format — no
+    pixel decode; media_metadata reports real payloads' dims (ok=True
+    when the meta column is absent or agrees, False on a mismatch)."""
+    from tests.test_gif_tiff import _gif_bytes, _tiff_bytes
+    from tests.test_jpeg import _jpeg_bytes, _seg
+    import struct as st
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(5, 3), dtype=np.uint8)
+    payloads = {
+        "bmp": _bmp_bytes(img),
+        "ppm": b"P6\n# c\n3 5\n255\n" + img.tobytes(),
+        "png": _png_bytes(img, [0]),
+        "gif": _gif_bytes(idx, pal),
+        "tiff": _tiff_bytes(img),
+        "jpeg": _jpeg_bytes(img),
+    }
+    for name, p in payloads.items():
+        assert mm.probe_dimensions(p) == (3, 5), name
+    # progressive JPEG: dims probe fine even though decode rejects it
+    prog = (b"\xff\xd8"
+            + _seg(0xC2, bytes([8]) + st.pack(">HH", 5, 3)
+                   + bytes([1, 1, 0x11, 0])))
+    assert mm.probe_dimensions(prog) == (3, 5)
+    assert mm.probe_dimensions(b"not an image") is None
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payloads["jpeg"]), None),
+         (2, "image", bytearray(payloads["gif"]), {"width": 3,
+                                                   "height": 5}),
+         (3, "image", bytearray(payloads["tiff"]), {"width": 9,
+                                                    "height": 9}),
+         (4, "image", bytearray(b"garbage"), None)],
+        mm.MEDIA_SCHEMA)
+    rows = {r["doc_id"]: r for r in mm.media_metadata(media).collect()}
+    assert rows[1]["ok"] and (rows[1]["width"], rows[1]["height"]) == (3, 5)
+    assert rows[2]["ok"]
+    assert not rows[3]["ok"]  # meta mismatch quarantines
+    assert (rows[3]["width"], rows[3]["height"]) == (3, 5)
+    assert not rows[4]["ok"] and rows[4]["width"] == -1
+
+
 def _wav_bytes_fmt(raw: bytes, audio_format: int, bits: int,
                    extensible_sub: "int | None" = None) -> bytes:
     """RIFF/WAVE with an arbitrary format tag / sample width; when

@@ -862,9 +862,77 @@ def synthesize_media(docs: DataFrame, kind: str = "image",
 
 # --- operators (the real Spark-side plumbing) -------------------------------
 
+def probe_dimensions(payload: bytes) -> "tuple[int, int] | None":
+    """Header-only (width, height) for every real baseline image format
+    — parses a few header bytes, never the pixel data, so metadata over
+    100 TB of media costs a handful of byte reads per row. Covers BMP,
+    PPM, PNG, GIF (screen descriptor), TIFF, and JPEG (ANY SOFn,
+    including progressive streams the decode baseline rejects). None =
+    unrecognized."""
+    try:
+        if len(payload) >= 26 and payload[:2] == b"BM":
+            w, h = struct.unpack_from("<ii", payload, 18)
+            return w, abs(h)
+        if payload.startswith(b"P6"):
+            pos, vals = 2, []
+            while len(vals) < 2:
+                while payload[pos:pos + 1].isspace():
+                    pos += 1
+                if payload[pos:pos + 1] == b"#":
+                    pos = payload.index(b"\n", pos) + 1
+                    continue
+                start = pos
+                while not payload[pos:pos + 1].isspace():
+                    pos += 1
+                vals.append(int(payload[start:pos]))
+            return vals[0], vals[1]
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h = struct.unpack_from(">II", payload, 16)
+            return w, h
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", payload, 6)
+            return w, h
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            bo = "<" if payload[:2] == b"II" else ">"
+            ifd = struct.unpack_from(bo + "I", payload, 4)[0]
+            n = struct.unpack_from(bo + "H", payload, ifd)[0]
+            dims = {}
+            for i in range(n):
+                off = ifd + 2 + 12 * i
+                tag, typ, _cnt = struct.unpack_from(bo + "HHI",
+                                                    payload, off)
+                if tag in (256, 257) and typ in (3, 4):
+                    fmt = "H" if typ == 3 else "I"
+                    dims[tag] = struct.unpack_from(bo + fmt, payload,
+                                                   off + 8)[0]
+            if 256 in dims and 257 in dims:
+                return dims[256], dims[257]
+            return None
+        if payload[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    return None
+                marker = payload[pos + 1]
+                if marker in (0xFF, 0xD8) or 0xD0 <= marker <= 0xD9:
+                    pos += 1 if marker == 0xFF else 2
+                    continue
+                ln = struct.unpack_from(">H", payload, pos + 2)[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8,
+                                                             0xCC):
+                    h, w = struct.unpack_from(">HH", payload, pos + 5)
+                    return w, h
+                pos += 2 + ln
+    except Exception:
+        return None
+    return None
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Validate payload headers against the typed meta column; quarantine
-    mismatches (≙ P7 per-doc failure isolation). Pure narrow map."""
+    mismatches (≙ P7 per-doc failure isolation). TIXM headers and real
+    baseline formats both probe header-only (probe_dimensions) — pure
+    narrow map, no pixel decode."""
     def check(batches):
         import pandas as pd
 
@@ -873,17 +941,24 @@ def media_metadata(media: DataFrame) -> DataFrame:
                     "height": [], "n_bytes": []}
             for doc_id, kind, payload, meta in zip(
                     pdf["doc_id"], pdf["kind"], pdf["payload"], pdf["meta"]):
-                hdr = unpack_header(bytes(payload) if payload is not None
-                                    else None)
+                raw = bytes(payload) if payload is not None else None
+                hdr = unpack_header(raw)
+                if hdr is not None:
+                    ok = (hdr["width"] == meta["width"]
+                          and hdr["height"] == meta["height"])
+                    w, h = hdr["width"], hdr["height"]
+                elif raw and (dims := probe_dimensions(raw)) is not None:
+                    w, h = dims
+                    ok = meta is None or (meta["width"] == w
+                                          and meta["height"] == h)
+                else:
+                    ok, w, h = False, -1, -1
                 rows["doc_id"].append(doc_id)
                 rows["kind"].append(kind)
-                rows["ok"].append(hdr is not None
-                                  and hdr["width"] == meta["width"]
-                                  and hdr["height"] == meta["height"])
-                rows["width"].append(hdr["width"] if hdr else -1)
-                rows["height"].append(hdr["height"] if hdr else -1)
-                rows["n_bytes"].append(len(payload)
-                                       if payload is not None else 0)
+                rows["ok"].append(ok)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_bytes"].append(len(raw) if raw is not None else 0)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(
