@@ -208,8 +208,13 @@ def test_probe_dimensions_real_formats(spark):
         "tiff": _tiff_bytes(img),
         "jpeg": _jpeg_bytes(img),
     }
+    gray = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)
+    payloads["pgm"] = b"P5\n3 5\n255\n" + gray.tobytes()
     for name, p in payloads.items():
         assert mm.probe_dimensions(p) == (3, 5), name
+    # P5 grayscale broadcasts through the same parser
+    assert np.array_equal(mm.decode_rgb(payloads["pgm"]),
+                          np.repeat(gray[:, :, None], 3, axis=2))
     # progressive JPEG: dims probe fine even though decode rejects it
     prog = (b"\xff\xd8"
             + _seg(0xC2, bytes([8]) + st.pack(">HH", 5, 3)

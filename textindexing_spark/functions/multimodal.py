@@ -97,9 +97,11 @@ def _decode_bmp(payload: bytes) -> "np.ndarray | None":
 
 
 def _decode_ppm(payload: bytes) -> "np.ndarray | None":
-    """Binary PPM (P6, maxval<=255) -> (h, w, 3) uint8 RGB."""
-    if not payload.startswith(b"P6"):
+    """Binary PPM/PGM (P6 color / P5 gray, maxval<=255) -> (h, w, 3)
+    uint8 RGB (gray broadcasts)."""
+    if not (payload.startswith(b"P6") or payload.startswith(b"P5")):
         return None
+    ch = 3 if payload[:2] == b"P6" else 1
     # header = three whitespace-separated ints after the magic, with
     # '#' comment lines allowed between tokens
     pos, vals = 2, []
@@ -117,9 +119,10 @@ def _decode_ppm(payload: bytes) -> "np.ndarray | None":
     if maxval > 255:
         raise NotImplementedError("PPM baseline decodes maxval<=255 only")
     pos += 1  # exactly one whitespace byte after maxval
-    return (np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
-                          offset=pos)
-            .reshape(h, w, 3).copy())
+    px = (np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
+                        offset=pos)
+          .reshape(h, w, ch))
+    return px.copy() if ch == 3 else np.repeat(px, 3, axis=2)
 
 
 def _decode_png(payload: bytes) -> "np.ndarray | None":
@@ -873,7 +876,7 @@ def probe_dimensions(payload: bytes) -> "tuple[int, int] | None":
         if len(payload) >= 26 and payload[:2] == b"BM":
             w, h = struct.unpack_from("<ii", payload, 18)
             return w, abs(h)
-        if payload.startswith(b"P6"):
+        if payload[:2] in (b"P6", b"P5"):
             pos, vals = 2, []
             while len(vals) < 2:
                 while payload[pos:pos + 1].isspace():
