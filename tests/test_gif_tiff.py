@@ -378,3 +378,47 @@ def test_sample_frames_real_containers(spark):
                               pal[gif_frames[fi]])
     # undecodable payloads are skipped, not crashed (P7)
     assert 3 not in by_doc
+
+
+def test_avi_headerless_dib_frames_via_strf():
+    """Real uncompressed AVIs carry HEADERLESS DIB bits in their
+    '##db' chunks — the pixel format lives in the stream's strf
+    BITMAPINFOHEADER. The walk must wrap each chunk with a
+    BITMAPFILEHEADER + that strf so decode_rgb reads it, and must take
+    only the vids stream's chunks (here stream 01; a decoy '00db'
+    chunk belongs to the non-video stream 00 and is dropped)."""
+    rng = np.random.default_rng(31)
+    imgs = [rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+            for _ in range(3)]
+
+    def dib_bits(img):  # bottom-up BGR rows, 4-byte padded — raw bits
+        h, w = img.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, :w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+        return rows.tobytes()
+
+    def chunk(cid, data):
+        return cid + struct.pack("<I", len(data)) + data \
+            + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(ltype, body):
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
+
+    strf = struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 24, 0,
+                       len(dib_bits(imgs[0])), 2835, 2835, 0, 0)
+    strl_audio = lst(b"strl", chunk(b"strh", b"auds" + b"\x00" * 52)
+                     + chunk(b"strf", b"\x01\x00" + b"\x00" * 14))
+    strl_video = lst(b"strl", chunk(b"strh", b"vids" + b"\x00" * 52)
+                     + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", b"\x00" * 56)
+               + strl_audio + strl_video)
+    movi = lst(b"movi", chunk(b"00db", b"\x07\x07\x07\x07")  # decoy
+               + b"".join(chunk(b"01db", dib_bits(i)) for i in imgs))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    frames = mm._avi_frames(avi)
+    assert len(frames) == 3  # the stream-00 decoy chunk is dropped
+    for f, img in zip(frames, imgs):
+        assert np.array_equal(mm.decode_rgb(f), img)

@@ -297,3 +297,39 @@ def test_jpeg_through_spark_operators(spark):
     feat = mm.image_features(media).collect()[0]["feature"]
     exp = decoded.astype(np.float64).mean(axis=(0, 1))
     assert np.allclose(feat[:3], exp, atol=1e-4)
+
+
+def test_gray_declared_2x2_sampling_is_non_interleaved():
+    """T.81 A.2.2: a single-component scan is non-interleaved — one 8x8
+    block per MCU in raster order — regardless of declared sampling
+    factors. jpegtran -grayscale keeps the source's 2x2 luma factors
+    over exactly this block layout; walking 2x2-block MCUs instead
+    silently permutes blocks (dims a multiple of 16 make the block
+    counts match, so there is no error to catch)."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(16, 32), dtype=np.uint8)
+    plain = _jpeg_bytes(img)
+    # patch the SOF component's sampling byte 0x11 -> 0x22 (the only
+    # place this exact SOF body byte sequence occurs)
+    sof_plain = bytes([8]) + struct.pack(">HH", 16, 32) \
+        + bytes([1, 1, 0x11, 0])
+    sof_2x2 = bytes([8]) + struct.pack(">HH", 16, 32) \
+        + bytes([1, 1, 0x22, 0])
+    assert plain.count(sof_plain) == 1
+    patched = plain.replace(sof_plain, sof_2x2)
+    assert np.array_equal(mm.decode_rgb(patched), mm.decode_rgb(plain))
+
+
+def test_multi_scan_sequential_names_limitation():
+    """A sequential stream whose SOS covers fewer components than the
+    frame declares (per-component non-interleaved scans) names the
+    baseline boundary instead of dying on a missing scan selector."""
+    sof = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([3]) \
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    stream = (b"\xff\xd8" + _seg(0xDB, dqt) + _seg(0xC0, sof)
+              + _seg(0xC4, _dht_body(0, 0, _DC_COUNTS, _DC_SYMS)
+                     + _dht_body(1, 0, _AC_COUNTS, _AC_SYMS))
+              + _seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00"))
+    with pytest.raises(NotImplementedError, match="single-scan"):
+        mm.decode_rgb(stream)

@@ -416,3 +416,46 @@ def test_real_png_baseline_decoder(spark):
     feat = mm.image_features(media).collect()[0]["feature"]
     assert np.allclose(feat[:3], img.astype(np.float64).mean(axis=(0, 1)),
                        atol=1e-4)
+
+
+def test_wav_extensible_decoy_fmt_bytes_before_fmt_chunk():
+    """An EXTENSIBLE WAV whose LIST/INFO chunk happens to contain the
+    bytes b'fmt ' BEFORE the real fmt chunk: the sub-format must come
+    from the chunk walk's recorded fmt offset, not a payload.find()
+    that lands in the decoy (which once misread the format tag and
+    wrongly rejected a decodable file)."""
+    import struct as st
+
+    s16 = np.array([-32768, -1, 0, 1, 32767], np.int16)
+    raw = s16.astype("<i2").tobytes()
+    fmt = (st.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+           + st.pack("<HHI", 22, 16, 4) + st.pack("<H", 1)
+           + b"\x00" * 14)
+    decoy = b"LIST" + st.pack("<I", 12) + b"INFOfmt tex\x00"
+    chunks = (b"WAVE" + decoy
+              + b"fmt " + st.pack("<I", len(fmt)) + fmt
+              + b"data" + st.pack("<I", len(raw)) + raw)
+    wav = b"RIFF" + st.pack("<I", len(chunks)) + chunks
+    assert np.array_equal(mm.decode_pcm(wav), s16)
+
+
+def test_probe_dimensions_truncated_and_core_header():
+    """Header probes over hostile bytes: a payload that starts like a
+    P5/P6 PPM but ends mid-header returns None (an unguarded token
+    scan once spun forever on b'P6 3'); an OS/2 BITMAPCOREHEADER BMP
+    probes its 16-bit dims; an unknown sub-40-byte header variant
+    returns None rather than fusing garbage fields into dims."""
+    import struct as st
+
+    for junk in (b"P6", b"P6 ", b"P6 3", b"P6 3 ", b"P5 10 #",
+                 b"P6\n# comment with no newline"):
+        assert mm.probe_dimensions(junk) is None, junk
+    # both header ints present -> dims probe even without pixel data
+    assert mm.probe_dimensions(b"P6 3 2") == (3, 2)
+    assert mm.probe_dimensions(b"P6 3 2 255\n" + b"\x00" * 18) == (3, 2)
+    core = (b"BM" + st.pack("<IHHI", 32, 0, 0, 26)
+            + st.pack("<IHHHH", 12, 5, 7, 1, 24))
+    assert mm.probe_dimensions(core) == (5, 7)
+    odd = (b"BM" + st.pack("<IHHI", 32, 0, 0, 26)
+           + st.pack("<IHHHH", 16, 5, 7, 1, 24) + b"\x00" * 8)
+    assert mm.probe_dimensions(odd) is None

@@ -96,16 +96,15 @@ def _decode_bmp(payload: bytes) -> "np.ndarray | None":
     return rows[..., ::-1].copy()  # BGR -> RGB
 
 
-def _decode_ppm(payload: bytes) -> "np.ndarray | None":
-    """Binary PPM/PGM (P6 color / P5 gray, maxval<=255) -> (h, w, 3)
-    uint8 RGB (gray broadcasts)."""
-    if not (payload.startswith(b"P6") or payload.startswith(b"P5")):
-        return None
-    ch = 3 if payload[:2] == b"P6" else 1
-    # header = three whitespace-separated ints after the magic, with
-    # '#' comment lines allowed between tokens
+def _ppm_header(payload: bytes, n_vals: int) -> "tuple[list[int], int]":
+    """Parse n_vals whitespace-separated header ints after a P5/P6
+    magic ('#' comment lines allowed between tokens). Returns
+    (values, position past the single whitespace byte that terminates
+    the last token). Raises ValueError on a truncated header — every
+    position advance is bounds-checked so a payload that ends mid-
+    header can never spin (int(b'') raises)."""
     pos, vals = 2, []
-    while len(vals) < 3:
+    while len(vals) < n_vals:
         while pos < len(payload) and payload[pos:pos + 1].isspace():
             pos += 1
         if payload[pos:pos + 1] == b"#":
@@ -115,10 +114,19 @@ def _decode_ppm(payload: bytes) -> "np.ndarray | None":
         while pos < len(payload) and not payload[pos:pos + 1].isspace():
             pos += 1
         vals.append(int(payload[start:pos]))
+    return vals, pos + 1  # exactly one whitespace byte after the token
+
+
+def _decode_ppm(payload: bytes) -> "np.ndarray | None":
+    """Binary PPM/PGM (P6 color / P5 gray, maxval<=255) -> (h, w, 3)
+    uint8 RGB (gray broadcasts)."""
+    if not (payload.startswith(b"P6") or payload.startswith(b"P5")):
+        return None
+    ch = 3 if payload[:2] == b"P6" else 1
+    vals, pos = _ppm_header(payload, 3)
     w, h, maxval = vals
     if maxval > 255:
         raise NotImplementedError("PPM baseline decodes maxval<=255 only")
-    pos += 1  # exactly one whitespace byte after maxval
     px = (np.frombuffer(payload, dtype=np.uint8, count=w * h * ch,
                         offset=pos)
           .reshape(h, w, ch))
@@ -391,6 +399,20 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray | None":
         raise ValueError("JPEG missing SOF/SOS segment")
     h, w, comps = frame
     sel, entropy_pos = scan
+    if len(sel) != len(comps):
+        # sequential multi-scan (one non-interleaved scan per
+        # component) — a separate entropy segment per scan this
+        # single-SOS walk does not follow
+        raise NotImplementedError(
+            "JPEG baseline decodes single-scan (interleaved) streams "
+            f"only (scan has {len(sel)} of {len(comps)} components)")
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one 8x8 data unit in raster order, regardless of the
+        # declared sampling factors (jpegtran -grayscale keeps the
+        # source's 2x2 luma factors; walking 2x2-block MCUs would
+        # silently permute the blocks)
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1:
@@ -464,17 +486,24 @@ def _gif_lzw_decode(data: bytes, min_code: int) -> bytearray:
     """GIF-variant LZW (LSB-first variable-width codes, 3-12 bits,
     clear/EOI codes, deferred-clear table freeze at 4096)."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
-    big = int.from_bytes(data, "little")
-    nbits, bitpos = len(data) * 8, 0
+    # incremental LSB-first bit accumulator: O(1) per code (a whole-
+    # stream big-int re-shifted per code copies the remaining stream
+    # each time — O(n^2), minutes on a multi-megabyte GIF)
+    acc, acc_n, byte_pos, ndata = 0, 0, 0, len(data)
     out = bytearray()
     table = {i: bytes([i]) for i in range(clear)}
     width = min_code + 1
     next_code, prev = eoi + 1, None
     while True:
-        if bitpos + width > nbits:
-            raise ValueError("GIF LZW stream truncated")
-        code = (big >> bitpos) & ((1 << width) - 1)
-        bitpos += width
+        while acc_n < width:
+            if byte_pos >= ndata:
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[byte_pos] << acc_n
+            acc_n += 8
+            byte_pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        acc_n -= width
         if code == clear:
             table, width = {i: bytes([i]) for i in range(clear)}, \
                 min_code + 1
@@ -591,15 +620,21 @@ def _encode_bmp(img: "np.ndarray") -> bytes:
 
 
 def _avi_frames(payload: bytes) -> "list[bytes] | None":
-    """RIFF/AVI chunk walk -> the raw per-frame payloads of the video
-    stream ('##dc'/'##db' chunks inside LIST movi, in file order). For
-    MJPEG each chunk IS a standalone baseline JPEG, so frame extraction
-    is pure byte slicing — no transcode. None = not an AVI;
+    """RIFF/AVI chunk walk -> per-frame payloads of the video stream
+    ('##dc'/'##db' chunks inside LIST movi, in file order, ## = the
+    vids stream's index among the strl headers). MJPEG chunks ARE
+    standalone baseline JPEGs — pure byte slicing, no transcode. Real
+    uncompressed-DIB chunks are HEADERLESS pixel bits (the format
+    lives in the stream's strf BITMAPINFOHEADER), so each is wrapped
+    with a BITMAPFILEHEADER + that strf to form a decode_rgb-readable
+    BMP; synthetic BM-prefixed chunks pass through. None = not an AVI;
     NotImplementedError = a non-image-bearing frame codec."""
     if len(payload) < 12 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"AVI ":
         return None
     frames: list = []
+    streams: list = []   # (fccType, strf_bytes) per strl, in order
+    pending = [None]     # fccType of the strh awaiting its strf
 
     def walk(pos, end):
         while pos + 8 <= end:
@@ -607,17 +642,41 @@ def _avi_frames(payload: bytes) -> "list[bytes] | None":
             size = struct.unpack_from("<I", payload, pos + 4)[0]
             if cid == b"LIST":
                 walk(pos + 12, min(pos + 8 + size, end))
+            elif cid == b"strh":
+                pending[0] = payload[pos + 8:pos + 12]
+            elif cid == b"strf":
+                streams.append((pending[0],
+                                payload[pos + 8:pos + 8 + size]))
+                pending[0] = None
             elif cid[2:4] in (b"dc", b"db") and size:
-                frames.append(payload[pos + 8:pos + 8 + size])
+                frames.append((cid[:2],
+                               payload[pos + 8:pos + 8 + size]))
             pos += 8 + size + (size & 1)  # chunks pad to even offsets
 
     walk(12, len(payload))
-    for f in frames:
-        if f[:2] != b"\xff\xd8" and f[:2] != b"BM":
+    vids = next((i for i, (t, _) in enumerate(streams) if t == b"vids"),
+                None)
+    if vids is not None:
+        want = b"%02d" % vids
+        strf = streams[vids][1]
+        frames = [(sid, f) for sid, f in frames if sid == want]
+    else:
+        strf = None  # header-less test AVIs: keep every frame chunk
+    out = []
+    for _sid, f in frames:
+        if f[:2] in (b"\xff\xd8", b"BM"):
+            out.append(f)
+        elif strf is not None and len(strf) >= 40:
+            # raw DIB bits: prepend BITMAPFILEHEADER + the strf header
+            # (incl. any palette) -> a self-contained BMP payload
+            off = 14 + len(strf)
+            out.append(b"BM" + struct.pack("<IHHI", off + len(f),
+                                           0, 0, off) + strf + f)
+        else:
             raise NotImplementedError(
                 "AVI baseline extracts MJPEG/DIB frame streams only "
-                f"(frame magic {f[:2]!r})")
-    return frames
+                f"(frame magic {f[:2]!r}, no vids strf header)")
+    return out
 
 
 def _video_frames(payload: bytes) -> "list[bytes] | None":
@@ -690,12 +749,13 @@ def _decode_wav(payload: bytes) -> "np.ndarray | None":
     downstream stat sees one sample contract."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_off, data = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, size = payload[pos:pos + 4], struct.unpack_from(
             "<I", payload, pos + 4)[0]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+            fmt_off = pos + 8  # start of the fmt chunk DATA
         elif cid == b"data":
             data = payload[pos + 8:pos + 8 + size]
         pos += 8 + size + (size & 1)  # chunks pad to even offsets
@@ -704,8 +764,11 @@ def _decode_wav(payload: bytes) -> "np.ndarray | None":
     audio_format, _ch, _rate, _bps, _align, bits = fmt
     if audio_format == 0xFFFE:
         # WAVE_FORMAT_EXTENSIBLE: the real format is the sub-format
-        # GUID's first two bytes, 24 bytes into the fmt chunk data
-        ext = payload.find(b"fmt ") + 8 + 24
+        # GUID's first two bytes, 24 bytes into the fmt chunk data —
+        # use the offset the chunk walk recorded (a find() over the
+        # whole payload can land on decoy b'fmt ' bytes inside an
+        # earlier LIST/JUNK chunk and misresolve the format)
+        ext = fmt_off + 24
         if ext + 2 > len(payload):
             raise ValueError("WAV extensible fmt chunk truncated")
         audio_format = struct.unpack_from("<H", payload, ext)[0]
@@ -874,20 +937,18 @@ def probe_dimensions(payload: bytes) -> "tuple[int, int] | None":
     unrecognized."""
     try:
         if len(payload) >= 26 and payload[:2] == b"BM":
+            hdr_size = struct.unpack_from("<I", payload, 14)[0]
+            if hdr_size == 12:  # OS/2 BITMAPCOREHEADER: 16-bit dims
+                w, h = struct.unpack_from("<HH", payload, 18)
+                return w, h
+            if hdr_size < 40:   # unknown pre-BITMAPINFOHEADER variant
+                return None
             w, h = struct.unpack_from("<ii", payload, 18)
             return w, abs(h)
         if payload[:2] in (b"P6", b"P5"):
-            pos, vals = 2, []
-            while len(vals) < 2:
-                while payload[pos:pos + 1].isspace():
-                    pos += 1
-                if payload[pos:pos + 1] == b"#":
-                    pos = payload.index(b"\n", pos) + 1
-                    continue
-                start = pos
-                while not payload[pos:pos + 1].isspace():
-                    pos += 1
-                vals.append(int(payload[start:pos]))
+            # shared bounds-checked parser (a truncated header raises
+            # ValueError -> None; an unguarded scan here once hung)
+            vals, _pos = _ppm_header(payload, 2)
             return vals[0], vals[1]
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             w, h = struct.unpack_from(">II", payload, 16)

@@ -225,11 +225,14 @@ class StreamingIngestor:
                               with_hash=content_hash)
                .select("url", F.col("warc_ts").alias("mtime"), "n_bytes",
                        *(["content_hash"] if content_hash else [])))
-        if content_hash:
-            # hashing reads every file body; pin the (small) hashed
-            # listing so the diff pass and the state write below share
-            # ONE pass over the corpus bytes
-            cur = cur.cache()
+        # pin the listing: the diff job and the state write below must
+        # see the SAME snapshot — an uncached listing re-lists at each
+        # action, and a file overwritten between the diff and the state
+        # write would get its new fingerprint recorded without ever
+        # being re-indexed (a permanently lost update). With
+        # content_hash the cache additionally makes the diff and the
+        # write share one pass over the corpus bytes.
+        cur = cur.cache()
         try:
             prev = self.spark.read.parquet(state_path)
         except Exception:
@@ -264,8 +267,7 @@ class StreamingIngestor:
         # record the current fingerprints LAST (after every read above
         # has materialized — the state write must not feed itself)
         cur.write.mode("overwrite").parquet(state_path)
-        if content_hash:
-            cur.unpersist()
+        cur.unpersist()
         return v
 
     # -- streaming lifecycle (F7: idempotent start/stop) -------------------
