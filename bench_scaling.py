@@ -188,28 +188,34 @@ def run_level(cpus: int, master: str | None = None) -> dict:
     # at 2-8 toy cores the 11-query batch is too small to amortize the
     # ~1 s/query fixed driver cost, which understates qps efficiency.
     qmult = int(os.environ.get("SPARK_GRAFT_SCALE_QUERY_MULT", "1"))
-    if os.environ.get("SPARK_GRAFT_SCALE_DISTINCT_Q") == "1":
-        # DISTINCT texts (not the fixture set replicated): deterministic
-        # 2-3 term combinations over the corpus vocabulary, so the
-        # batch's scanned term union GROWS with batch size — the
-        # stronger form of the amortization evidence (a replicated
-        # batch holds the scanned term set constant)
-        vocab = sorted(r["term"] for r in seg.term_stats.collect())
-        n_q = qmult * len(qset)
-        batch = {}
-        for i in range(n_q):
-            a = vocab[(i * 7) % len(vocab)]
-            b = vocab[(i * 13 + 3) % len(vocab)]
-            c = vocab[(i * 29 + 11) % len(vocab)]
-            batch[f"d{i}"] = f"{a} {b}" if i % 2 else f"{a} {b} {c}"
-    else:
-        # key by POSITION (i:j), not text: a text-based key would
-        # silently dedupe repeated texts and shrink the batch size
-        batch = {f"{i}:{j}": q["query_text"]
-                 for i in range(qmult) for j, q in enumerate(qset)}
     if skip_q:
+        # decide BEFORE building the batch — DISTINCT_Q's vocabulary
+        # job must not run just to be thrown away
         batch, query_s = {}, None
     else:
+        if os.environ.get("SPARK_GRAFT_SCALE_DISTINCT_Q") == "1":
+            # DISTINCT texts (not the fixture set replicated):
+            # deterministic 2-3 term combinations over the corpus
+            # vocabulary, so the batch's scanned term union GROWS with
+            # batch size — the stronger form of the amortization
+            # evidence (a replicated batch holds the scanned term set
+            # constant). select('term'): the dictionary ships only the
+            # term column, not df/shard-membership payloads.
+            vocab = sorted(r["term"]
+                           for r in seg.term_stats.select("term")
+                           .collect())
+            n_q = qmult * len(qset)
+            batch = {}
+            for i in range(n_q):
+                a = vocab[(i * 7) % len(vocab)]
+                b = vocab[(i * 13 + 3) % len(vocab)]
+                c = vocab[(i * 29 + 11) % len(vocab)]
+                batch[f"d{i}"] = f"{a} {b}" if i % 2 else f"{a} {b} {c}"
+        else:
+            # key by POSITION (i:j), not text: a text-based key would
+            # silently dedupe repeated texts and shrink the batch size
+            batch = {f"{i}:{j}": q["query_text"]
+                     for i in range(qmult) for j, q in enumerate(qset)}
         tq0 = time.perf_counter()
         seg.search_bm25_many(batch, 10).collect()
         query_s = time.perf_counter() - tq0
@@ -306,12 +312,16 @@ def orchestrate(levels: tuple[int, int] = (2, 8),
         # independent benchmarks; a hypervisor-steal wave during one
         # phase of one run must not poison the other metric's figure
         best_build = max(all_runs, key=lambda r: r["build_docs_per_sec"])
-        best_query = max(all_runs, key=lambda r: r["bm25_qps"])
+        # SKIP_QUERIES runs emit None query metrics — 'or 0' keeps the
+        # max() total-ordered and the p50 generator guards membership
+        best_query = max(all_runs, key=lambda r: r["bm25_qps"] or 0)
+        p50s = [r["bm25_p50_ms"] for r in all_runs
+                if r["bm25_p50_ms"] is not None]
         results[cpus] = {
             **best_build,
             "bm25_total_s": best_query["bm25_total_s"],
             "bm25_qps": best_query["bm25_qps"],
-            "bm25_p50_ms": min(r["bm25_p50_ms"] for r in all_runs),
+            "bm25_p50_ms": min(p50s) if p50s else None,
         }
 
     small, big = levels
@@ -320,8 +330,10 @@ def orchestrate(levels: tuple[int, int] = (2, 8),
                  results[small]["build_docs_per_sec"])
     core_ratio = big / small
     eff = thr_ratio / core_ratio
-    q_eff = ((results[big]["bm25_qps"] / results[small]["bm25_qps"])
-             / core_ratio)
+    q_eff = (((results[big]["bm25_qps"] / results[small]["bm25_qps"])
+              / core_ratio)
+             if results[big]["bm25_qps"] and results[small]["bm25_qps"]
+             else None)
     summary = {
         "metric": "index-build throughput scaling efficiency "
                   f"({results[small]['master']} -> {results[big]['master']})",
@@ -331,7 +343,7 @@ def orchestrate(levels: tuple[int, int] = (2, 8),
         "core_ratio": core_ratio,
         "vs_hw_ceiling": round(thr_ratio / hw["hw_speedup"], 3),
         "hw_calibration": hw,
-        "bm25_qps_efficiency": round(q_eff, 3),
+        "bm25_qps_efficiency": round(q_eff, 3) if q_eff else None,
         "levels": results,
     }
     print(json.dumps(summary))

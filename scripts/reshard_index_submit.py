@@ -56,7 +56,11 @@ def main(argv: list[str] | None = None) -> None:
     from textindexing_spark.operators.bm25 import SegmentIndex
 
     idx = SegmentIndex.load(spark, args.index)
-    plan = idx.plan_reshard(args.target_shard_mb << 20)
+    # plan_reshard scans every compressed blob's length (a full-index
+    # stats pass) — only pay for it when the plan decides the shard
+    # count or the caller asked to see it
+    plan = (idx.plan_reshard(args.target_shard_mb << 20)
+            if args.plan or args.shards is None else None)
     if args.plan:
         print(json.dumps({"index": args.index, "plan": plan}))
         spark.stop()

@@ -379,3 +379,47 @@ def test_batch_and_stream_urls_identical_with_special_chars(spark, tmp_path):
     assert len(got) == 1  # the glob must see the DECODED basename
     assert got[0]["url"] == batch_url
     assert batch_url.endswith("/my file+x.txt")
+
+
+def test_read_paths_literal_glob_metacharacters(spark, tmp_path):
+    """read_paths receives LITERAL paths from a listing diff, but
+    spark.read.load() applies Hadoop glob interpretation — a file
+    named 'report[2024].txt' must be escaped or it silently matches
+    nothing (and the reconcile caller would then record its new
+    fingerprint as seen without re-indexing it: a permanent lost
+    update)."""
+    from textindexing_spark.sources.files import read_paths
+
+    src = tmp_path / "lit"
+    src.mkdir()
+    names = ["report[2024].txt", "a{x,y}.txt", "star*.txt", "q?.txt",
+             "plain.txt"]
+    for i, n in enumerate(names):
+        (src / n).write_text(f"body {i}", encoding="utf-8")
+    rows = read_paths(spark, [str(src / n) for n in names]).collect()
+    assert len(rows) == len(names)
+    by_base = {r["url"].rsplit("/", 1)[1]: r["text"] for r in rows}
+    for i, n in enumerate(names):
+        assert by_base[n] == f"body {i}", n
+
+
+def test_reconcile_overwrite_of_glob_named_file(spark, tmp_path):
+    """End-to-end twin of the escape test: an overwrite of a file whose
+    NAME contains glob metacharacters must re-index through
+    reconcile_directory's re-read path."""
+    import os
+
+    from textindexing_spark.streaming.ingest import StreamingIngestor
+
+    src = tmp_path / "gsrc"
+    src.mkdir()
+    f = src / "notes[v1].txt"
+    f.write_text("alpha", encoding="utf-8")
+    ing = StreamingIngestor(spark, str(tmp_path / "gix"))
+    ing.reconcile_directory(str(src), "*.txt")  # records fingerprints
+    st = f.stat()
+    f.write_text("bravo", encoding="utf-8")
+    os.utime(f, (st.st_atime, st.st_mtime + 5))
+    ing.reconcile_directory(str(src), "*.txt")
+    terms = {r["term"] for r in ing.index().postings.collect()}
+    assert "bravo" in terms and "alpha" not in terms

@@ -220,3 +220,16 @@ def test_retrain_empty_store_raises(spark, tmp_path):
         centroids=[[1.0, 0.0], [0.0, 1.0]])
     with pytest.raises(ValueError, match="non-empty"):
         st.retrain(str(tmp_path / "e2"))
+
+
+def test_retrain_into_own_root_refused(spark, store, tmp_path):
+    """retrain(dest_root == live root) must refuse up front: create()
+    would overwrite the live store's meta.json (new centroids) before
+    the manifest write fails, leaving cell data partitioned under a
+    quantizer that no longer matches the pinned geometry."""
+    with pytest.raises(ValueError, match="differ"):
+        store.retrain(store.root)
+    with pytest.raises(ValueError, match="differ"):
+        store.retrain(store.root + "/../" + store.root.rsplit("/", 1)[1])
+    # the live store still serves under its original quantizer
+    assert store.search([0.5] * 6, k=1, nprobe=store.k_cells).count() == 1

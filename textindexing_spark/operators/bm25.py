@@ -216,7 +216,17 @@ class SegmentIndex:
         if prefetch_stats:
             if self._df_cache is None:
                 self._df_cache = {}
-            rows = (self.term_stats.orderBy(F.col("df").desc())
+            pre = self.term_stats
+            if "shards" in pre.columns:
+                # apply the prune-cache cap SERVER-side: a mid-df term
+                # present in hundreds of shards would otherwise ship
+                # its whole membership array through the collect (the
+                # cap exists to bound exactly this prefetch memory)
+                pre = pre.withColumn(
+                    "shards",
+                    F.when(F.size("shards") <= self._PRUNE_CACHE_MAX,
+                           F.col("shards")))
+            rows = (pre.orderBy(F.col("df").desc())
                     .limit(int(prefetch_stats)).collect())
             self._df_cache.update(
                 {r["term"]: int(r["df"]) for r in rows})

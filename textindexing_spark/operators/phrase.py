@@ -303,8 +303,6 @@ def _encode_pos_shard(shard: int, pdf, np):
     absolute), per-doc position counts varbyte'd, and in-document
     position deltas varbyte'd (first position of each doc absolute) —
     the classic Lucene-style proximity layout, numpy-vectorized."""
-    from textindexing_spark.operators.codec import varbyte_encode
-
     out = {"shard": [], "term": [], "n_docs": [], "gaps_blob": [],
            "plens_blob": [], "pos_blob": []}
     if pdf.empty:
@@ -312,27 +310,20 @@ def _encode_pos_shard(shard: int, pdf, np):
     pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
     for term, sub in pdf.groupby("term", sort=False):
         doc_ids = sub["doc_id"].to_numpy(np.int64)
-        gaps = np.empty_like(doc_ids)
-        gaps[0] = doc_ids[0]
-        gaps[1:] = np.diff(doc_ids)
         pos_lists = [np.asarray(p, dtype=np.int64)
                      for p in sub["positions"]]
         plens = np.fromiter((len(p) for p in pos_lists), np.int64,
                             count=len(pos_lists))
         flat = (np.concatenate(pos_lists) if pos_lists
                 else np.empty(0, np.int64))
-        delta = np.empty_like(flat)
-        if flat.size:
-            delta[0] = flat[0]
-            delta[1:] = np.diff(flat)
-            starts = np.cumsum(plens) - plens
-            delta[starts] = flat[starts]  # first of each doc: absolute
+        gaps_b, plens_b, pos_b = _encode_term_arrays(doc_ids, plens,
+                                                     flat, np)
         out["shard"].append(shard)
         out["term"].append(term)
         out["n_docs"].append(len(doc_ids))
-        out["gaps_blob"].append(varbyte_encode(gaps).tobytes())
-        out["plens_blob"].append(varbyte_encode(plens).tobytes())
-        out["pos_blob"].append(varbyte_encode(delta).tobytes())
+        out["gaps_blob"].append(gaps_b)
+        out["plens_blob"].append(plens_b)
+        out["pos_blob"].append(pos_b)
     return out
 
 

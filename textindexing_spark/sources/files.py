@@ -52,6 +52,8 @@ per-partition map — no shuffle anywhere; partitioning follows
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
@@ -172,7 +174,13 @@ def read_paths(spark: SparkSession, paths: list[str],
 
     if not paths:
         return spark.createDataFrame([], PAGES_SCHEMA)
-    raw = spark.read.format("binaryFile").load(paths)
+    # load() applies Hadoop glob interpretation to every path; these
+    # are LITERAL file names from a listing diff, so escape the glob
+    # metacharacters or a file like 'report[2024].txt' silently
+    # matches nothing (and the reconcile caller would then record its
+    # fingerprint as seen without ever re-indexing it)
+    escaped = [re.sub(r"([*?\[\]{}\\])", r"\\\1", p) for p in paths]
+    raw = spark.read.format("binaryFile").load(escaped)
     return _pages_projection(raw, default_encoding)
 
 

@@ -412,6 +412,15 @@ class IvfVectorStore:
         embeddings) is never redone."""
         from pyspark import StorageLevel
 
+        if os.path.abspath(dest_root) == os.path.abspath(self.root):
+            # create() would os.replace this store's meta.json (new
+            # centroids) BEFORE the manifest write fails on the
+            # existing LATEST — leaving live cell data partitioned
+            # under a quantizer that no longer matches meta.json
+            raise ValueError(
+                "retrain writes a NEW store generation; dest_root must "
+                "differ from the live store's root (cutover is the "
+                "caller's pointer swap)")
         cur = (self.resolved(version).select("vec_id", "embedding")
                .persist(StorageLevel.MEMORY_AND_DISK))
         try:
