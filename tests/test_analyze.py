@@ -193,3 +193,44 @@ def test_normalize_query_malformed_fuzzy_reaches_parser():
     assert out == "merg~3 AND scan"
     with pytest.raises(ValueError, match="malformed fuzzy"):
         parse_bool_expr(out)
+
+
+def test_stopworded_wildcard_word_drops_its_star():
+    """'the*' with 'the' stopworded must vanish entirely — a kept bare
+    '*' would route as a full-dictionary prefix scan matching every
+    term (silently wrong results at corpus-scan cost)."""
+    from textindexing_spark.functions.analyze import normalize_query
+
+    assert normalize_query("the* AND cat", stopwords=["the"]) == "AND cat"
+    assert normalize_query("(the* OR cat)",
+                           stopwords=["the"]) == "( OR cat)"
+    # the star still passes through when the word SURVIVES analysis
+    assert normalize_query("fox* AND cat",
+                           stopwords=["the"]) == "fox* AND cat"
+
+
+def test_quoted_star_word_is_literal_not_wildcard(spark):
+    """Quoting makes operator characters literal term material (the
+    module convention, as with '~'): a quoted one-word '*'-carrier
+    must NOT collapse to a term node (which downstream wildcard
+    routing would expand to a prefix-match superset) — it stays a
+    phrase node and resolves by exact token match."""
+    from textindexing_spark import IndexConfig, build_index
+
+    assert parse_bool_expr('"foo*"') == ("phrase", "foo*")
+    assert parse_bool_expr('"foo"') == ("term", "foo")
+    # behavior: under a star-keeping tokenizer, '"ptr*"' matches ONLY
+    # the doc containing the literal token 'ptr*', while unquoted
+    # 'ptr*' prefix-matches ptr/ptrx too
+    docs = spark.createDataFrame(
+        [(1, "ptr* deref"), (2, "ptr deref"), (3, "ptrx deref")],
+        "doc_id bigint, text string")
+    from textindexing_spark.operators.phrase import PositionalIndex
+
+    cfg = IndexConfig(tokenizer="regex:[a-z*]+")
+    idx = build_index(spark, docs, cfg).attach_positional(
+        PositionalIndex.build(spark, docs, cfg))
+    assert [r["doc_id"] for r in idx.search_expr('"ptr*"').collect()] \
+        == [1]
+    assert [r["doc_id"] for r in idx.search_expr("ptr*").collect()] \
+        == [1, 2, 3]

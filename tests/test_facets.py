@@ -140,3 +140,13 @@ def test_search_apis_unchanged_by_docset_refactor(idx):
     got = [r["doc_id"] for r in
            idx.search_expr("fox AND NOT dog").collect()]
     assert got == sorted(got)
+
+
+def test_facets_count_distinct_docs_under_duplicate_meta_rows(idx, docs):
+    """A meta table carrying multiple rows per doc_id (e.g. the output
+    of an upstream join) must not count a document once per row —
+    n_docs is DISTINCT documents per bucket."""
+    dup_meta = docs.unionByName(docs.where("doc_id IN (0, 2)"))
+    got = _got(idx.facet_counts("fox", dup_meta, "lang"))
+    want = _want([0, 2, 4, 5, 7, 8], ["lang"])
+    assert got == want

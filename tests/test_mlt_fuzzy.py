@@ -273,3 +273,30 @@ def test_suggest_prepared_equals_cold(spark, docs):
              for w in before}
     assert after == before
     cold.unpersist()
+
+
+def test_mlt_treats_corpus_star_terms_literally(spark):
+    """more_like_this feeds TOKENIZER output (corpus terms) into the
+    df lookup — under a star-keeping tokenizer a term like 'ptr*' must
+    weigh by its OWN df, not a dictionary prefix-sum, or selection
+    (wildcard-inflated df > max_df_ratio) and the exact-isin scoring
+    would disagree and the rare term would be wrongly dropped."""
+    from textindexing_spark import IndexConfig, build_index
+
+    # 'ptr*' is RARE (1 doc) but the prefix ptr... is common (5 docs):
+    # a wildcard-routed df lookup would see df=6 > max_df_ratio*n_docs
+    # and exclude the example's most distinctive term
+    docs = spark.createDataFrame(
+        [(1, "ptr* alpha"), (2, "ptr beta"), (3, "ptra beta"),
+         (4, "ptrb beta"), (5, "ptrc beta"), (6, "ptrd beta"),
+         (7, "gamma delta"), (8, "ptr* alpha epsilon")],
+        "doc_id bigint, text string")
+    idx = build_index(spark, docs,
+                      IndexConfig(tokenizer="regex:[a-z*]+")).cache()
+    # single-term example isolates the df source: literal df('ptr*')=2
+    # <= cap (0.5*8); the prefix-sum over ptr/ptra../ptr* is 7 > cap
+    # and would empty the selected-term set entirely
+    got = [r["doc_id"] for r in
+           idx.more_like_this("ptr*", k=3, min_df=1, max_df_ratio=0.5,
+                              exclude_doc_id=1).collect()]
+    assert got == [8]  # the other doc containing literal 'ptr*'

@@ -915,3 +915,36 @@ def test_keywords_pinned_n_docs_matches_derived(spark):
     derived = sorted(map(tuple, keywords(docs, k=2).collect()))
     pinned = sorted(map(tuple, keywords(docs, k=2, n_docs=3).collect()))
     assert derived == pinned
+
+
+def test_ws_token_counts_are_maximal_nonspace_runs(spark):
+    """n_ws_tokens counts maximal non-whitespace runs: Spark's split
+    keeps leading/trailing empty fields and trim() strips only ASCII
+    spaces, so newline-padded and whitespace-only docs were
+    systematically overcounted."""
+    from textindexing_spark.functions.analysis import token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a\nb\n"), (3, "\n\n"), (4, ""), (5, "  "),
+         (6, "\na b "), (7, "one")],
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["n_ws_tokens"]
+           for r in token_counts(docs).collect()}
+    assert got == {1: 2, 2: 2, 3: 0, 4: 0, 5: 0, 6: 2, 7: 1}
+
+
+def test_mixture_plan_token_count_ignores_whitespace_padding(spark):
+    """mixture_plan's n_tokens drives the sampling rate — phantom
+    empty-string tokens from newline-terminated docs would halve the
+    computed rate and under-fill the source's token-budget share."""
+    from textindexing_spark.functions.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(1, "web", "a b c\n"), (2, "web", "\nd e\n\n"),
+         (3, "books", "x y z w")],
+        "doc_id bigint, source string, text string")
+    plan = {r["source"]: r for r in
+            mixture_plan(docs, {"web": 0.5, "books": 0.5},
+                         token_budget=100).collect()}
+    assert plan["web"]["n_tokens"] == 5
+    assert plan["books"]["n_tokens"] == 4

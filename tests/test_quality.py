@@ -334,3 +334,35 @@ def test_null_text_signals_match_empty_text(spark):
     for c in ("n_lines", "dup_line_frac", "n_tokens", "symbol_ratio",
               "top_2gram_frac", "dup_3gram_frac"):
         assert out[0][c] == out[1][c] == 0, c
+
+
+def test_deduplicate_null_text_rows_all_survive(spark):
+    """md5(NULL) is NULL, and an unguarded groupBy fuses every
+    unreadable doc into ONE class — deduplicate() must keep every
+    NULL-text row (each is its own class) and exact_duplicates must
+    exclude them from the report."""
+    from textindexing_spark.operators.dedup import (deduplicate,
+                                                    exact_duplicates)
+
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)],
+        "doc_id bigint, text string")
+    kept = sorted(r["doc_id"] for r in deduplicate(docs).collect())
+    assert kept == [1, 3, 4, 5]  # one 'same' survivor + all NULL rows
+    rep = exact_duplicates(docs).collect()
+    assert len(rep) == 1 and rep[0]["n_dups"] == 2
+
+
+def test_clusters_with_string_doc_ids(spark):
+    """Every upstream pair generator accepts string doc ids (URLs,
+    content hashes); duplicate_clusters must cluster them to their
+    lexicographic minimum instead of aborting on an ANSI bigint cast."""
+    from textindexing_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("urlB", "urlA"), ("urlB", "urlC"), ("urlX", "urlY")],
+        "a string, b string")
+    got = {r["doc_id"]: r["cluster"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {"urlA": "urlA", "urlB": "urlA", "urlC": "urlA",
+                   "urlX": "urlX", "urlY": "urlX"}

@@ -202,3 +202,38 @@ def test_ivfadc_shape_determinism_and_query_exclusion(emb):
     assert all(r["vec_id"] != 7 for r in r1)
     assert [r["adc_dist"] for r in r1] == sorted(r["adc_dist"]
                                                  for r in r1)
+
+
+def test_zero_norm_vectors_do_not_crash_cosine(spark, emb):
+    """A zero-norm embedding (failed/padded embed) must not abort the
+    job under Spark 4's default ANSI mode (DIVIDE_BY_ZERO): its cosine
+    is undefined — the row drops from rankings, assignments, and pair
+    generation instead of crashing them."""
+    from textindexing_spark.operators.similarity import (
+        centroid_sims, embedding_cosine_pairs, ivf_assign)
+
+    dim = len(emb.take(1)[0]["embedding"])
+    zero = spark.createDataFrame([(100000, [0.0] * dim)],
+                                 "vec_id bigint, embedding array<double>")
+    e = emb.select("vec_id", "embedding").unionByName(zero)
+    top = cosine_topk(e, 0, 5).collect()
+    assert len(top) == 5 and all(r["vec_id"] != 100000 for r in top)
+    cells = {r["vec_id"]: r["cell"] for r in ivf_assign(e).collect()}
+    assert 100000 not in cells  # no defined cell for a zero vector
+    sims = centroid_sims(e).where("vec_id = 100000").collect()
+    assert sims == []
+    pairs = (embedding_cosine_pairs(e, threshold=0.99)
+             .where("a = 100000 OR b = 100000").collect())
+    assert pairs == []
+
+
+def test_missing_anchor_or_centroid_ids_fail_loudly(spark, emb):
+    """Misconfigured anchor/centroid ids must raise, not return empty
+    results indistinguishable from 'no neighbors found'."""
+    from textindexing_spark.operators.similarity import (
+        ivf_topk as _ivf, lsh_topk as _lsh)
+
+    with pytest.raises(ValueError, match="anchor_ids"):
+        _lsh(emb, 0, 5, anchor_ids=(888888, 999999)).collect()
+    with pytest.raises(ValueError, match="centroid_ids"):
+        _ivf(emb, 0, 5, centroid_ids=(888888, 999999)).collect()

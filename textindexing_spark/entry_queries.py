@@ -972,8 +972,8 @@ FROM tf GROUP BY term
 
 _SQL_TOKEN_COUNTS = r"""
 SELECT doc_id,
-       (CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::INT
+       len(list_filter(regexp_split_to_array(text, '\s+'),
+                       t -> t <> ''))::INT
            AS n_ws_tokens,
        len(regexp_extract_all(lower(text), '[\p{L}\p{Nd}]+'))::INT
            AS n_word_tokens,

@@ -53,9 +53,13 @@ def quality_score(docs: DataFrame) -> DataFrame:
 
 def token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, n_ws_tokens, n_word_tokens, n_bpe_ish) — whitespace split,
-    word-char tokens, and a BPE-ish regex count."""
-    ws = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(F.col("text")), "\\s+")))
+    word-char tokens, and a BPE-ish regex count. n_ws_tokens counts the
+    MAXIMAL NON-WHITESPACE RUNS: split keeps leading/trailing empty
+    strings and trim() strips only ASCII spaces, so a bare trim+size
+    would report 2 tokens for '\\n\\n' and inflate every
+    newline-terminated document by one."""
+    ws = F.size(F.filter(F.split(F.col("text"), "\\s+"),
+                         lambda t: t != F.lit("")))
     return docs.select(
         "doc_id",
         ws.cast("int").alias("n_ws_tokens"),

@@ -184,8 +184,12 @@ def normalize_query(query_text: str | None, *, tokenizer: str = "alnum",
             # the word was stopworded away; keep any structural chars
             # it carried ("(the" -> "(") so parens/quotes stay balanced
             # — a stopword that was an operator's only operand is the
-            # caller's query-design problem, same as on the index side
-            residue = raw.replace(core, "")
+            # caller's query-design problem, same as on the index side.
+            # The word's wildcard markers go WITH the word: a kept '*'
+            # would become a bare match-everything term ('the*' with
+            # 'the' stopworded must not turn into '*', which routes as
+            # a full-dictionary scan)
+            residue = raw.replace(core, "").replace("*", "")
             if residue:
                 out.append(residue)
             continue

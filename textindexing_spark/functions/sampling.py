@@ -94,7 +94,13 @@ def mixture_plan(docs: DataFrame, shares: dict[str, float],
                                      f"{source_col} string, share double")
     stats = (docs.groupBy(source_col)
              .agg(F.count("*").alias("n_docs"),
-                  F.sum(F.size(F.split(F.col(text_col), r"\s+")))
+                  # maximal non-whitespace runs: split keeps empty
+                  # leading/trailing fields, so an unfiltered size()
+                  # would double-count every newline-terminated doc
+                  # and halve the computed sampling rate
+                  F.sum(F.size(F.filter(
+                      F.split(F.col(text_col), r"\s+"),
+                      lambda t: t != F.lit(""))))
                   .alias("n_tokens")))
     return (share_df.join(stats, source_col, "left")
             .select(source_col, "share",

@@ -36,8 +36,11 @@ def tokens_col(col: str = "text"):
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Exact dedup by content digest: (text_hash, keeper, n_dups);
-    keeper = min doc_id of each duplicate class."""
-    return (docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+    keeper = min doc_id of each duplicate class. NULL-text rows
+    (extraction failures) are excluded — md5(NULL) is NULL and groupBy
+    would otherwise fuse every unreadable doc into one bogus class."""
+    return (docs.where(F.col(text_col).isNotNull())
+            .groupBy(F.md5(F.col(text_col)).alias("text_hash"))
             .agg(F.min(id_col).alias("keeper"),
                  F.count("*").alias("n_dups")))
 
@@ -48,8 +51,14 @@ def deduplicate(docs: DataFrame, id_col: str = "doc_id",
     min-id representative of each content-identical class, preserving
     all columns — the user-facing form of ``exact_duplicates`` (which
     reports the classes). One hash shuffle; survivors join back
-    broadcast-or-shuffled by id."""
-    keepers = (docs.groupBy(F.md5(F.col(text_col)).alias("_h"))
+    broadcast-or-shuffled by id. NULL-text rows always survive, each
+    as its own class (md5(NULL) is NULL; an unguarded groupBy would
+    fuse every unreadable doc into one class and silently delete all
+    but one)."""
+    digest = F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("\0null:"), F.col(id_col).cast("string")))
+    keepers = (docs.groupBy(digest.alias("_h"))
                .agg(F.min(id_col).alias(id_col))
                .select(id_col))
     return docs.join(keepers, id_col, "left_semi")
@@ -204,11 +213,20 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     cuts the lineage so plans stay flat, and the loop exits on the first
     fixpoint round. This is the standard Spark connected-components
     shape (cf. large-star/small-star, Kiveris et al. 2014, "Connected
-    Components in MapReduce and Beyond")."""
-    edges = (pairs.select(F.col("a").cast("bigint").alias("x"),
-                          F.col("b").cast("bigint").alias("y"))
-             .union(pairs.select(F.col("b").cast("bigint").alias("x"),
-                                 F.col("a").cast("bigint").alias("y")))
+    Components in MapReduce and Beyond").
+
+    Ids may be numeric OR string (every upstream pair generator accepts
+    string doc ids — URLs, content hashes): min-label propagation only
+    needs a total order, so string ids cluster to their lexicographic
+    minimum. An unconditional bigint cast here would abort under
+    Spark 4's default ANSI mode (CAST_INVALID_INPUT) after all the
+    expensive candidate generation already succeeded."""
+    id_t = "bigint" if dict(pairs.dtypes).get("a") in (
+        "bigint", "int", "smallint", "tinyint") else "string"
+    edges = (pairs.select(F.col("a").cast(id_t).alias("x"),
+                          F.col("b").cast(id_t).alias("y"))
+             .union(pairs.select(F.col("b").cast(id_t).alias("x"),
+                                 F.col("a").cast(id_t).alias("y")))
              .distinct())
     edges = edges.localCheckpoint()
     labels = (edges.groupBy("x").agg(F.min("y").alias("nbr"))

@@ -105,8 +105,12 @@ def parse_bool_expr(text: str | None):
             if not inner:
                 raise ValueError("empty phrase")
             # a one-word phrase IS an exact term lookup — no positional
-            # index needed
-            if len(inner.split()) == 1:
+            # index needed. EXCEPT when the word carries a '*': a term
+            # node would be wildcard-routed downstream, and the whole
+            # point of quoting (per the convention above) is to make
+            # operator characters literal term material — keep it a
+            # phrase node so it resolves by exact token match
+            if len(inner.split()) == 1 and "*" not in inner:
                 return ("term", inner)
             return ("phrase", inner)
         tok = take()
@@ -537,7 +541,7 @@ class Index:
             per_scan.append(scan.distinct() if dedup_wild else scan)
         return reduce(DataFrame.unionByName, per_scan)
 
-    def _token_dfs(self, tokens) -> dict[str, int]:
+    def _token_dfs(self, tokens, wildcards: bool = True) -> dict[str, int]:
         """Document frequency per query token, resolved from the
         dictionary only (term+df columns — never touches posting arrays;
         the pushed filters make this a tiny range/point scan). A
@@ -552,13 +556,29 @@ class Index:
         driver-side against the dictionary snapshot. Returns only the
         requested tokens' dfs — never a copy of the whole cache, which
         after a complete-dictionary prefetch would be an O(|dictionary|)
-        dict copy on every query."""
+        dict copy on every query.
+
+        ``wildcards=False`` treats every token as a LITERAL dictionary
+        term — the mode for tokens that came out of the tokenizer
+        rather than query syntax (more_like_this): a corpus term like
+        'ptr*' under a star-keeping tokenizer must resolve to its own
+        df, not a prefix-sum over the dictionary (exact-literal lookups
+        share the memo with exact query tokens — both are plain
+        dictionary point reads)."""
+        # memo keys: a star-carrying token means different things in
+        # the two modes (wildcard pattern vs literal dictionary term);
+        # literal lookups of wild-LOOKING tokens get a distinct key so
+        # neither mode poisons the other's cache
+        def ck(t):
+            return t if wildcards or not self._is_wild(t) \
+                else "\0lit:" + t
+
         requested = list(tokens)
-        tokens = [t for t in tokens if t not in self._df_cache]
+        tokens = [t for t in tokens if ck(t) not in self._df_cache]
         if tokens and self._dict_df is not None:
             for t in tokens:
-                if not self._is_wild(t):
-                    self._df_cache[t] = self._dict_df.get(t, 0)
+                if not (wildcards and self._is_wild(t)):
+                    self._df_cache[ck(t)] = self._dict_df.get(t, 0)
                 elif t.endswith("*"):
                     p = t[:-1]
                     self._df_cache[t] = sum(
@@ -571,9 +591,10 @@ class Index:
                         if w.endswith(s))
             tokens = []
         if not tokens:
-            return {t: self._df_cache[t] for t in requested}
-        exacts = [t for t in tokens if not self._is_wild(t)]
-        wilds = [t for t in tokens if self._is_wild(t)]
+            return {t: self._df_cache[ck(t)] for t in requested}
+        exacts = [t for t in tokens
+                  if not (wildcards and self._is_wild(t))]
+        wilds = [t for t in tokens if wildcards and self._is_wild(t)]
         parts = []
         if exacts:
             parts.append(self.postings.where(F.col("term").isin(exacts))
@@ -587,8 +608,8 @@ class Index:
         dfs = dict.fromkeys(tokens, 0)
         for r in reduce(DataFrame.unionByName, parts).collect():
             dfs[r["qi"]] = int(r["df"])
-        self._df_cache.update(dfs)
-        return {t: self._df_cache[t] for t in requested}
+        self._df_cache.update({ck(t): dfs[t] for t in tokens})
+        return {t: self._df_cache[ck(t)] for t in requested}
 
     def _seed_docs(self, tok: str) -> DataFrame:
         """The doc-id set of one token (distinct only needed for
@@ -892,10 +913,14 @@ class Index:
             # rows wouldn't change a left-semi anyway
             rows = meta.join(hits.select("doc_id"), "doc_id", "left_semi")
         pairs = ", ".join(f"'{c}', cast(`{c}` as string)" for c in cols)
-        melted = rows.select(F.expr(
+        # n_docs counts DISTINCT documents: a meta table carrying
+        # multiple rows per doc_id (e.g. from an upstream join) must
+        # not count a document once per row — that would flip bucket
+        # rankings. Two-phase distinct agg; output stays facet-dim tiny.
+        melted = rows.select("doc_id", F.expr(
             f"stack({len(cols)}, {pairs}) as (facet, value)"))
         counts = melted.groupBy("facet", "value").agg(
-            F.count("*").alias("n_docs"))
+            F.count_distinct("doc_id").alias("n_docs"))
         w = Window.partitionBy("facet").orderBy(
             F.col("n_docs").desc(), F.col("value").asc_nulls_last())
         return (counts.withColumn("rank",
@@ -1144,7 +1169,11 @@ class Index:
             return self.spark.createDataFrame(
                 [], "doc_id bigint, score double")
         n_docs, _ = self.corpus_stats()
-        dfs = self._token_dfs(sorted(tf))
+        # wildcards=False: these tokens are TOKENIZER OUTPUT, not query
+        # syntax — a corpus term like 'ptr*' (star-keeping tokenizer)
+        # must weigh by its own df, not a dictionary prefix-sum, or
+        # selection and the exact-isin scoring below would disagree
+        dfs = self._token_dfs(sorted(tf), wildcards=False)
         df_cap = max_df_ratio * n_docs
         weighted = sorted(
             ((cnt * math.log(1.0 + (n_docs - dfs[t] + 0.5)

@@ -36,10 +36,14 @@ def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0,
     dot = F.expr(DOT.format(a="embedding", b="qe"))
     na = F.expr(DOT.format(a="embedding", b="embedding"))
     nb = F.expr(DOT.format(a="qe", b="qe"))
+    # try_divide: a zero-norm vector (failed/padded embed) has no
+    # defined cosine — NULL it and drop the row instead of crashing
+    # the whole job under Spark 4's default ANSI DIVIDE_BY_ZERO
     return (j.where(F.col("vec_id") != query_vec_id)
             .select(F.col("vec_id"),
-                    F.round(dot / (F.sqrt(na) * F.sqrt(nb)), round_to)
-                     .alias("cos_sim"))
+                    F.round(F.try_divide(dot, F.sqrt(na) * F.sqrt(nb)),
+                            round_to).alias("cos_sim"))
+            .where(F.col("cos_sim").isNotNull())
             .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
             .limit(k))
 
@@ -51,6 +55,13 @@ def lsh_sign_buckets(embeddings: DataFrame,
     anchors = (embeddings.where(F.col("vec_id").isin(list(anchor_ids)))
                .select(F.col("vec_id").alias("aid"),
                        F.col("embedding").alias("ae")))
+    # misconfigured anchors would bucket NOTHING (empty cross join) and
+    # every LSH query would return 0 rows with no error — fail loudly
+    # (one pushed-In-filter scan of a handful of rows)
+    if not anchors.take(1):
+        raise ValueError(
+            f"none of anchor_ids {tuple(anchor_ids)} exist in the "
+            "embeddings table — pass vec_ids that are present")
     j = embeddings.crossJoin(F.broadcast(anchors))
     dot = F.expr(DOT.format(a="embedding", b="ae"))
     bit = F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -74,8 +85,12 @@ def centroid_sims(embeddings: DataFrame,
     dot = F.expr(DOT.format(a="embedding", b="ce"))
     nc = F.sqrt(F.expr(DOT.format(a="ce", b="ce")))
     ne = F.sqrt(F.expr(DOT.format(a="embedding", b="embedding")))
-    return j.select("vec_id", "cid",
-                    F.round(dot / (ne * nc), 6).alias("sim"))
+    # zero-norm vectors belong to no cell: NULL sim (try_divide) and
+    # drop — ANSI mode would otherwise abort on DIVIDE_BY_ZERO
+    return (j.select("vec_id", "cid",
+                     F.round(F.try_divide(dot, ne * nc), 6)
+                      .alias("sim"))
+            .where(F.col("sim").isNotNull()))
 
 
 def ivf_assign(embeddings: DataFrame,
@@ -130,8 +145,9 @@ def embedding_cosine_pairs(embeddings: DataFrame, threshold: float = 0.9,
     return (a.join(b, "bucket")
             .where(F.col("a") < F.col("b"))
             .select("a", "b",
-                    F.round(dot / (F.col("na") * F.col("nb")), round_to)
-                     .alias("cos_sim"))
+                    F.round(F.try_divide(dot,
+                                         F.col("na") * F.col("nb")),
+                            round_to).alias("cos_sim"))
             .where(F.col("cos_sim") >= threshold))
 
 
@@ -420,9 +436,19 @@ def _resolved_centroids(embeddings: DataFrame,
     path (ivf_residuals/ivfadc_topk) all route here."""
     if centroids is not None:
         return centroids.select("cid", "ce")
-    return (embeddings.where(F.col("vec_id").isin(list(centroid_ids)))
-            .select(F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("ce")))
+    cents = (embeddings.where(F.col("vec_id").isin(list(centroid_ids)))
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("ce")))
+    # fail loudly on misconfigured ids: with zero resolved centroids
+    # every downstream assign/probe would silently return 0 rows,
+    # indistinguishable from 'no neighbors found' (the check is one
+    # pushed-In-filter scan of a handful of rows)
+    if not cents.take(1):
+        raise ValueError(
+            f"none of centroid_ids {tuple(centroid_ids)} exist in the "
+            "embeddings table — pass centroid_ids present in vec_id "
+            "or a trained `centroids` frame")
+    return cents
 
 
 def ivf_residuals(embeddings: DataFrame,
