@@ -1,6 +1,7 @@
 """Varbyte + block-max codec roundtrip tests (operators/codec.py)."""
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from textindexing_spark.operators.codec import (
@@ -57,3 +58,38 @@ def test_postings_roundtrip(postings, block_size):
         assert bd.tolist() == doc_ids[s:e].tolist()
         assert bt.tolist() == tfs[s:e].tolist()
         assert b["max_tf"] == int(tfs[s:e].max())
+
+
+def test_extreme_doc_ids_roundtrip_warning_free():
+    """Hash-derived doc ids near the int64 extremes: the first-block
+    gap exceeds int64, and the encode must be exact via mod-2^64
+    arithmetic WITHOUT tripping numpy overflow warnings (or crashing
+    under np.seterr(over='raise'))."""
+    import warnings
+
+    old = np.seterr(over="raise")
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            for ids in ([2**63 - 1], [-2**63, -1, 0, 1, 2**63 - 1],
+                        [-5, -4, 7]):
+                ids = np.array(ids, dtype=np.int64)
+                tfs = np.ones(len(ids), dtype=np.int64)
+                g, t, b = encode_postings(ids, tfs)
+                did, dtf = decode_postings(g, t, b)
+                assert np.array_equal(did, ids)
+                assert np.array_equal(dtf, tfs)
+    finally:
+        np.seterr(**old)
+
+
+def test_varbyte_truncated_mid_value_raises():
+    """A blob cut inside a value's byte group (no terminator on the
+    tail) must raise ValueError, not IndexError from the decode
+    gather; a cut at a value boundary without a count stays a valid
+    shorter stream, and the count check catches it."""
+    enc = varbyte_encode(np.array([300, 5], dtype=np.int64))
+    with pytest.raises(ValueError, match="truncated"):
+        varbyte_decode(enc[:1])
+    with pytest.raises(ValueError, match="expected"):
+        varbyte_decode(enc[:-1], 2)

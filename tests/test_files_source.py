@@ -423,3 +423,16 @@ def test_reconcile_overwrite_of_glob_named_file(spark, tmp_path):
     ing.reconcile_directory(str(src), "*.txt")
     terms = {r["term"] for r in ing.index().postings.collect()}
     assert "bravo" in terms and "alpha" not in terms
+
+
+def test_glob_case_insensitive_beyond_ascii(spark):
+    """Java regex CASE_INSENSITIVE alone is US-ASCII-only: the compiled
+    glob must carry UNICODE_CASE ('(?iu)') so 'CAFÉ*' matches
+    'café-menu' under rlike, matching the reference's .NET IgnoreCase."""
+    from textindexing_spark.sources.glob import glob_filter
+
+    df = spark.createDataFrame(
+        [("café-menu",), ("CAFÉ-LIST",), ("cafe-plain",)], "name string")
+    got = sorted(r["name"] for r in
+                 glob_filter(df, "name", "CAFÉ*").collect())
+    assert got == ["CAFÉ-LIST", "café-menu"]

@@ -40,7 +40,8 @@ def test_extract_udf_matches_golden(spark):
 # --- glob predicate (S6) ------------------------------------------------------
 
 def test_glob_to_regex():
-    assert glob_to_regex("*.txt") == "(?i)^.*\\.txt$"
+    # (?iu): Java rlike needs UNICODE_CASE for non-ASCII IgnoreCase
+    assert glob_to_regex("*.txt") == "(?iu)^.*\\.txt$"
     with pytest.raises(ValueError):
         glob_to_regex("a|b")
     with pytest.raises(ValueError):
@@ -507,7 +508,7 @@ def test_bucketed_vacuum_keeps_live_versions_readable(spark, tmp_path):
     assert len(versions) == 5
     before = {r.term for r in store.load().postings.collect()}
 
-    deleted = store.vacuum(keep_last=2)
+    deleted = store.vacuum(keep_last=2, grace_s=0)
     assert deleted
     assert store.versions() == versions[-2:]
     # latest version still fully queryable, identical content
@@ -519,7 +520,7 @@ def test_bucketed_vacuum_keeps_live_versions_readable(spark, tmp_path):
     m = store.manifest()
     assert all(os.path.isdir(p) for p in m["postings"].values())
     # keep_last=0 clamps to 1: the LATEST manifest and its data survive
-    store.vacuum(keep_last=0)
+    store.vacuum(keep_last=0, grace_s=0)
     assert store.versions() == versions[-1:]
     assert {r.term for r in store.load().postings.collect()} == before
 
@@ -698,7 +699,7 @@ def test_vacuum_retention_contract_for_pinned_readers(spark, tmp_path):
     store.commit_merge(spark.createDataFrame(
         [(102, "newest words")], "doc_id bigint, text string"))    # v5
 
-    store.vacuum(keep_last=2)
+    store.vacuum(keep_last=2, grace_s=0)
     assert store.versions() == [4, 5]                 # keep_last honored
     assert store.load().search_bool("pinme").count() == 1  # folded, live
     with pytest.raises(FileNotFoundError):
@@ -948,3 +949,59 @@ def test_mixture_plan_token_count_ignores_whitespace_padding(spark):
                          token_budget=100).collect()}
     assert plan["web"]["n_tokens"] == 5
     assert plan["books"]["n_tokens"] == 4
+
+
+def test_extract_roundtrip_preserves_edge_whitespace(spark):
+    """wrap_html adds exactly one '\\n' on each side of the payload;
+    extract_text must strip exactly one — golden text that starts or
+    ends with whitespace round-trips byte-identically (the module's
+    stated contract)."""
+    from textindexing_spark.functions.extract import extract_text
+    from textindexing_spark.sources.pages import wrap_html
+
+    for golden in ("plain", "ends with space ", "\nstarts with newline",
+                   "  padded  ", "tab\tend\t", ""):
+        assert extract_text(wrap_html(golden)) == golden, repr(golden)
+
+
+def test_vacuum_grace_spares_inflight_attempt_dirs(spark, tmp_path):
+    """vacuum's grace window: a fresh unreferenced data dir may belong
+    to an in-flight writer whose manifest has not landed — it must
+    survive the default vacuum and be collected only when aged (or
+    with grace_s=0)."""
+    import os
+
+    from textindexing_spark.sources.bucketed import BucketedIndexStore
+
+    store = BucketedIndexStore(spark, str(tmp_path / "gstore"),
+                               n_term_buckets=4, n_doc_buckets=4)
+    for j in range(3):
+        store.commit_merge(spark.createDataFrame(
+            [(j, f"doc {j} words")], "doc_id bigint, text string"))
+    orphan = f"{store.root}/v99_data_inflight"
+    os.makedirs(orphan)
+    deleted = store.vacuum(keep_last=1)          # default grace: spared
+    assert orphan not in deleted and os.path.isdir(orphan)
+    deleted = store.vacuum(keep_last=1, grace_s=0)
+    assert orphan in deleted and not os.path.isdir(orphan)
+
+
+def test_catalog_commit_claims_distinct_version_dirs(spark, tmp_path):
+    """Racing writers must never share a version directory: the slot is
+    mkdir-claimed, so a pre-existing v{N} (another writer's claim)
+    pushes this commit to the next number instead of interleaving part
+    files into the same directory."""
+    import os
+
+    from textindexing_spark import IndexConfig, build_index
+    from textindexing_spark.sources.catalog import VersionedIndexStore
+
+    store = VersionedIndexStore(spark, str(tmp_path / "cas"))
+    docs = spark.createDataFrame([(1, "alpha beta")],
+                                 "doc_id bigint, text string")
+    idx = build_index(spark, docs, IndexConfig())
+    assert store.commit(idx) == 1
+    os.mkdir(f"{store.root}/v2")          # simulate a racing claim
+    assert store.commit(idx) == 3         # skips the claimed slot
+    assert store.latest_version() == 3
+    assert store.load().search_bool("alpha").count() == 1

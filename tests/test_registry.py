@@ -286,3 +286,80 @@ def test_per_source_identity_reconcile_is_source_local(spark, tmp_path):
     v_before = ing_a.store.latest_version()
     iset.reconcile(src_a)
     assert ing_a.store.latest_version() == v_before
+
+
+def test_reconcile_deletes_url_vanished_from_every_source(spark, tmp_path):
+    """A url deleted from BOTH sources' directories must tombstone:
+    the keep-check reads the other sources' LIVE listings — an
+    anti-join against their append-only provenance tables would keep
+    the url alive forever (each source's provenance still records it).
+    Repeated reconcile must also be idempotent: no new version when
+    nothing changed (the append-only id mapping outlives deletion)."""
+    import glob as _glob
+    import os as _os
+
+    src_a = str(tmp_path / "ga")
+    src_b = str(tmp_path / "gb")
+    shared = ("everywhere_url", T0, None, "papaya guava", "en")
+    _write(spark, [shared, ("a_keep", T0, None, "apple", "en")], src_a)
+    _write(spark, [shared, ("b_keep", T0, None, "banana", "en")], src_b)
+
+    iset = IngestorSet(spark, str(tmp_path / "gidx"),
+                       n_term_buckets=8, n_doc_buckets=4)
+    iset.add(src_a)
+    iset.add(src_b)
+    iset.drain()
+    assert iset.index().search_bool("papaya").count() == 1
+
+    # remove the shared url from BOTH directories (rewrite each without it)
+    for src, keep in ((src_a, ("a_keep", T0, None, "apple", "en")),
+                      (src_b, ("b_keep", T0, None, "banana", "en"))):
+        for f in _glob.glob(f"{src}/*.parquet"):
+            _os.remove(f)
+        _write(spark, [keep], src)
+
+    iset.reconcile(src_a)
+    iset.reconcile(src_b)
+    idx = iset.index()
+    assert idx.search_bool("papaya").count() == 0  # gone from everywhere
+    assert idx.search_bool("apple").count() == 1
+    assert idx.search_bool("banana").count() == 1
+
+    # idempotence: another tick with no changes commits no new version
+    ing = next(iter(iset._sources.values()))
+    v_before = ing.store.latest_version()
+    iset.reconcile(src_a)
+    iset.reconcile(src_b)
+    assert ing.store.latest_version() == v_before
+
+
+def test_remove_retryable_after_failed_commit(spark, tmp_path):
+    """remove() must deregister the source only AFTER the purge
+    commits: a failed commit leaves the source registered so the
+    caller can retry (popping first would make the retry a silent
+    no-op and strand the documents in the index)."""
+    src = str(tmp_path / "rr")
+    _write(spark, [("u1", T0, None, "quince", "en")], src)
+    iset = IngestorSet(spark, str(tmp_path / "rridx"),
+                       n_term_buckets=8, n_doc_buckets=4)
+    iset.add(src)
+    iset.drain()
+    assert iset.index().search_bool("quince").count() == 1
+
+    ing = next(iter(iset._sources.values()))
+    real = ing.store.commit_merge
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated concurrent writer")
+        return real(*a, **kw)
+
+    ing.store.commit_merge = flaky
+    with pytest.raises(RuntimeError, match="simulated"):
+        iset.remove(src)
+    assert iset._sources  # still registered -> retry is possible
+    iset.remove(src)
+    assert not iset._sources
+    assert iset.index().search_bool("quince").count() == 0

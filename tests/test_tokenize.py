@@ -106,3 +106,17 @@ def test_unknown_case_mode_raises():
     assert tokenize_text("Hello", case_insensitive=False) == ["Hello"]
     assert tokenize_text("Schrœdinger",
                          case_insensitive="invariant") == ["schroedinger"]
+
+
+def test_regex_tokenizer_groups_and_repetition():
+    r"""The token is always the FULL match: findall would return group
+    captures for any user pattern containing a capturing group —
+    r'(\w)+' silently tokenizing 'hello' as ['o'], a multi-group
+    pattern crashing the fold step on tuples."""
+    from textindexing_spark.functions.tokenize import tokenize_text
+
+    assert tokenize_text("hello world", r"regex:(\w)+") \
+        == ["hello", "world"]
+    assert tokenize_text("abc-123 x-9", r"regex:([A-Za-z]+)-(\d+)") \
+        == ["abc-123", "x-9"]
+    assert tokenize_text("a1 b2", r"regex:[a-z]\d") == ["a1", "b2"]

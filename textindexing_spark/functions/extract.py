@@ -47,9 +47,16 @@ def extract_text(html: bytes | None) -> str:
     for ent, ch in _ENTITIES:
         body = body.replace(ent, ch)
     text = body.decode("utf-8", errors="replace")
-    # The generator's envelope contributes exactly leading/trailing
-    # whitespace around the text payload; strip only that.
-    return text.strip("\n ")
+    # The generator's envelope (pages.wrap_html) contributes exactly ONE
+    # '\n' on each side of the payload; strip exactly one, never more —
+    # a full strip would eat the payload's own edge whitespace and break
+    # the byte-identical round-trip for golden text that starts or ends
+    # with whitespace.
+    if text.startswith("\n"):
+        text = text[1:]
+    if text.endswith("\n"):
+        text = text[:-1]
+    return text
 
 
 _TITLE_RE = re.compile(rb"<title\b[^>]*>(.*?)</title>",

@@ -110,7 +110,12 @@ def get_tokenizer(name: str) -> Callable[[str], list[str]]:
         return _tokenize_punctuation
     if name.startswith("regex:"):
         pat = re.compile(name[len("regex:"):], re.UNICODE)
-        return lambda text: pat.findall(text)
+        # finditer + group(0): findall would return CAPTURES (strings
+        # or tuples) for any user pattern containing a group —
+        # r'(\w)+' silently tokenizing 'hello' as ['o'], a grouped
+        # pattern crashing the fold step on tuples. The token is
+        # always the full match, as in the reference's RegexLineParser.
+        return lambda text: [m.group(0) for m in pat.finditer(text)]
     raise ValueError(f"unknown tokenizer {name!r}")
 
 

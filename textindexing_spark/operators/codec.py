@@ -67,6 +67,11 @@ def varbyte_decode(buf: np.ndarray, count: int | None = None) -> np.ndarray:
     # value id per byte: 0-based index of the value this byte belongs to
     val_id = np.zeros(buf.size, dtype=np.int64)
     val_id[1:] = np.cumsum(is_last[:-1])
+    if val_id[-1] >= n_vals:
+        # bytes after the final terminator = the stream ends mid-value
+        # (truncated blob); fail with a diagnosis, not an IndexError
+        # from the gather below
+        raise ValueError("varbyte stream truncated mid-value")
     # position of each byte within its value (little-endian group index)
     starts = np.zeros(n_vals, dtype=np.int64)
     ends = np.flatnonzero(is_last)
@@ -103,7 +108,15 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray,
     for s in range(0, n, block_size):
         e = min(s + block_size, n)
         gaps = np.empty(e - s, dtype=np.int64)
-        gaps[0] = doc_ids[s] - prev_last
+        # first-block gap in exact Python-int modular arithmetic: ids
+        # near the int64 extremes (hash-derived ids, which the salting
+        # path anticipates) make `doc_ids[s] - prev_last` exceed int64,
+        # and a numpy SCALAR subtract warns (or raises under
+        # np.seterr(over='raise')) even though mod-2^64 wraparound is
+        # exactly what encode/decode rely on. Array diffs below wrap
+        # silently and exactly in C — only the scalar needed care.
+        first = (int(doc_ids[s]) - prev_last) % (1 << 64)
+        gaps[0] = first - (1 << 64) if first >= 1 << 63 else first
         gaps[1:] = np.diff(doc_ids[s:e])
         gb = varbyte_encode(gaps)
         tb = varbyte_encode(tfs[s:e])

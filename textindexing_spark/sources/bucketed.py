@@ -178,7 +178,16 @@ class BucketedIndexStore:
     # -- readers ----------------------------------------------------------
 
     def _read(self, paths: list[str], ddl: str) -> DataFrame:
-        paths = [p for p in paths if os.path.isdir(p)]
+        # a path the manifest references but that no longer exists is
+        # CORRUPTION (e.g. a mis-timed vacuum), not an empty table —
+        # silently skipping it would make whole buckets of documents
+        # vanish from query results with no error
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                f"manifest references missing data dirs {missing}; "
+                "the store is corrupt (vacuumed while a reader or an "
+                "uncommitted writer held this version?)")
         if not paths:
             return self.spark.createDataFrame([], ddl)
         return self.spark.read.schema(ddl).parquet(*paths)
@@ -250,13 +259,21 @@ class BucketedIndexStore:
         from textindexing_spark.operators.build import (
             document_lengths, tokenize_documents)
 
-        prev = self.manifest() or {**{t: {} for t in _TABLES}, "deltas": []}
+        # read the version pointer FIRST, then that exact version's
+        # manifest: reading them the other way round (manifest() = the
+        # current LATEST, then latest_version() again for the CAS) is a
+        # TOCTOU hole — a writer landing between the two reads would
+        # make this commit's CAS succeed against a manifest it never
+        # read, silently dropping that writer's batch
+        prev_v = self.latest_version()
+        prev = (self.manifest(prev_v) if prev_v is not None else None) \
+            or {**{t: {} for t in _TABLES}, "deltas": []}
         if mode == "rewrite" and prev["deltas"]:
             # deltas are NEWER than the base; folding a still-newer batch
             # under them would invert last-wins — flush them first
             self.compact()
-            prev = self.manifest()
-        prev_v = self.latest_version()
+            prev_v = self.latest_version()
+            prev = self.manifest(prev_v)
         v = (prev_v or 0) + 1
         vdir = self._attempt_dir(v)
         new_tokens = (tokenize_documents(docs, self.cfg, id_col=id_col,
@@ -331,12 +348,15 @@ class BucketedIndexStore:
         rewrite per touched bucket; untouched buckets keep their files).
         A maintenance operation — schedule it like Lucene's background
         segment merges; queries work identically before and after."""
-        prev = self.manifest()
+        # version pointer first, then THAT version's manifest — same
+        # TOCTOU discipline as commit_merge: the CAS must expect the
+        # exact version this fold read
+        prev_v = self.latest_version()
+        prev = self.manifest(prev_v) if prev_v is not None else None
         if prev is None or not prev["deltas"]:
-            return self.latest_version() or 0
+            return prev_v or 0
         from pyspark import StorageLevel
 
-        prev_v = self.latest_version()
         v = (prev_v or 0) + 1
         vdir = self._attempt_dir(v)
         # resolved state of all delta docs (newest wins), plus the full
@@ -364,7 +384,8 @@ class BucketedIndexStore:
             new_tokens.unpersist()
             batch_ids.unpersist()
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(self, keep_last: int = 2,
+               grace_s: float = 3600.0) -> list[str]:
         """Garbage-collect data directories no longer reachable from the
         last ``keep_last`` version manifests (≙ Iceberg's
         expire_snapshots + remove_orphan_files). Copy-on-write shares
@@ -374,13 +395,23 @@ class BucketedIndexStore:
         manifests are dropped too (their versions become unreadable).
         Returns the deleted paths. ``keep_last`` is clamped to >= 1 so
         the LATEST manifest (and the data it references) can never be
-        vacuumed away."""
+        vacuumed away. ``grace_s``: unreferenced data dirs YOUNGER than
+        this are kept — they may belong to an in-flight writer whose
+        manifest has not landed yet (deleting its attempt dir would let
+        its commit succeed pointing at vanished data; cf. Iceberg's
+        remove_orphan_files older_than guard)."""
         import shutil
+        import time
 
         keep_last = max(int(keep_last), 1)
         versions = self.versions()
-        if len(versions) <= keep_last:
+        if not versions:
             return []
+        # NO early return when every version is kept: the orphan-dir
+        # sweep below must still run — aged attempt dirs from lost CAS
+        # races (and dirs a previous grace-window pass spared after
+        # their manifests were already dropped) are collectable only
+        # here
         keep_vs = set(versions[-keep_last:])
         referenced: set[str] = set()
         for v in keep_vs:
@@ -390,11 +421,13 @@ class BucketedIndexStore:
             for d in m["deltas"]:
                 referenced.add(d["dir"])
         deleted = []
+        now = time.time()
         for name in sorted(os.listdir(self.root)):
             full = f"{self.root}/{name}"
             if "_data" in name and os.path.isdir(full):
                 if not any(p == full or p.startswith(full + "/")
-                           for p in referenced):
+                           for p in referenced) \
+                        and now - os.path.getmtime(full) >= grace_s:
                     shutil.rmtree(full, ignore_errors=True)
                     deleted.append(full)
             elif name.startswith("v") and name.endswith(".json") \

@@ -35,6 +35,43 @@ def empty_index(spark, cfg: IndexConfig | None = None) -> Index:
                  cfg or IndexConfig())
 
 
+def _claim_version(root: str, start: int) -> int:
+    """Atomically claim the next free version slot: os.mkdir is the
+    compare-and-set (it fails if a racing writer claimed v{N} first, in
+    which case this writer takes the next number). Without the claim,
+    two writers that both read LATEST=5 would write interleaved part
+    files into the SAME v6 directory and one index would be silently
+    lost."""
+    v = start
+    while True:
+        try:
+            os.mkdir(f"{root}/v{v}")
+            return v
+        except FileExistsError:
+            v += 1
+
+
+def _advance_latest(root: str, v: int) -> None:
+    """Move the LATEST pointer forward to ``v`` — never backward: two
+    racing writers hold DISTINCT claimed versions, and the pointer must
+    end on the numerically newest one regardless of commit completion
+    order (fcntl lock ≙ a conditional pointer put on an object store)."""
+    import fcntl
+
+    with open(f"{root}/.commit_lock", "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            with open(f"{root}/LATEST") as fh:
+                cur = int(fh.read().strip())
+        except FileNotFoundError:
+            cur = 0
+        if v > cur:
+            tmp = f"{root}/LATEST.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(v))
+            os.replace(tmp, f"{root}/LATEST")
+
+
 class VersionedSegmentStore:
     """Snapshot-versioned store for the compressed SegmentIndex — the
     scale path's MVCC layer. Same contract as VersionedIndexStore
@@ -68,12 +105,9 @@ class VersionedSegmentStore:
         return SegmentIndex.load(self.spark, f"{self.root}/v{v}", self.cfg)
 
     def commit(self, seg) -> int:
-        v = (self._latest() or 0) + 1
+        v = _claim_version(self.root, (self._latest() or 0) + 1)
         seg.save(f"{self.root}/v{v}")
-        tmp = f"{self.root}/LATEST.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(v))
-        os.replace(tmp, f"{self.root}/LATEST")
+        _advance_latest(self.root, v)
         return v
 
     def expire(self, keep_last: int = 2) -> list[int]:
@@ -137,13 +171,12 @@ class VersionedIndexStore:
         return Index.load(self.spark, path, self.cfg)
 
     def commit(self, idx: Index) -> int:
-        """Write a new immutable version; atomic LATEST swap."""
-        v = (self.latest_version() or 0) + 1
+        """Write a new immutable version; atomic LATEST swap (the slot
+        is mkdir-claimed first so racing writers get distinct version
+        directories — see _claim_version)."""
+        v = _claim_version(self.root, (self.latest_version() or 0) + 1)
         path = f"{self.root}/v{v}"
         idx.postings.write.mode("overwrite").parquet(f"{path}/postings")
         idx.documents.write.mode("overwrite").parquet(f"{path}/documents")
-        tmp = f"{self.root}/LATEST.tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(v))
-        os.replace(tmp, f"{self.root}/LATEST")
+        _advance_latest(self.root, v)
         return v

@@ -37,7 +37,13 @@ def glob_to_regex(pattern: str, anchored: bool = True,
     if anchored:
         body = f"^{body}$"
     if case_insensitive:
-        body = f"(?i){body}"
+        # (?iu), not (?i): the pattern executes under Java regex
+        # (rlike), where CASE_INSENSITIVE alone is US-ASCII-only —
+        # 'CAFÉ*' would match 'CAFÉ-menu' but silently not 'café-menu'.
+        # UNICODE_CASE restores the reference's .NET IgnoreCase
+        # semantics; Python's re accepts the 'u' flag too, so the same
+        # string works in both engines.
+        body = f"(?iu){body}"
     return body
 
 

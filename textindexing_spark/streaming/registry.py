@@ -191,7 +191,11 @@ class IngestorSet:
         composite keys, exactly the reference's "drop one Indexer's
         documents" semantics."""
         key = self._key(source_dir)
-        ing = self._sources.pop(key, None)
+        # deregister only AFTER the purge commits: popping first would
+        # make a failed commit (e.g. ConcurrentWriterError from a racing
+        # drain) unretryable — remove() on an unknown source is a no-op,
+        # so the source's documents would stay indexed forever
+        ing = self._sources.get(key)
         if ing is None:
             return
         if self.identity == "per_source":
@@ -213,14 +217,19 @@ class IngestorSet:
                     docs_df.select("doc_id"), "doc_id", "left_semi")
                 if tombstones.limit(1).count():
                     ing.store.commit_merge(tombstones)
+            self._sources.pop(key, None)
             return
         try:
             prov = (self.spark.read.schema("url string")
                     .parquet(ing.prov_path).distinct())
         except Exception:
-            return  # source registered but never drained: nothing indexed
+            # source registered but never drained: nothing indexed
+            self._sources.pop(key, None)
+            return
         # keep urls still provided by another live source
         for other in self._sources.values():
+            if other is ing:
+                continue
             try:
                 o = (self.spark.read.schema("url string")
                      .parquet(other.prov_path))
@@ -230,18 +239,42 @@ class IngestorSet:
         # read-only id lookup: assign() would MINT fresh ids for urls that
         # have a provenance row but never reached the id table (possible
         # when a provenance append landed but the merge crashed before
-        # committing) — the inner join drops such unmapped urls instead
+        # committing) — the inner join drops such unmapped urls instead.
+        # The current-documents restriction makes a retried remove()
+        # idempotent: the append-only mapping outlives deletion.
         tombstones = (prov.join(ing.url_ids.mapping(), "url")
                       .select("doc_id", F.lit("").alias("text")))
+        tombstones = self._only_current(ing, tombstones)
         if tombstones.limit(1).count():
             ing.store.commit_merge(tombstones)
+        self._sources.pop(key, None)
+
+    @staticmethod
+    def _only_current(ing, tombstones):
+        """Restrict tombstone candidates to docs CURRENTLY in the index.
+        The id mapping is append-only (rows outlive deletion), so an
+        unrestricted lookup would re-detect every vanished url on every
+        reconcile tick and commit a redundant tombstone version forever
+        — the same guard the per-source override documents."""
+        idx = ing.index()
+        if idx is None:
+            return tombstones
+        docs_df = (idx.documents if hasattr(idx, "documents")
+                   else idx.documents_df())
+        return tombstones.join(docs_df.select("doc_id"), "doc_id",
+                               "left_semi")
 
     def reconcile(self, source_dir: str) -> None:
         """Registry-aware delete detection: tombstone documents whose url
         vanished from THIS source's current listing — unless another
-        live source still provides the url (provenance anti-join). The
+        live source's CURRENT LISTING still provides the url. The
         multi-source completion of the watcher's Deleted events
-        (FileSystemDocumentSource.cs:120-140)."""
+        (FileSystemDocumentSource.cs:120-140).
+
+        The keep-check reads the other sources' listings, not their
+        provenance tables: provenance is append-only, so a url deleted
+        from EVERY source would sit in each source's provenance and a
+        provenance anti-join could never tombstone it from anywhere."""
         from textindexing_spark.sources.pages import PAGES_SCHEMA
 
         key = self._key(source_dir)
@@ -264,14 +297,16 @@ class IngestorSet:
             if other is ing:
                 continue
             try:
-                o = (self.spark.read.schema("url string")
-                     .parquet(other.prov_path))
+                o = (self.spark.read.schema(PAGES_SCHEMA)
+                     .parquet(other.source_dir).select("url"))
             except Exception:
-                continue
+                continue  # empty/unreadable listing provides nothing
             gone = gone.join(o, "url", "left_anti")
-        # read-only lookup (see remove()): never mint ids for vanished urls
+        # read-only lookup (see remove()): never mint ids for vanished
+        # urls; current-documents restriction keeps reconcile idempotent
         tombstones = (gone.join(ing.url_ids.mapping(), "url")
                       .select("doc_id", F.lit("").alias("text")))
+        tombstones = self._only_current(ing, tombstones)
         if tombstones.limit(1).count():
             ing.store.commit_merge(tombstones)
 
