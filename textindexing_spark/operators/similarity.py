@@ -20,6 +20,28 @@ from pyspark.sql import DataFrame, functions as F
 DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
        "CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
 
+# (semanticHash(filtered frame), param name) -> validated. Bounded: the
+# set only ever holds one entry per distinct (table plan, id tuple) a
+# session queries — misconfig checks cost ONE job per table, not one
+# per query (the guard exists so absent anchor/centroid ids raise
+# instead of silently emptying every result).
+_VALIDATED_IDS: set = set()
+
+
+def _check_ids_exist(filtered: DataFrame, what: str, ids: tuple) -> None:
+    key = (filtered.semanticHash(), what)
+    if key in _VALIDATED_IDS:
+        return
+    if not filtered.take(1):
+        raise ValueError(
+            f"none of {what} {ids} exist in the embeddings table — "
+            "pass vec_ids that are present"
+            + (" or a trained `centroids` frame"
+               if what == "centroid_ids" else ""))
+    if len(_VALIDATED_IDS) > 4096:
+        _VALIDATED_IDS.clear()
+    _VALIDATED_IDS.add(key)
+
 
 def _with_query_vec(embeddings: DataFrame, query_vec_id: int) -> DataFrame:
     q = (embeddings.where(F.col("vec_id") == query_vec_id)
@@ -57,11 +79,9 @@ def lsh_sign_buckets(embeddings: DataFrame,
                        F.col("embedding").alias("ae")))
     # misconfigured anchors would bucket NOTHING (empty cross join) and
     # every LSH query would return 0 rows with no error — fail loudly
-    # (one pushed-In-filter scan of a handful of rows)
-    if not anchors.take(1):
-        raise ValueError(
-            f"none of anchor_ids {tuple(anchor_ids)} exist in the "
-            "embeddings table — pass vec_ids that are present")
+    # (one pushed-In-filter scan, memoized per plan so repeated queries
+    # over the same table pay it once, not one job per query)
+    _check_ids_exist(anchors, "anchor_ids", tuple(anchor_ids))
     j = embeddings.crossJoin(F.broadcast(anchors))
     dot = F.expr(DOT.format(a="embedding", b="ae"))
     bit = F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
@@ -441,13 +461,9 @@ def _resolved_centroids(embeddings: DataFrame,
                      F.col("embedding").alias("ce")))
     # fail loudly on misconfigured ids: with zero resolved centroids
     # every downstream assign/probe would silently return 0 rows,
-    # indistinguishable from 'no neighbors found' (the check is one
-    # pushed-In-filter scan of a handful of rows)
-    if not cents.take(1):
-        raise ValueError(
-            f"none of centroid_ids {tuple(centroid_ids)} exist in the "
-            "embeddings table — pass centroid_ids present in vec_id "
-            "or a trained `centroids` frame")
+    # indistinguishable from 'no neighbors found' (one pushed-In-filter
+    # scan, memoized per plan — see _check_ids_exist)
+    _check_ids_exist(cents, "centroid_ids", tuple(centroid_ids))
     return cents
 
 
