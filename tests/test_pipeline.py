@@ -1005,3 +1005,42 @@ def test_catalog_commit_claims_distinct_version_dirs(spark, tmp_path):
     assert store.commit(idx) == 3         # skips the claimed slot
     assert store.latest_version() == 3
     assert store.load().search_bool("alpha").count() == 1
+
+
+def test_quarantine_records_every_failed_row(spark, tmp_path):
+    """P7: N distinct unreadable rows (url NULL) must ALL reach the
+    quarantine — quarantining after dedup would collapse them into one
+    window partition and silently discard all but one."""
+    import datetime as dt
+
+    from textindexing_spark.streaming.ingest import StreamingIngestor
+
+    t0 = dt.datetime(2024, 1, 1)
+    batch = spark.createDataFrame(
+        [(None, t0, None, f"broken {i}", "en") for i in range(5)]
+        + [("ok_url", t0, None, "fine words", "en")], PAGES_SCHEMA)
+    ing = StreamingIngestor(spark, str(tmp_path / "qidx"))
+    ing.process_batch(batch)
+    assert ing.metrics.docs_failed == 5
+    q = spark.read.parquet(str(tmp_path / "qidx" / "_quarantine"))
+    assert q.count() == 5
+    assert {r["term"] for r in ing.index().postings.collect()} \
+        == {"fine", "words"}
+
+
+def test_dedup_last_wins_deterministic_on_ts_ties(spark):
+    """Same-second recrawls: the surviving row must be deterministic
+    (content-hash tie-break) — warc_ts alone lets each action over the
+    batch pick a DIFFERENT winner."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("u1", t0, None, "version a", "en"),
+            ("u1", t0, None, "version b", "en")]
+    df = spark.createDataFrame(rows, PAGES_SCHEMA)
+    winners = {dedup_last_wins(df).collect()[0]["text"]
+               for _ in range(5)}
+    assert len(winners) == 1
+    # and repartitioning the input does not change the winner
+    alt = dedup_last_wins(df.repartition(7)).collect()[0]["text"]
+    assert {alt} == winners

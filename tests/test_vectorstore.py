@@ -233,3 +233,21 @@ def test_retrain_into_own_root_refused(spark, store, tmp_path):
         store.retrain(store.root + "/../" + store.root.rsplit("/", 1)[1])
     # the live store still serves under its original quantizer
     assert store.search([0.5] * 6, k=1, nprobe=store.k_cells).count() == 1
+
+
+def test_upsert_duplicate_vec_ids_in_batch(spark, tmp_path):
+    """replace-by-id: a batch carrying one vec_id twice must leave ONE
+    row for it (tombstones only anti-join OLDER state, so both copies
+    would otherwise survive in the delta forever)."""
+    st = IvfVectorStore.create(
+        spark, str(tmp_path / "dup"), k_cells=2,
+        centroids=[[1.0, 0.0], [0.0, 1.0]])
+    batch = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [1.0, 0.1]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>")
+    st.upsert(batch)
+    assert st.count() == 2
+    rows = st.resolved().where("vec_id = 1").collect()
+    assert len(rows) == 1
+    got = st.search([1.0, 0.0], k=3, nprobe=2).collect()
+    assert len([r for r in got if r["vec_id"] == 1]) == 1

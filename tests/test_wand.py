@@ -459,3 +459,68 @@ def test_segment_store_expire(spark, corpus, tmp_path):
     assert store.expire(keep_last=0) == []
     assert store.versions() == [v3]
     assert store.load().search_bm25("brand new", 5).count() >= 1
+
+
+def test_upsert_duplicate_doc_ids_in_batch(spark):
+    """A batch carrying the same doc_id twice (retry that unioned a
+    change set with itself) must index the doc ONCE — duplicate
+    encoding would corrupt the doc table and let one doc occupy two
+    top-k slots."""
+    from textindexing_spark.operators.bm25 import (
+        SegmentIndex, build_segments_from_docs)
+
+    base = build_segments_from_docs(
+        spark, spark.createDataFrame([(1, "alpha beta"), (2, "gamma")],
+                                     "doc_id bigint, text string"),
+        n_shards=4)
+    dup = spark.createDataFrame(
+        [(3, "delta alpha"), (3, "delta alpha"), (2, "gamma revised")],
+        "doc_id bigint, text string")
+    merged = base.upsert(dup)
+    assert merged.n_docs == 3
+    hits = merged.search_bm25("delta", 10).collect()
+    assert [r["doc_id"] for r in hits] == [3]
+    # self-union = the common retry shape
+    batch = spark.createDataFrame([(4, "epsilon")],
+                                  "doc_id bigint, text string")
+    again = merged.upsert(batch.unionAll(batch))
+    assert again.n_docs == 4
+    assert [r["doc_id"] for r in
+            again.search_bm25("epsilon", 10).collect()] == [4]
+
+
+def test_shard_routing_survives_elided_repartition(spark):
+    """The shard column must derive from doc_id (murmur3 twin), not the
+    physical partition id: when the upsert input is already
+    hash-partitioned on doc_id with N == shuffle.partitions (e.g. a
+    dropDuplicates upstream, as this test builds), Catalyst elides the
+    'redundant' repartition and AQE coalesces the remaining exchange —
+    a partitionId-derived shard then mis-routes every row and deletes
+    stop matching their resident shard."""
+    from textindexing_spark.operators.bm25 import (
+        build_segments_from_docs)
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = spark.createDataFrame(
+        [(i, f"common word{i}") for i in range(12)],
+        "doc_id bigint, text string")
+    base = build_segments_from_docs(spark, docs, n_shards=n)
+    # the hazardous input shape: aggregated (hash-partitioned) upstream
+    delta = (spark.createDataFrame(
+        [(5, ""), (20, "common fresh")], "doc_id bigint, text string")
+        .dropDuplicates(["doc_id"]))
+    merged = base.upsert(delta)
+    assert merged.n_docs == 12  # doc 5 deleted, doc 20 added
+    assert [r["doc_id"] for r in
+            merged.search_bm25("word5", 10).collect()] == []
+    assert [r["doc_id"] for r in
+            merged.search_bm25("fresh", 10).collect()] == [20]
+    # rank-identity with a bulk build of the final state
+    final = docs.where("doc_id <> 5").unionAll(spark.createDataFrame(
+        [(20, "common fresh")], "doc_id bigint, text string"))
+    bulk = build_segments_from_docs(spark, final, n_shards=n)
+    a = [(r.doc_id, round(r.score, 9)) for r in
+         merged.search_bm25("common", 20).collect()]
+    b = [(r.doc_id, round(r.score, 9)) for r in
+         bulk.search_bm25("common", 20).collect()]
+    assert a == b

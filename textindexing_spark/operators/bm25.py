@@ -510,7 +510,8 @@ class SegmentIndex:
                              F.col(text_col).alias(text_col))
                  .repartition(self.n_shards, id_col)
                  .mapInPandas(_fused_encoder(self.cfg, id_col, text_col,
-                                             include_empty_docs=True),
+                                             include_empty_docs=True,
+                                             n_shards=self.n_shards),
                               FUSED_SCHEMA))
         merged = (self._as_fused().groupby("shard")
                   .cogroup(delta.groupby("shard"))
@@ -1183,7 +1184,8 @@ def build_segments_from_docs(spark, docs: DataFrame,
     fused = (docs.select(F.col(id_col).alias(id_col),
                          F.col(text_col).alias(text_col))
              .repartition(n_shards, id_col)
-             .mapInPandas(_fused_encoder(cfg, id_col, text_col),
+             .mapInPandas(_fused_encoder(cfg, id_col, text_col,
+                                         n_shards=n_shards),
                           FUSED_SCHEMA)
              .persist(StorageLevel.MEMORY_AND_DISK))
     return _index_from_fused(spark, fused, cfg, n_shards)
@@ -1433,7 +1435,8 @@ def _coalesce_shard_factory(cfg: IndexConfig):
 
 
 def _fused_encoder(cfg: IndexConfig, id_col: str, text_col: str,
-                   include_empty_docs: bool = False):
+                   include_empty_docs: bool = False,
+                   n_shards: int | None = None):
     """mapInPandas fn: one doc-shard partition -> FUSED_SCHEMA rows.
     ``include_empty_docs`` records token-less docs in the summary doc
     table with doc_len 0 — the delta form upsert needs to express
@@ -1449,14 +1452,42 @@ def _fused_encoder(cfg: IndexConfig, id_col: str, text_col: str,
 
         from textindexing_spark.operators.build import _count_pairs
 
-        shard = TaskContext.get().partitionId()
-        vocab: dict[str, int] = {}
-        d_id_parts: list[np.ndarray] = []
-        d_len_parts: list[np.ndarray] = []
-        p_doc: list[np.ndarray] = []
-        p_code: list[np.ndarray] = []
-        p_tf: list[np.ndarray] = []
-        for pdf in batches:
+        # Shard identity: computed from doc_id via the murmur3 twin of
+        # Spark's HashPartitioning (spark_hash_long — the same identity
+        # reshard relies on), NOT the task's partitionId. The upstream
+        # repartition(n_shards, doc_id) normally makes them equal, but
+        # Catalyst can ELIDE a repartition it deems redundant (child
+        # already hash-partitioned on doc_id with the same N — e.g.
+        # after a dropDuplicates when shuffle.partitions == n_shards)
+        # and AQE then coalesces the remaining exchange; a partitionId-
+        # derived shard silently mis-routes every row in that plan.
+        # Deriving the shard from the data keeps the index correct
+        # under ANY physical plan; one partition may then emit several
+        # shard groups (normally exactly one). Duplicate doc ids within
+        # the input dedup here too (first occurrence wins) — same-id
+        # rows always co-locate under any hash partitioning on doc_id.
+        if n_shards:
+            def shard_of(ids_a):
+                h = codec.spark_hash_long(ids_a).astype(np.int64)
+                return ((h % n_shards) + n_shards) % n_shards
+        else:
+            pid = TaskContext.get().partitionId()
+
+            def shard_of(ids_a):
+                return np.full(ids_a.size, pid, dtype=np.int64)
+
+        states: dict[int, dict] = {}
+        seen: set = set()
+
+        def state_for(sh: int) -> dict:
+            st = states.get(sh)
+            if st is None:
+                st = states[sh] = {
+                    "vocab": {}, "d_id": [], "d_len": [],
+                    "p_doc": [], "p_code": [], "p_tf": []}
+            return st
+
+        def eat(st, pdf):
             tok_lists = tokenize_series(pdf[text_col], tokenizer, fold)
             ids_a = pdf[id_col].to_numpy(np.int64)
             # vectorized tf counting (see build._count_pairs): dense
@@ -1469,64 +1500,95 @@ def _fused_encoder(cfg: IndexConfig, id_col: str, text_col: str,
             if include_empty_docs:
                 # empty doc: never indexed (SURVEY 1.4.2); the delta form
                 # keeps a dl=0 tombstone so upsert deletes it
-                d_id_parts.append(ids_a)
-                d_len_parts.append(lens)
+                st["d_id"].append(ids_a)
+                st["d_len"].append(lens)
             else:
-                d_id_parts.append(ids_a[lens > 0])
-                d_len_parts.append(lens[lens > 0])
+                st["d_id"].append(ids_a[lens > 0])
+                st["d_len"].append(lens[lens > 0])
             if total == 0:
-                continue
+                return
+            vocab = st["vocab"]
             g_uniq = np.fromiter(
                 (vocab.setdefault(t, len(vocab)) for t in uniq),
                 dtype=np.int64, count=len(uniq))
             V = len(uniq)
-            p_doc.append(ids_a[kv // V])
-            p_code.append(g_uniq[kv % V])
-            p_tf.append(tf_u)
-        d_ids_a = (np.concatenate(d_id_parts) if d_id_parts
-                   else np.empty(0, dtype=np.int64))
-        if d_ids_a.size == 0:
-            return  # empty shard: contribute no batches at all
-        terms = np.array(list(vocab.keys()), dtype=object)
-        d_lens_a = np.concatenate(d_len_parts)
-        d_order = np.argsort(d_ids_a)
-        d_ids_a, d_lens_a = d_ids_a[d_order], d_lens_a[d_order]
+            st["p_doc"].append(ids_a[kv // V])
+            st["p_code"].append(g_uniq[kv % V])
+            st["p_tf"].append(tf_u)
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # first occurrence per doc_id wins: drop within-batch
+            # repeats and ids already consumed in this partition (a
+            # duplicated id would otherwise encode twice — duplicate
+            # doc-table entries, non-strictly-increasing posting ids,
+            # one doc in two top-k slots)
+            fresh = ~pdf[id_col].duplicated() \
+                & ~pdf[id_col].isin(seen)
+            if not fresh.all():
+                pdf = pdf[fresh]
+                if pdf.empty:
+                    continue
+            seen.update(pdf[id_col].tolist())
+            sh_a = shard_of(pdf[id_col].to_numpy(np.int64))
+            first = int(sh_a[0])
+            if (sh_a == first).all():     # the common single-shard case
+                eat(state_for(first), pdf)
+            else:
+                for sh, sub in pdf.groupby(sh_a, sort=False):
+                    eat(state_for(int(sh)), sub)
+
         rows = {"shard": [], "term": [], "n_docs": [], "gaps": [],
                 "tfs": [], "blocks": [], "doc_ids": [], "doc_lens": [],
                 "sum_dl": []}
-        if p_doc:
-            doc = np.concatenate(p_doc)
-            code = np.concatenate(p_code)
-            tf = np.concatenate(p_tf)
-            order = np.lexsort((doc, code))
-            doc, code, tf = doc[order], code[order], tf[order]
-            dl = d_lens_a[np.searchsorted(d_ids_a, doc)]
-            starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
-            bounds = np.append(starts, code.size)
-            for i in range(starts.size):
-                s, e = bounds[i], bounds[i + 1]
-                gb, tb, blocks = codec.encode_postings(
-                    doc[s:e], tf[s:e], block_size, dl[s:e])
-                rows["shard"].append(shard)
-                rows["term"].append(terms[code[s]])
-                rows["n_docs"].append(int(e - s))
-                rows["gaps"].append(gb)
-                rows["tfs"].append(tb)
-                rows["blocks"].append(blocks)
-                rows["doc_ids"].append(None)
-                rows["doc_lens"].append(None)
-                rows["sum_dl"].append(None)
-        # shard summary row: packed doc table + stats (term NULL)
-        rows["shard"].append(shard)
-        rows["term"].append(None)
-        rows["n_docs"].append(len(d_ids_a))
-        rows["gaps"].append(None)
-        rows["tfs"].append(None)
-        rows["blocks"].append(None)
-        rows["doc_ids"].append(codec.varbyte_encode(d_ids_a).tobytes())
-        rows["doc_lens"].append(codec.varbyte_encode(d_lens_a).tobytes())
-        rows["sum_dl"].append(int(d_lens_a.sum()))
-        yield pd.DataFrame(rows)
+        for shard in sorted(states):
+            st = states[shard]
+            d_ids_a = (np.concatenate(st["d_id"]) if st["d_id"]
+                       else np.empty(0, dtype=np.int64))
+            if d_ids_a.size == 0:
+                continue  # empty shard: contributes no rows
+            terms = np.array(list(st["vocab"].keys()), dtype=object)
+            d_lens_a = np.concatenate(st["d_len"])
+            d_order = np.argsort(d_ids_a)
+            d_ids_a, d_lens_a = d_ids_a[d_order], d_lens_a[d_order]
+            if st["p_doc"]:
+                doc = np.concatenate(st["p_doc"])
+                code = np.concatenate(st["p_code"])
+                tf = np.concatenate(st["p_tf"])
+                order = np.lexsort((doc, code))
+                doc, code, tf = doc[order], code[order], tf[order]
+                dl = d_lens_a[np.searchsorted(d_ids_a, doc)]
+                starts = np.flatnonzero(np.r_[True,
+                                              code[1:] != code[:-1]])
+                bounds = np.append(starts, code.size)
+                for i in range(starts.size):
+                    s, e = bounds[i], bounds[i + 1]
+                    gb, tb, blocks = codec.encode_postings(
+                        doc[s:e], tf[s:e], block_size, dl[s:e])
+                    rows["shard"].append(shard)
+                    rows["term"].append(terms[code[s]])
+                    rows["n_docs"].append(int(e - s))
+                    rows["gaps"].append(gb)
+                    rows["tfs"].append(tb)
+                    rows["blocks"].append(blocks)
+                    rows["doc_ids"].append(None)
+                    rows["doc_lens"].append(None)
+                    rows["sum_dl"].append(None)
+            # shard summary row: packed doc table + stats (term NULL)
+            rows["shard"].append(shard)
+            rows["term"].append(None)
+            rows["n_docs"].append(len(d_ids_a))
+            rows["gaps"].append(None)
+            rows["tfs"].append(None)
+            rows["blocks"].append(None)
+            rows["doc_ids"].append(
+                codec.varbyte_encode(d_ids_a).tobytes())
+            rows["doc_lens"].append(
+                codec.varbyte_encode(d_lens_a).tobytes())
+            rows["sum_dl"].append(int(d_lens_a.sum()))
+        if rows["shard"]:
+            yield pd.DataFrame(rows)
 
     return encode_partition
 

@@ -140,10 +140,19 @@ class UrlIdTable:
             return self._assign_locked(df, url_col)
 
     def _assign_locked(self, df: DataFrame, url_col: str) -> DataFrame:
+        from pyspark import StorageLevel
+
         existing = self.mapping()
+        # pin the new-url set: the counts job below and the chunk write
+        # are TWO actions over this frame — re-evaluating a
+        # nondeterministic input (sampled / re-listed / rand-filtered
+        # df) between them would write more urls than were counted, and
+        # the next batch would mint overlapping doc ids (two urls
+        # silently sharing one id)
         new_urls = (df.select(F.col(url_col).alias("url"))
                     .where(F.col("url").isNotNull()).distinct()
-                    .join(existing, "url", "left_anti"))
+                    .join(existing, "url", "left_anti")
+                    .persist(StorageLevel.MEMORY_AND_DISK))
         bucket = F.pmod(F.xxhash64("url"),
                         F.lit(self.n_buckets)).cast("int")
         # ONE job decides everything: per-bucket counts (their sum is the
@@ -178,6 +187,7 @@ class UrlIdTable:
             self._swap("LATEST", str(v))
             if v - self._base_meta()["folded_through"] >= self.compact_every:
                 self._compact_locked()
+        new_urls.unpersist()
         full = self.mapping()
         return df.join(full, df[url_col] == full["url"], "left") \
                  .drop(full["url"])

@@ -251,12 +251,20 @@ class IvfVectorStore:
         rewriting only the cells the batch touches."""
         from pyspark import StorageLevel
 
-        prev = self.manifest() or {"cells": {}, "deltas": []}
+        # pointer first, then THAT version's manifest (same TOCTOU
+        # discipline as BucketedIndexStore.commit_merge: the CAS must
+        # expect the exact version this commit read)
         prev_v = self.latest_version()
+        prev = (self.manifest(prev_v) if prev_v is not None else None) \
+            or {"cells": {}, "deltas": []}
         v = (prev_v or 0) + 1
         vdir = self._attempt_dir(v)
-        assigned = self._assign(embeddings).persist(
-            StorageLevel.MEMORY_AND_DISK)
+        # one row per vec_id within the batch: a duplicated id would
+        # survive in the delta twice (tombstones only anti-join OLDER
+        # state) and break replace-by-id — two rows for one vec_id in
+        # every later search
+        assigned = (self._assign(embeddings.dropDuplicates(["vec_id"]))
+                    .persist(StorageLevel.MEMORY_AND_DISK))
         tombs = assigned.select("vec_id").distinct()
         try:
             if mode == "rewrite":
@@ -264,8 +272,8 @@ class IvfVectorStore:
                     # deltas are newer than the base; folding a still-newer
                     # batch under them would invert last-wins — flush first
                     self.compact()
-                    prev = self.manifest()
                     prev_v = self.latest_version()
+                    prev = self.manifest(prev_v)
                     v = prev_v + 1
                     vdir = self._attempt_dir(v)
                 man = self._fold_into_cells(prev, assigned, tombs, vdir)
@@ -283,8 +291,9 @@ class IvfVectorStore:
     def delete(self, vec_ids: DataFrame) -> int:
         """Tombstone-only delta: the ids disappear from every subsequent
         read; storage is reclaimed at the next compact."""
-        prev = self.manifest() or {"cells": {}, "deltas": []}
         prev_v = self.latest_version()
+        prev = (self.manifest(prev_v) if prev_v is not None else None) \
+            or {"cells": {}, "deltas": []}
         v = (prev_v or 0) + 1
         vdir = self._attempt_dir(v)
         ddir = f"{vdir}/delta"
@@ -329,12 +338,12 @@ class IvfVectorStore:
         a cell is rewritten only if a delta adds rows to it OR tombstones
         one of its resident vectors; untouched cells inherit their
         directories byte-identical."""
-        prev = self.manifest()
+        prev_v = self.latest_version()
+        prev = self.manifest(prev_v) if prev_v is not None else None
         if prev is None or not prev["deltas"]:
-            return self.latest_version() or 0
+            return prev_v or 0
         from pyspark import StorageLevel
 
-        prev_v = self.latest_version()
         v = prev_v + 1
         vdir = self._attempt_dir(v)
         # resolved delta rows (newest wins) + the full tombstone union

@@ -61,10 +61,14 @@ def doc_ids_for(pages: DataFrame, id_expr: str = "xxhash64(url)") -> DataFrame:
 def dedup_last_wins(batch: DataFrame) -> DataFrame:
     """F3: a url crawled twice within one micro-batch indexes once, the
     newest warc_ts wins (row_number desc ≙ Distinct()-per-buffer with
-    upsert ordering)."""
+    upsert ordering). Ties on warc_ts (same-second recrawls) break on a
+    content hash — warc_ts alone leaves the winner nondeterministic,
+    and the multiple actions over one batch could each pick a DIFFERENT
+    winner (index one version, count/quarantine another)."""
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    w = W.partitionBy("url").orderBy(F.col("warc_ts").desc(),
+                                     F.xxhash64("text").desc())
     return (batch.withColumn("_rn", F.row_number().over(w))
             .where("_rn = 1").drop("_rn"))
 
@@ -125,17 +129,22 @@ class StreamingIngestor:
         n_found = batch.count()
         self.metrics.docs_found += n_found
         if n_found == 0:
-            return self.store.latest_version() or 0
-        batch = dedup_last_wins(batch)
-        # P7 quarantine: rows whose content is unreadable are isolated,
-        # the rest of the batch proceeds (Indexer.cs:259-265)
+            return (self.store.latest_version()
+                    if hasattr(self.store, "latest_version")
+                    else self.store._latest()) or 0
+        # P7 quarantine FIRST: rows whose content is unreadable are
+        # isolated, the rest of the batch proceeds (Indexer.cs:259-265).
+        # Quarantine must precede dedup — dedup's window groups all
+        # NULL urls into ONE partition and keeps one row, which would
+        # silently discard every other failed row in the batch instead
+        # of recording it
         bad = batch.where(F.col("url").isNull())
         n_bad = bad.count()
         if n_bad:
             self.metrics.docs_failed += n_bad
             (bad.withColumn("error", F.lit("null url"))
                 .write.mode("append").parquet(self.quarantine_path))
-        good = batch.where(F.col("url").isNotNull())
+        good = dedup_last_wins(batch.where(F.col("url").isNotNull()))
         if self.transform is not None:
             good = self.transform(good)
         docs = (self.url_ids.assign(good)
@@ -250,13 +259,21 @@ class StreamingIngestor:
                        .join(prev.alias("p"), "url")
                        .where(moved)
                        .select("url"))
-            # the changed set is a delta — bounded, safe to collect; the
-            # re-read then scans exactly those files
-            paths = [r["url"][len("file://"):]
-                     for r in changed.collect()]
-            if paths:
+            # the changed set is USUALLY a small delta, but a mass
+            # mtime sweep (backup restore, chown -R, touch) marks the
+            # whole corpus as moved — stream the paths in bounded
+            # chunks instead of one driver-resident list, and re-index
+            # each chunk as its own batch
+            chunk, chunk_size = [], 50_000
+            for r in changed.toLocalIterator():
+                chunk.append(r["url"][len("file://"):])
+                if len(chunk) >= chunk_size:
+                    v = self.process_batch(
+                        read_paths(self.spark, chunk, default_encoding))
+                    chunk = []
+            if chunk:
                 v = self.process_batch(
-                    read_paths(self.spark, paths, default_encoding))
+                    read_paths(self.spark, chunk, default_encoding))
             # delete side: indexed urls under this listing that vanished
             gone = (prev.join(cur.select("url"), "url", "left_anti")
                     .join(self.url_ids.mapping(), "url")
@@ -321,31 +338,10 @@ class StreamingSegmentIngestor(StreamingIngestor):
         self.store = VersionedSegmentStore(spark, index_root, self.cfg)
         self.n_shards = n_shards
 
-    def process_batch(self, batch: DataFrame, epoch_id: int = 0) -> int:
-        from textindexing_spark.operators.bm25 import (
-            build_segments_from_docs)
-
-        self.metrics.batches += 1
-        n_found = batch.count()
-        self.metrics.docs_found += n_found
-        if n_found == 0:
-            return self.store._latest() or 0
-        batch = dedup_last_wins(batch)
-        bad = batch.where(F.col("url").isNull())
-        n_bad = bad.count()
-        if n_bad:
-            self.metrics.docs_failed += n_bad
-            (bad.withColumn("error", F.lit("null url"))
-                .write.mode("append").parquet(self.quarantine_path))
-        good = batch.where(F.col("url").isNotNull())
-        if self.transform is not None:
-            good = self.transform(good)
-        docs = (self.url_ids.assign(good)
-                .select("doc_id", F.coalesce("text", F.lit("")).alias("text")))
-        v = self._merge_docs(docs)
-        self.metrics.docs_indexed += docs.where(F.length("text") > 0).count()
-        self.metrics.versions.append(v)
-        return v
+    # batch pipeline (quarantine -> dedup -> transform -> id assign ->
+    # merge) is inherited from StreamingIngestor — a prior copy-paste
+    # override let the two paths drift (the parent's quarantine-order
+    # fix and compact hook did not apply here)
 
     def _merge_docs(self, docs: DataFrame) -> int:
         from textindexing_spark.operators.bm25 import (
@@ -357,7 +353,14 @@ class StreamingSegmentIngestor(StreamingIngestor):
                                                n_shards=self.n_shards)
         else:
             new_seg = base.upsert(docs)
-        return self.store.commit(new_seg)
+        try:
+            return self.store.commit(new_seg)
+        finally:
+            # the fused frame was MEMORY_AND_DISK-persisted inside the
+            # build/upsert; once committed to parquet it must leave the
+            # cache or a long-running stream leaks one full index copy
+            # per micro-batch
+            new_seg.unpersist()
 
 
 class StreamingPositionalIngestor(StreamingSegmentIngestor):
@@ -388,4 +391,7 @@ class StreamingPositionalIngestor(StreamingSegmentIngestor):
                 self.spark, docs, self.cfg, n_shards=self.n_shards)
         else:
             new_idx = base.upsert(docs)
-        return self.store.commit(new_idx)
+        try:
+            return self.store.commit(new_idx)
+        finally:
+            new_idx.unpersist()  # see StreamingSegmentIngestor._merge_docs
