@@ -108,9 +108,18 @@ def compare() -> None:
         "salted_fanout": -(-HEAD_DF // 250_000),
     }
     for mode in ("salted", "unsalted", "segment"):
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--mode", mode],
-            capture_output=True, text=True, timeout=900)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--mode", mode],
+                capture_output=True, text=True, timeout=900)
+        except subprocess.TimeoutExpired:
+            # a GC-thrashing unsalted run can hang instead of OOMing
+            # promptly — report it failed rather than discarding the
+            # other modes' already-collected results
+            out[f"{mode}_s"] = None
+            out[f"{mode}_error"] = "timeout after 900s (GC thrash)"
+            continue
         line = (r.stdout.strip().splitlines() or [""])[-1]
         try:
             res = json.loads(line)

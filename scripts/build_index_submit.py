@@ -132,9 +132,26 @@ def main(argv: list[str] | None = None) -> None:
         # different analyzer settings produce a different index: a
         # --resume must not reuse stages built under other settings
         fingerprint += f":analyze={sorted(analyzer_kw.items())}"
-    pipe = StagePipeline(spark, args.output,
-                         fingerprint if args.resume else
-                         f"{fingerprint}:{time.time_ns()}")
+    # the ACTIVE fingerprint persists beside the index: a default
+    # (no --resume) run stamps a unique nonce so it never reuses stale
+    # stages, and a later --resume of a CRASHED default run must reuse
+    # that exact nonce'd fingerprint — recomputing the bare fingerprint
+    # would match nothing and silently rebuild every committed stage
+    from textindexing_spark.plans.manifest import (fs_exists,
+                                                   fs_read_text,
+                                                   fs_write_text)
+
+    fp_file = f"{args.output}/_fingerprint"
+    if args.resume and fs_exists(spark, fp_file):
+        saved = fs_read_text(spark, fp_file).strip()
+        # reuse only if the saved run covered the SAME input+analyzer
+        run_fp = saved if saved.startswith(fingerprint) else fingerprint
+    elif args.resume:
+        run_fp = fingerprint
+    else:
+        run_fp = f"{fingerprint}:{time.time_ns()}"
+    fs_write_text(spark, fp_file, run_fp)
+    pipe = StagePipeline(spark, args.output, run_fp)
 
     url_ids = UrlIdTable(spark, f"{args.output}/_urlmap")
 

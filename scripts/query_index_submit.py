@@ -138,6 +138,15 @@ def main(argv: list[str] | None = None) -> None:
         # arbitrary document text (normalize it upstream if the index
         # was built from analyzer-normalized documents)
         raise SystemExit("analyzer flags do not apply to --mode mlt")
+    if args.mode in ("phrase", "near") and (args.stopwords
+                                            or args.fold_accents
+                                            or args.stem):
+        # the positional tier matches stored token sequences exactly;
+        # silently ignoring the flags would search unnormalized tokens
+        # against a normalized index and return 0 hits with no clue
+        raise SystemExit("analyzer flags do not apply to --mode "
+                         "phrase/near (normalize the query text "
+                         "upstream to match the indexed form)")
 
     from pyspark.sql import SparkSession
 
@@ -146,16 +155,21 @@ def main(argv: list[str] | None = None) -> None:
 
     from textindexing_spark import Index
     from textindexing_spark.operators.bm25 import SegmentIndex
+    # index-kind probes go through the Hadoop FileSystem API so a root
+    # on hdfs:// or s3a:// dispatches correctly (a driver-local
+    # os.path.exists is always False for remote schemes and would
+    # mis-route a segments index into Index.load)
+    from textindexing_spark.plans.manifest import fs_exists
 
-    if args.mode in ("phrase", "near") or os.path.exists(
-            f"{args.index}/_pos_meta.json"):
+    if args.mode in ("phrase", "near") or fs_exists(
+            spark, f"{args.index}/_pos_meta.json"):
         from textindexing_spark.operators.phrase import (
             PositionalSegmentIndex)
 
         if args.mode not in ("phrase", "near"):
             raise SystemExit(
                 "a positional index answers --mode phrase/near")
-        if not os.path.exists(f"{args.index}/_pos_meta.json"):
+        if not fs_exists(spark, f"{args.index}/_pos_meta.json"):
             raise SystemExit(
                 f"--mode {args.mode} needs a PositionalSegmentIndex save "
                 "(_pos_meta.json) — this index root is not positional")
@@ -181,7 +195,7 @@ def main(argv: list[str] | None = None) -> None:
         spark.stop()
         return
 
-    if os.path.exists(f"{args.index}/_meta.json"):
+    if fs_exists(spark, f"{args.index}/_meta.json"):
         # serving layout: in-memory cogroup sides, 8 tasks per query
         idx = (SegmentIndex.load(spark, args.index)
                .prepare_for_queries(query_groups=8))

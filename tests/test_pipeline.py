@@ -1044,3 +1044,70 @@ def test_dedup_last_wins_deterministic_on_ts_ties(spark):
     # and repartitioning the input does not change the winner
     alt = dedup_last_wins(df.repartition(7)).collect()[0]["text"]
     assert {alt} == winners
+
+
+def test_verify_stage_detects_content_corruption(spark, tmp_path):
+    """verify_stage must compare the order-free content checksum, not
+    just the row count: a checkpoint partially replaced by stale files
+    with the SAME number of rows is corrupt and must fail
+    verification."""
+    import glob as _glob
+    import shutil
+
+    good = spark.createDataFrame([(i, f"v{i}") for i in range(50)],
+                                 "id bigint, v string")
+    stale = spark.createDataFrame([(i, f"OLD{i}") for i in range(50)],
+                                  "id bigint, v string")
+    p_good = str(tmp_path / "stage_ok")
+    p_stale = str(tmp_path / "stale")
+    write_stage(good.coalesce(1), p_good, "s", "fp")
+    stale.coalesce(1).write.parquet(p_stale)
+    assert verify_stage(spark, p_good)
+    # swap the data file for a stale one with equal row count
+    gfile = _glob.glob(f"{p_good}/part-*.parquet")[0]
+    sfile = _glob.glob(f"{p_stale}/part-*.parquet")[0]
+    shutil.copyfile(sfile, gfile)
+    # carry the stale file's Hadoop .crc sidecar too: the swap must
+    # look clean to the filesystem so the LINEAGE checksum (not the
+    # transport checksum) is what catches it
+    gdir, gname = os.path.split(gfile)
+    sdir, sname = os.path.split(sfile)
+    shutil.copyfile(f"{sdir}/.{sname}.crc", f"{gdir}/.{gname}.crc")
+    spark.catalog.refreshByPath(p_good)  # drop cached file listing
+    assert not verify_stage(spark, p_good)
+
+
+def test_build_cli_resume_after_crashed_default_run(spark, tmp_path,
+                                                    monkeypatch, capsys):
+    """A default (no --resume) run stamps a nonce'd fingerprint; a
+    --resume of that crashed run must reuse the PERSISTED fingerprint
+    so committed stages actually skip (recomputing the bare fingerprint
+    would match nothing and rebuild everything)."""
+    import scripts.build_index_submit as cli
+
+    pages = generate_pages(spark, n_docs=20, seed=3,
+                           recrawl_fraction=0.0)
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    out = str(tmp_path / "bix")
+    monkeypatch.setattr(
+        "pyspark.sql.SparkSession.Builder.getOrCreate",
+        lambda self: spark)
+    # the CLI stops its session on exit; keep the shared fixture alive.
+    # TYPE-level like the query-CLI tests: an instance-level patch
+    # leaves a shadowing instance attribute on undo that defeats later
+    # tests' class-level no-op patches (their cli.main would then
+    # really stop the shared session)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    cli.main(["--input", src, "--output", out, "--shards", "4",
+              "--skip-segments"])
+    capsys.readouterr()
+    # rerun with --resume: every committed stage skips
+    cli.main(["--input", src, "--output", out, "--shards", "4",
+              "--skip-segments", "--resume"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    import json as _json
+
+    summary = _json.loads(line)
+    assert summary["stages_executed"] == []
+    assert len(summary["stages_skipped"]) >= 3

@@ -28,6 +28,55 @@ import time
 from pyspark.sql import DataFrame, functions as F
 
 
+# --- storage-agnostic manifest IO -------------------------------------------
+#
+# Stage parquet lands wherever the Spark writers point (hdfs://, s3a://,
+# local); the manifest files MUST live beside it, so their IO goes
+# through the Hadoop FileSystem API resolved from the path's scheme —
+# driver-local os.* calls would silently create literal 'hdfs:'
+# directories on the driver and make every exists() check False on a
+# real cluster (resume would never skip a stage). Plain local paths
+# resolve to the local FileSystem, so behavior there is unchanged.
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def fs_exists(spark, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def fs_read_text(spark, path: str) -> str:
+    fs, p = _hadoop_fs(spark, path)
+    stream = fs.open(p)
+    try:
+        # commons-io ships with Hadoop; a py4j read(byte[]) loop would
+        # mutate a JAVA-side copy of the buffer, never the Python one
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def fs_write_text(spark, path: str, text: str) -> None:
+    """Write-then-rename (atomic on HDFS/local; best-effort on object
+    stores, where the manifest is still only visible complete)."""
+    fs, p = _hadoop_fs(spark, path)
+    tmp_path = path + ".tmp"
+    _, tmp = _hadoop_fs(spark, tmp_path)
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    fs.rename(tmp, p)
+
+
 def partition_lineage(df: DataFrame) -> list[dict]:
     """Per-partition (id, rows, checksum) for a DataFrame about to be
     written. Checksum = sum of xxhash64 over all columns, order-free."""
@@ -60,31 +109,49 @@ def write_stage(df: DataFrame, path: str, stage: str,
         "wall_s": round(time.perf_counter() - t0, 3),
         "metrics": metrics or {},
     }
-    os.makedirs(f"{path}/_lineage", exist_ok=True)
-    tmp = f"{path}/_lineage/manifest.json.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1)
-    os.replace(tmp, f"{path}/_lineage/manifest.json")
+    fs_write_text(spark, f"{path}/_lineage/manifest.json",
+                  json.dumps(manifest, indent=1))
     return manifest
 
 
-def read_manifest(path: str) -> dict | None:
+def read_manifest(path: str, spark=None) -> dict | None:
+    """``spark=None`` keeps the historical local-filesystem behavior;
+    pass the session to resolve hdfs://, s3a:// etc. through Hadoop."""
     mf = f"{path}/_lineage/manifest.json"
-    if not os.path.exists(mf) or not os.path.exists(f"{path}/_SUCCESS"):
+    if spark is None:
+        if not os.path.exists(mf) \
+                or not os.path.exists(f"{path}/_SUCCESS"):
+            return None
+        with open(mf) as fh:
+            return json.load(fh)
+    if not fs_exists(spark, mf) \
+            or not fs_exists(spark, f"{path}/_SUCCESS"):
         return None
-    with open(mf) as fh:
-        return json.load(fh)
+    return json.loads(fs_read_text(spark, mf))
 
 
 def verify_stage(spark, path: str) -> bool:
-    """Re-derive the lineage of a committed stage and compare against its
-    manifest (detects partial/corrupt checkpoints before resuming)."""
-    manifest = read_manifest(path)
+    """Re-derive the lineage of a committed stage and compare against
+    its manifest (detects partial/corrupt checkpoints before resuming).
+    Row count AND the order-free content checksum must both match: the
+    global checksum is the XOR of the per-partition checksums (bit_xor
+    composes), so it is partitioning-independent — a stage whose
+    parquet was partially replaced by stale files with the same row
+    count still fails verification."""
+    manifest = read_manifest(path, spark)
     if manifest is None:
         return False
     df = spark.read.parquet(path)
-    total = df.count()
-    return total == manifest["row_count"]
+    row = (df.select(F.xxhash64(*[F.col(c) for c in df.columns])
+                     .alias("_h"))
+           .agg(F.count("*").alias("n"),
+                F.expr("bit_xor(_h)").alias("x"))
+           .collect()[0])
+    want_x = 0
+    for p in manifest["partitions"]:
+        want_x ^= int(p["checksum"])
+    return int(row["n"]) == manifest["row_count"] \
+        and int(row["x"] or 0) == want_x
 
 
 class StagePipeline:
@@ -103,7 +170,7 @@ class StagePipeline:
     def stage(self, name: str, fn, *upstream: DataFrame,
               metrics: dict | None = None) -> DataFrame:
         path = f"{self.base}/{name}"
-        manifest = read_manifest(path)
+        manifest = read_manifest(path, self.spark)
         if manifest is not None and \
                 manifest.get("input_fingerprint") == self.fingerprint:
             self.skipped.append(name)
